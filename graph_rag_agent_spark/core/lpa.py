@@ -1,0 +1,120 @@
+"""Hierarchical community detection spec: weighted half-sweep label
+propagation with level contraction.
+
+Replaces the reference's Neo4j GDS Leiden call
+(/root/reference/community/detector/leiden.py:10-65). Per SURVEY.md
+§2 G3, the contract is the reference's SCHEMA, not its modularity:
+hierarchical communities with a per-entity ``communities`` array,
+community ids "{level}-{n}" (leiden.py:107,126-128) and an
+IN_COMMUNITY hierarchy (leiden.py:118-136), maxLevels=3 (small-memory
+tier, leiden.py:83-89).
+
+Algorithm (deterministic + distribution-friendly — both the pure-
+Python version here and the DataFrame version in operators/community.py
+implement exactly this):
+  - labels start as the node id;
+  - sweeps are synchronous but update only HALF the nodes per sweep
+    (parity = stable hash of node id), which breaks the classic
+    two-node oscillation of synchronous LPA while remaining
+    deterministic and shuffle-parallel;
+  - an updating node adopts the label with the largest incident edge
+    weight sum among its neighbors' current labels; ties → smallest
+    label; isolated nodes keep their label;
+  - stop after a full even+odd round with no change, or MAX_SWEEPS;
+  - next level: contract communities to supernodes, sum weights
+    between distinct communities, repeat. Stop early when a level no
+    longer merges anything.
+"""
+
+from __future__ import annotations
+
+from .hashing import stable_int
+
+MAX_LEVELS = 3  # leiden.py:83-89 small-memory tier
+MAX_SWEEPS = 20
+
+
+def _parity(node: str) -> int:
+    return stable_int(node, salt="lpa") % 2
+
+
+def lpa_once(
+    nodes: list[str], weighted_edges: list[tuple[str, str, float]]
+) -> dict[str, str]:
+    """One LPA level: node → final label (a node id)."""
+    adj: dict[str, list[tuple[str, float]]] = {n: [] for n in nodes}
+    for a, b, w in weighted_edges:
+        if a == b:
+            continue
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+
+    labels = {n: n for n in nodes}
+    for sweep in range(MAX_SWEEPS):
+        want = sweep % 2
+        changed = False
+        updates: dict[str, str] = {}
+        for n in nodes:
+            if _parity(n) != want or not adj[n]:
+                continue
+            votes: dict[str, float] = {}
+            for neighbor, w in adj[n]:
+                lbl = labels[neighbor]
+                votes[lbl] = votes.get(lbl, 0.0) + w
+            best = min(votes, key=lambda l: (-votes[l], l))
+            if best != labels[n]:
+                updates[n] = best
+        for n, lbl in updates.items():
+            labels[n] = lbl
+            changed = True
+        if not changed and sweep % 2 == 1:
+            break
+    return labels
+
+
+def detect_hierarchy(
+    nodes: list[str],
+    weighted_edges: list[tuple[str, str, float]],
+    max_levels: int = MAX_LEVELS,
+) -> list[dict[str, int]]:
+    """Run leveled LPA; returns per-level {node → community_number}.
+
+    Community numbers are dense ranks of labels in lexicographic order
+    per level (deterministic replacement for GDS's internal ids).
+    Level l+1 numbers are assigned over the contracted supergraph; each
+    original node inherits its supernode's community.
+    """
+    levels: list[dict[str, int]] = []
+    cur_nodes = sorted(set(nodes))
+    cur_edges = weighted_edges
+    # node → current supernode (label of previous level)
+    node_to_super = {n: n for n in cur_nodes}
+
+    for _level in range(max_levels):
+        labels = lpa_once(cur_nodes, cur_edges)
+        ordered = sorted(set(labels.values()))
+        number = {lbl: i for i, lbl in enumerate(ordered)}
+        levels.append({n: number[labels[node_to_super[n]]] for n in node_to_super})
+
+        if len(ordered) == len(cur_nodes):  # nothing merged → stop
+            break
+
+        # contract
+        node_to_super = {n: labels[node_to_super[n]] for n in node_to_super}
+        agg: dict[tuple[str, str], float] = {}
+        for a, b, w in cur_edges:
+            la, lb = labels[a], labels[b]
+            if la == lb:
+                continue
+            key = (min(la, lb), max(la, lb))
+            agg[key] = agg.get(key, 0.0) + w
+        cur_nodes = ordered
+        cur_edges = [(a, b, w) for (a, b), w in agg.items()]
+        if not cur_edges:
+            break
+    return levels
+
+
+def communities_array(levels: list[dict[str, int]], node: str) -> list[int]:
+    """Per-entity communities array (leiden.py:102-106 semantics)."""
+    return [lvl[node] for lvl in levels if node in lvl]

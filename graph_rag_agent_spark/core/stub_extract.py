@@ -1,0 +1,62 @@
+"""Deterministic entity/relation extractor stub.
+
+Stands in for the reference's LLM extraction chain
+(/root/reference/graph/extraction/entity_extractor.py:334-369, prompt
+config/prompt.py:1-101). Emits EXACTLY the reference record grammar
+(see core/records.py) so the downstream parser is exercised on real
+input. In production the same mapInPandas slot holds a batched model
+client; tests/CI always pin this stub (SURVEY.md §4 "LLM-boundary
+determinism").
+
+Recognition rule: scan the chunk text for vocabulary aliases
+(longest-first so "Sony Inc" beats "Sony"), in first-occurrence order;
+non-overlapping matches. Entities keep their SURFACE form as id —
+alias resolution is the linking stage's job, exactly as with a real
+LLM. Relationships connect consecutive distinct mentions; rel type and
+weight are hash-derived from the endpoint pair, so the same pair in a
+different chunk yields the same relationship (stable for P/R sets).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .hashing import stable_int
+from .records import format_entity_record, format_relationship_record
+from .vocab import ALIAS_TO_TYPE, ALL_ALIASES, RELATIONSHIP_TYPES
+
+_ALIAS_RE = re.compile("|".join(re.escape(a) for a in ALL_ALIASES))
+
+
+def extract_mentions(text: str) -> list[str]:
+    """Non-overlapping vocabulary matches in occurrence order."""
+    if not text:
+        return []
+    return _ALIAS_RE.findall(text)
+
+
+def stub_extract(chunk_text: str) -> str:
+    """Chunk text → extractor result string in the record grammar."""
+    mentions = extract_mentions(chunk_text)
+    if not mentions:
+        return ""
+
+    records: list[str] = []
+    seen: set[str] = set()
+    ordered: list[str] = []
+    for m in mentions:
+        if m not in seen:
+            seen.add(m)
+            ordered.append(m)
+            etype = ALIAS_TO_TYPE[m]
+            records.append(format_entity_record(m, etype, f"{m} is a {etype}"))
+
+    for a, b in zip(ordered, ordered[1:]):
+        h = stable_int("rel", a, b)
+        rel_type = RELATIONSHIP_TYPES[h % len(RELATIONSHIP_TYPES)]
+        weight = (h >> 8) % 20 / 2 + 1.0  # 1.0 .. 10.5 in 0.5 steps
+        records.append(
+            format_relationship_record(a, b, rel_type, f"{a} {rel_type} {b}", weight)
+        )
+
+    return "\n".join(records) + "\n\n"  # completion delimiter

@@ -1,0 +1,77 @@
+"""Entity/relation extraction operator (the LLM boundary).
+
+Spark shape: repartition chunks by chunk_id hash (this is the skew
+killer — after this, a mega-conversation's chunks are spread evenly
+across all executors regardless of conv_id skew), then mapInPandas
+runs the extractor over Arrow batches. The default extractor is the
+deterministic stub (core/stub_extract.py); production swaps in a
+batched model client with the same ``str → str`` contract — exactly
+the slot the reference fills with its LLM chain
+(/root/reference/graph/extraction/entity_extractor.py:334-369).
+
+Extraction cache: the reference memoizes LLM results in pickle files
+keyed by sha1(chunk text) (entity_extractor.py:77-143). Ours is a
+cache TABLE keyed by chunk_id (== sha1(text)): probe with a broadcast/
+shuffle anti-join so only cache misses reach the UDF, then union the
+hits back (SURVEY.md §4 — a deliberate pipeline stage, not a Catalyst
+rule). Identical chunk texts across conversations dedupe through the
+same mechanism: we extract once per distinct chunk_id and re-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.stub_extract import stub_extract
+
+EXTRACT_SCHEMA = "chunk_id string, result string"
+
+
+def extract_chunks(
+    chunks: DataFrame,
+    extractor: Callable[[str], str] = stub_extract,
+    cache: DataFrame | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """chunks → extractions(chunk_id, conv_id, result).
+
+    ``cache`` is a DataFrame(chunk_id, result) of previous extractions
+    (e.g. the extractions table of an earlier run / checkpoint).
+    """
+    spark = chunks.sparkSession
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # one extraction per distinct chunk text; conv linkage re-joined after
+    distinct_chunks = chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"])
+
+    if cache is not None:
+        cache = cache.select("chunk_id", "result").dropDuplicates(["chunk_id"])
+        misses = distinct_chunks.join(cache, "chunk_id", "left_anti")
+        hits = distinct_chunks.join(cache, "chunk_id", "inner").select(
+            "chunk_id", "result"
+        )
+    else:
+        misses, hits = distinct_chunks, None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "chunk_id": pdf["chunk_id"],
+                    "result": [extractor(t) for t in pdf["text"]],
+                }
+            )
+
+    extracted = (
+        misses.repartition(partitions, "chunk_id")  # even spread, skew-proof
+        .mapInPandas(run, schema=EXTRACT_SCHEMA)
+    )
+    results = extracted.unionByName(hits) if hits is not None else extracted
+
+    return chunks.select("chunk_id", "conv_id").join(results, "chunk_id").select(
+        "chunk_id", "conv_id", "result"
+    )
