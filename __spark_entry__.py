@@ -1,38 +1,409 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction slice on
+/root/testdata/sf0.001 (documents → transcripts → chunks → stub
+extraction → parse → entity-link → canonical triples).
+
+``queries()``/``oracle_sql()`` pairs cover SURVEY.md §2 operators;
+each oracle is ANSI SQL DuckDB runs over the same parquet views.
+Non-SQL-expressible ops (LSH blocking, stub extraction, LPA levels)
+have no oracle entry → driver records rows-only checks; their real
+oracles are the pytest suite (graph_rag_agent_spark/oracle).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_rag_agent_spark.operators.canonicalize import (
+        candidate_groups,
+        canonical_map,
+        merge_groups,
+        rewrite_triples,
+    )
+    from graph_rag_agent_spark.operators.chunking import chunk_conversations
+    from graph_rag_agent_spark.operators.components import (
+        connected_components,
+        consecutive_component_ids,
+    )
+    from graph_rag_agent_spark.operators.extraction import extract_chunks
+    from graph_rag_agent_spark.operators.linking import (
+        entity_catalog,
+        similar_entities,
+        with_embeddings,
+    )
+    from graph_rag_agent_spark.operators.parsing import (
+        entities_raw,
+        parse_extractions,
+        triples_raw,
+    )
+    from graph_rag_agent_spark.sources.transcripts import transcripts_from_documents
+
+    transcripts = transcripts_from_documents(spark, sf_dir, plant_mentions=True)
+    chunks = chunk_conversations(transcripts)
+    parsed = parse_extractions(extract_chunks(chunks))
+    e_raw, t_raw = entities_raw(parsed), triples_raw(parsed)
+    embedded = with_embeddings(entity_catalog(e_raw, chunks))
+    similar = similar_entities(embedded, method="auto")
+    wcc = consecutive_component_ids(
+        connected_components(
+            similar.select("src", "dst"), nodes=embedded.select("entity_id")
+        )
+    ).select(F.col("node").alias("entity_id"), "wcc")
+    cmap = canonical_map(merge_groups(candidate_groups(wcc)))
+    return rewrite_triples(t_raw, cmap).select(
+        "subj", "pred", "obj", "description", "weight", "chunk_id"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _kg_triples(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# queries()/oracle_sql() pairs
+
+
+def _q_turns_derivation(spark, sf_dir):
+    # S1/F5-F6: document → ordered turn rows (the transcript derivation)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"[。.!?]")).alias("pos", "turn_text"),
+        )
+        .where(F.length(F.trim("turn_text")) > 0)
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("turn_idx"),
+            F.trim("turn_text").alias("turn_text"),
+        )
+    )
+
+
+def _q_chunk_windows(spark, sf_dir):
+    # W1-W3: lag / row_number / running sum over documents per source
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("position"),
+        F.lag("doc_id").over(w).alias("prev_doc_id"),
+        F.coalesce(
+            F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("content_offset"),
+    )
+
+
+def _q_sha_ids(spark, sf_dir):
+    # F1/F2: content-hash ids (sha256: duckdb lacks sha1; F.sha1 is
+    # exercised in the pipeline + pytest instead)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("content_hash")
+    )
+
+
+def _q_mention_counts(spark, sf_dir):
+    # A4/A7: countDistinct per group (orders↔lineitem as proxy for
+    # community rank = count(distinct chunk))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+def _q_equi_join_dim(spark, sf_dir):
+    # J1: broadcast equi-join chunk↔document proxy
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+def _q_semi_anti_cascade(spark, sf_dir):
+    # J9/P6: anti-join (customers with no orders — orphan check shape)
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def _q_edit_distance_pairs(spark, sf_dir):
+    # J4: blocked levenshtein theta self-join (merge-candidate shape)
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    return (
+        a.join(b, "brand")
+        .where(F.col("a_key") < F.col("b_key"))
+        .withColumn("dist", F.levenshtein(F.lower("a_name"), F.lower("b_name")))
+        .where(F.col("dist") < 4)
+        .select("a_key", "b_key", "dist")
+    )
+
+
+def _q_topk_per_group(spark, sf_dir):
+    # W6: top-3 per group with deterministic tie-break
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+    )
+
+
+def _q_dedup_edges(spark, sf_dir):
+    # A8/A9: canonical-pair dedup of consecutive-user edges per event
+    # type (bidirectional SIMILAR dedup shape)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "user_id"
+    )
+    return (
+        ev.withColumn("prev_user", F.lag("user_id").over(w))
+        .where(F.col("prev_user").isNotNull() & (F.col("prev_user") != F.col("user_id")))
+        .select(
+            F.least("user_id", "prev_user").alias("u_lo"),
+            F.greatest("user_id", "prev_user").alias("u_hi"),
+        )
+        .distinct()
+    )
+
+
+def _q_graph_stats(spark, sf_dir):
+    # A6: conditional sums by label (incremental_graph_builder.py:806-848)
+    return _t(spark, sf_dir, "events").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+        F.count("*").alias("n_total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    # text analysis: CJK-ratio language id over documents
+    docs = _t(spark, sf_dir, "documents")
+    cjk = F.length(F.regexp_replace("text", "[^一-鿿]", ""))
+    return docs.select(
+        "doc_id",
+        F.when(cjk * 3 > F.length("text"), F.lit("zh"))
+        .otherwise(F.lit("en"))
+        .alias("pred_lang"),
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    # text analysis: whitespace token count + char stats (integer-only
+    # so the cross-engine value-hash is exact)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.length(F.regexp_replace("text", r"[^\.,;:!\?]", "")).alias("n_punct"),
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    # dedup: md5 fingerprint of whitespace-normalized lowered text
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower("text"), r"\s+", " ").cast("binary")
+        ).alias("fingerprint"),
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    # dedup: exact hash-groupBy duplicate detection
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+def _q_connected_components(spark, sf_dir):
+    # G2: distributed CC on an events-derived bipartite edge list
+    from graph_rag_agent_spark.operators.components import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").cast("string").alias("src"),
+        F.concat(F.lit("h"), (F.col("user_id") % 31).cast("string")).alias("dst"),
+    ).distinct()
+    return connected_components(edges).select("node", "component")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "turns_derivation": _q_turns_derivation,
+        "chunk_windows": _q_chunk_windows,
+        "sha_ids": _q_sha_ids,
+        "mention_counts": _q_mention_counts,
+        "equi_join_dim": _q_equi_join_dim,
+        "semi_anti_cascade": _q_semi_anti_cascade,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "topk_per_group": _q_topk_per_group,
+        "dedup_edges": _q_dedup_edges,
+        "graph_stats": _q_graph_stats,
+        "lang_id": _q_lang_id,
+        "token_stats": _q_token_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "exact_dedup": _q_exact_dedup,
+        "connected_components": _q_connected_components,
+        "kg_triples": _kg_triples,  # rows-only (stub-extraction based)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "turns_derivation": """
+            SELECT doc_id,
+                   CAST(o - 1 AS INTEGER) AS turn_idx,
+                   trim(t) AS turn_text
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '[。.!?]')) AS t,
+                       generate_subscripts(regexp_split_to_array(text, '[。.!?]'), 1) AS o
+                FROM documents
+            )
+            WHERE length(trim(t)) > 0
+        """,
+        "chunk_windows": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER w AS INTEGER) AS position,
+                   lag(doc_id) OVER w AS prev_doc_id,
+                   CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                        AS content_offset
+            FROM documents
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+        """,
+        "sha_ids": "SELECT doc_id, sha256(text) AS content_hash FROM documents",
+        "mention_counts": """
+            SELECT l_orderkey,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "equi_join_dim": """
+            SELECT n_nationkey, n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "semi_anti_cascade": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "edit_distance_pairs": """
+            SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                   CAST(levenshtein(lower(a.p_name), lower(b.p_name)) AS INTEGER) AS dist
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(lower(a.p_name), lower(b.p_name)) < 4
+        """,
+        "topk_per_group": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT l_orderkey, l_linenumber, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rank
+                FROM lineitem
+            ) WHERE rank <= 3
+        """,
+        "dedup_edges": """
+            SELECT DISTINCT least(user_id, prev_user) AS u_lo,
+                            greatest(user_id, prev_user) AS u_hi
+            FROM (
+                SELECT user_id,
+                       lag(user_id) OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS prev_user
+                FROM events
+            )
+            WHERE prev_user IS NOT NULL AND prev_user <> user_id
+        """,
+        "graph_stats": """
+            SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   count(*) AS n_total,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 3
+                             > length(text)
+                        THEN 'zh' ELSE 'en' END AS pred_lang
+            FROM documents
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(length(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars_actual,
+                   CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS INTEGER) AS n_punct
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "connected_components": """
+            WITH RECURSIVE und AS (
+                SELECT DISTINCT CAST(user_id AS VARCHAR) AS a,
+                       'h' || CAST(user_id % 31 AS VARCHAR) AS b
+                FROM events
+                UNION
+                SELECT 'h' || CAST(user_id % 31 AS VARCHAR), CAST(user_id AS VARCHAR)
+                FROM events
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT und.b, reach.r FROM reach JOIN und ON und.a = reach.node
+            )
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        """,
+        # kg_triples: no oracle — stub-extraction pipeline, rows-only;
+        # its real oracle is the pytest P/R gate.
+    }

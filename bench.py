@@ -1,0 +1,102 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "turns_per_sec": ..., "kg_triples": ...}
+
+The KG headline is the full construction pipeline (chunk → extract →
+parse → link → canonicalize → communities) over a deterministic
+synthetic transcript corpus sized by sf, plus the documents-derived
+variant on the driver testdata. Relational headliners exercise the
+join/window/agg operators from SURVEY.md §2.
+
+The two-cluster-size scaling study (north rule) lives in
+bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entrymod
+    from graph_rag_agent_spark.plans.inmem import build_kg_tables
+    from graph_rag_agent_spark.session import get_spark
+    from graph_rag_agent_spark.sources.transcripts import synthesize_transcripts
+
+    spark = get_spark(
+        app_name="grars-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # KG pipeline over synthetic transcripts (sized by sf)
+    n_convs = max(100, int(20_000 * sf))
+    transcripts = synthesize_transcripts(spark, n_convs).localCheckpoint()
+    n_turns = transcripts.count()
+
+    def kg_build():
+        tables = build_kg_tables(
+            transcripts, similarity_method="auto", with_communities=True
+        )
+        return (
+            tables["triples"].count(),
+            tables["membership"].count(),
+        )
+
+    n_triples, _ = timed("kg_build_synthetic", kg_build)
+    extra["turns_per_sec"] = round(n_turns / timings["kg_build_synthetic"], 1)
+    extra["kg_triples"] = n_triples
+    extra["n_turns"] = n_turns
+
+    # documents-derived KG slice (driver testdata)
+    timed("kg_triples_docs", lambda: entrymod._kg_triples(spark, sf_dir).count())
+
+    # relational headliners
+    qs = entrymod.queries()
+    for name in [
+        "mention_counts",
+        "topk_per_group",
+        "edit_distance_pairs",
+        "dedup_edges",
+        "connected_components",
+        "chunk_windows",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    spark.stop()
+
+    result = {
+        "metric": "kg_construction_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extra,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,4 @@
-"""Hierarchical community detection spec: weighted half-sweep label
+"""Hierarchical community detection spec: monotone weighted label
 propagation with level contraction.
 
 Replaces the reference's Neo4j GDS Leiden call
@@ -9,33 +9,28 @@ community ids "{level}-{n}" (leiden.py:107,126-128) and an
 IN_COMMUNITY hierarchy (leiden.py:118-136), maxLevels=3 (small-memory
 tier, leiden.py:83-89).
 
-Algorithm (deterministic + distribution-friendly — both the pure-
+Algorithm (deterministic, convergent, shuffle-parallel — the pure-
 Python version here and the DataFrame version in operators/community.py
 implement exactly this):
   - labels start as the node id;
-  - sweeps are synchronous but update only HALF the nodes per sweep
-    (parity = stable hash of node id), which breaks the classic
-    two-node oscillation of synchronous LPA while remaining
-    deterministic and shuffle-parallel;
-  - an updating node adopts the label with the largest incident edge
-    weight sum among its neighbors' current labels; ties → smallest
-    label; isolated nodes keep their label;
-  - stop after a full even+odd round with no change, or MAX_SWEEPS;
+  - every sweep is fully synchronous: each node computes the label
+    with the largest incident edge-weight sum among its neighbors'
+    current labels (ties → smallest label), and ADOPTS it ONLY IF it
+    is lexicographically smaller than its current label;
+  - the adopt-iff-smaller rule makes per-node labels monotonically
+    decreasing, which guarantees convergence (no synchronous-LPA
+    oscillation) in O(diameter) sweeps, while the weighted vote keeps
+    dense clusters from absorbing each other across weak bridges;
+  - stop at the first sweep with no change, or MAX_SWEEPS;
   - next level: contract communities to supernodes, sum weights
     between distinct communities, repeat. Stop early when a level no
-    longer merges anything.
+    longer merges anything or no edges remain.
 """
 
 from __future__ import annotations
 
-from .hashing import stable_int
-
 MAX_LEVELS = 3  # leiden.py:83-89 small-memory tier
 MAX_SWEEPS = 20
-
-
-def _parity(node: str) -> int:
-    return stable_int(node, salt="lpa") % 2
 
 
 def lpa_once(
@@ -50,25 +45,21 @@ def lpa_once(
         adj[b].append((a, w))
 
     labels = {n: n for n in nodes}
-    for sweep in range(MAX_SWEEPS):
-        want = sweep % 2
-        changed = False
+    for _sweep in range(MAX_SWEEPS):
         updates: dict[str, str] = {}
         for n in nodes:
-            if _parity(n) != want or not adj[n]:
+            if not adj[n]:
                 continue
             votes: dict[str, float] = {}
             for neighbor, w in adj[n]:
                 lbl = labels[neighbor]
                 votes[lbl] = votes.get(lbl, 0.0) + w
             best = min(votes, key=lambda l: (-votes[l], l))
-            if best != labels[n]:
+            if best < labels[n]:
                 updates[n] = best
-        for n, lbl in updates.items():
-            labels[n] = lbl
-            changed = True
-        if not changed and sweep % 2 == 1:
+        if not updates:
             break
+        labels.update(updates)
     return labels
 
 

@@ -1,0 +1,152 @@
+"""Duplicate detection + merge + canonical rewrite (SURVEY.md J4, SO1,
+SO2, A8, L4).
+
+Reference lifecycle reproduced
+(/root/reference/graph/processing/similar_entity.py:289-365 +
+entity_merger.py:233-360,409-450):
+  1. WCC over SIMILAR edges → wcc id per entity;
+  2. duplicate candidates: within one wcc, entities with len(id)>1
+     whose lowercased ids are within Levenshtein distance < 3,
+     transitively unioned — expressed as a blocked theta self-join
+     (equi on wcc + levenshtein predicate) followed by connected
+     components, which IS the transitive union;
+  3. merge judge (LLM in prod, deterministic stub here) per candidate
+     group via applyInPandas → mergeable subgroups;
+  4. subgroups sharing an entity are unioned (entity_merger.py:233-280)
+     — again connected components, over the subgroup chain edges;
+  5. survivor = min by (length, lexicographic) — the pinned
+     deterministic stand-in for apoc.refactor.mergeNodes 'discard'
+     (entity_merger.py:348-360);
+  6. triples/mentions rewritten through the canonical map (broadcast
+     join — the map is tiny next to the fact tables), then
+     relationship dedup by (subj, pred, obj) keeping the first by
+     (conv_id, chunk_id, description, weight) — entity_merger.py:
+     418-429 with a deterministic pin for Neo4j's "first".
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core.linkage import WORD_EDIT_DISTANCE
+from ..core.stub_judge import judge_group
+from .components import connected_components
+
+
+def duplicate_candidate_edges(
+    entities_with_wcc: DataFrame, max_distance: int = WORD_EDIT_DISTANCE
+) -> DataFrame:
+    """Blocked lev<3 theta join inside each wcc (similar_entity.py:
+    315-352). The wcc equi-key keeps the self-join from exploding:
+    components are small by construction (cosine ≥ 0.9 cliques)."""
+    base = entities_with_wcc.select("entity_id", "wcc").where(
+        F.length("entity_id") > 1  # similar_entity.py:302,318
+    )
+    a = base.select(F.col("entity_id").alias("src"), "wcc")
+    b = base.select(F.col("entity_id").alias("dst"), "wcc")
+    return (
+        a.join(b, "wcc")
+        .where(F.col("src") < F.col("dst"))
+        .where(
+            F.levenshtein(F.lower("src"), F.lower("dst")) < max_distance
+        )
+        .select("src", "dst")
+    )
+
+
+def candidate_groups(entities_with_wcc: DataFrame) -> DataFrame:
+    """(entity_id, group_id) for entities in candidate groups (≥2
+    members); group_id = component label."""
+    edges = duplicate_candidate_edges(entities_with_wcc)
+    comp = connected_components(edges).select(
+        F.col("node").alias("entity_id"), F.col("component").alias("group_id")
+    )
+    sizes = comp.groupBy("group_id").count().where(F.col("count") > 1)
+    return comp.join(sizes.select("group_id"), "group_id")
+
+
+_SUGGEST_SCHEMA = "entity_id string, suggestion_id string"
+
+
+def _judge_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    group_id = pdf["group_id"].iloc[0]
+    members = sorted(pdf["entity_id"].tolist())
+    out = []
+    for i, subgroup in enumerate(judge_group(members)):
+        for member in subgroup:
+            out.append((member, f"{group_id}#{i}"))
+    return pd.DataFrame(out, columns=["entity_id", "suggestion_id"])
+
+
+def merge_groups(groups: DataFrame) -> DataFrame:
+    """Judge each candidate group, union overlapping suggestions via
+    CC, return (entity_id, merge_root)."""
+    suggestions = groups.groupBy("group_id").applyInPandas(
+        _judge_partition, schema=_SUGGEST_SCHEMA
+    )
+    # chain edges within each suggestion connect its members; CC then
+    # unions suggestions that share an entity (entity_merger.py:233-280)
+    w = Window.partitionBy("suggestion_id").orderBy("entity_id")
+    chained = suggestions.withColumn("prev", F.lag("entity_id").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    edges = chained.select(F.col("prev").alias("src"), F.col("entity_id").alias("dst"))
+    return connected_components(
+        edges, nodes=suggestions.select("entity_id").distinct()
+    ).select(F.col("node").alias("entity_id"), F.col("component").alias("merge_root"))
+
+
+def canonical_map(merged: DataFrame) -> DataFrame:
+    """(entity_id, merge_root) → (entity_id, canonical_id); survivor =
+    min by (length, lexical) per merge group."""
+    w = Window.partitionBy("merge_root").orderBy(
+        F.length("entity_id").asc(), F.col("entity_id").asc()
+    )
+    survivors = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("merge_root", F.col("entity_id").alias("canonical_id"))
+    )
+    return merged.join(survivors, "merge_root").select("entity_id", "canonical_id")
+
+
+def _canonize(df: DataFrame, col: str, cmap: DataFrame) -> DataFrame:
+    mapped = cmap.select(
+        F.col("entity_id").alias(col), F.col("canonical_id").alias(f"__canon_{col}")
+    )
+    return (
+        df.join(F.broadcast(mapped), col, "left")
+        .withColumn(col, F.coalesce(f"__canon_{col}", col))
+        .drop(f"__canon_{col}")
+    )
+
+
+def rewrite_triples(triples_raw: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Canonical rewrite + (subj,pred,obj) dedup keeping pinned first."""
+    rewritten = _canonize(_canonize(triples_raw, "subj", cmap), "obj", cmap)
+    w = Window.partitionBy("subj", "pred", "obj").orderBy(
+        "conv_id", "chunk_id", "description", "weight"
+    )
+    return (
+        rewritten.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def rewrite_mentions(mentions_raw: DataFrame, cmap: DataFrame) -> DataFrame:
+    return _canonize(mentions_raw, "entity_id", cmap).dropDuplicates(
+        ["chunk_id", "entity_id"]
+    )
+
+
+def canonical_entities(
+    catalog_with_wcc: DataFrame, cmap: DataFrame
+) -> DataFrame:
+    """Catalog reduced to survivors ('discard': survivor's props win)."""
+    joined = catalog_with_wcc.join(
+        F.broadcast(cmap), "entity_id", "left"
+    ).withColumn("canonical_id", F.coalesce("canonical_id", "entity_id"))
+    return joined.where(F.col("entity_id") == F.col("canonical_id"))

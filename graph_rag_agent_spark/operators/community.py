@@ -1,0 +1,323 @@
+"""Hierarchical community detection + catalog (SURVEY.md G3/G5, J5-J7,
+A4, L5, W-ops).
+
+DataFrame implementation of the half-sweep weighted LPA spec in
+core/lpa.py (the GDS-Leiden replacement; schema parity with
+/root/reference/community/detector/leiden.py:91-140 — ids "{level}-{n}",
+IN_COMMUNITY hierarchy, maxLevels=3). The pure-Python core version is
+the oracle; tests assert level-by-level equality.
+
+Physical shape per sweep: one shuffle for the vote aggregation
+(edges ⋈ labels → groupBy(node, label) sum(weight)) + a window top-1.
+The driver loop localCheckpoints labels each sweep to truncate
+lineage. Parity is computed JVM-side from sha1 so it matches
+core.lpa._parity exactly (tested).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core.lpa import MAX_LEVELS, MAX_SWEEPS
+from ..core.stub_summary import prepare_string, stub_summarize
+
+
+def projection_edges(triples: DataFrame) -> DataFrame:
+    """Canonical triples → undirected weighted edges: weight = COUNT of
+    relationships per unordered pair (reference projection config
+    orientation UNDIRECTED, weight aggregation COUNT —
+    community/detector/projections.py:24-34)."""
+    return (
+        triples.where(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+def lpa_level(nodes: DataFrame, edges: DataFrame, max_sweeps: int = MAX_SWEEPS) -> DataFrame:
+    """nodes(node) + edges(a, b, w) → (node, label).
+
+    Monotone weighted LPA (core/lpa.py spec): synchronous sweeps; a
+    node adopts its weighted-majority neighbor label (tie → smallest)
+    only if that label sorts before its current one — guaranteed
+    convergent, no oscillation."""
+    sym = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr"), "w"
+    ).union(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w"))
+    sym = sym.localCheckpoint()
+
+    labels = (
+        nodes.select(F.col(nodes.columns[0]).alias("node"))
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    w_top = Window.partitionBy("node").orderBy(F.desc("vote"), F.asc("nbr_label"))
+    for _sweep in range(max_sweeps):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "nbr_label")
+            .agg(F.sum("w").alias("vote"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w_top))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("nbr_label").alias("best_label"))
+        )
+        new_label = F.when(
+            F.col("best_label").isNotNull()
+            & (F.col("best_label") < F.col("label")),
+            F.col("best_label"),
+        ).otherwise(F.col("label"))
+        # checkpoint once; change detection reads the materialized flag
+        new_labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where("changed").limit(1).count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select("node", "label")
+
+
+def detect_communities(
+    entities: DataFrame, triples: DataFrame, max_levels: int = MAX_LEVELS
+) -> tuple[DataFrame, DataFrame]:
+    """→ (membership(entity_id, community_id, level, number),
+         hierarchy(child_community, parent_community)).
+
+    Isolated entities keep their own label → singleton communities,
+    matching a GDS projection over all __Entity__ nodes."""
+    spark = entities.sparkSession
+    nodes = entities.select(F.col("entity_id").alias("node")).distinct()
+    edges = projection_edges(triples)
+
+    # node → supernode of current level (starts as itself)
+    assignment = nodes.withColumn("super", F.col("node"))
+    membership_parts: list[DataFrame] = []
+    hierarchy_parts: list[DataFrame] = []
+    prev_numbering: DataFrame | None = None
+
+    cur_nodes = nodes
+    for level in range(max_levels):
+        labels = lpa_level(cur_nodes, edges)
+        numbering = (
+            labels.select("label")
+            .distinct()
+            .withColumn(
+                "number",
+                F.row_number().over(Window.orderBy("label")).cast("long") - 1,
+            )
+        )
+        n_labels = numbering.count()
+        n_nodes = cur_nodes.count()
+
+        level_assign = (
+            assignment.join(
+                labels.withColumnRenamed("node", "super2"),
+                F.col("super") == F.col("super2"),
+            )
+            .select("node", "label")
+            .join(numbering, "label")
+        )
+        membership_parts.append(
+            level_assign.select(
+                F.col("node").alias("entity_id"),
+                F.concat_ws("-", F.lit(level), F.col("number")).alias("community_id"),
+                F.lit(level).alias("level"),
+                F.col("number"),
+            ).localCheckpoint()
+        )
+        if prev_numbering is not None:
+            # child community (level-1) → parent community (level)
+            hierarchy_parts.append(
+                membership_parts[-2]
+                .select(
+                    F.col("entity_id"),
+                    F.col("community_id").alias("child_community"),
+                )
+                .join(
+                    membership_parts[-1].select(
+                        "entity_id", F.col("community_id").alias("parent_community")
+                    ),
+                    "entity_id",
+                )
+                .select("child_community", "parent_community")
+                .distinct()
+            )
+        prev_numbering = numbering
+
+        if n_labels == n_nodes:
+            break
+
+        # contract
+        assignment = (
+            assignment.join(
+                labels.withColumnRenamed("node", "super2"),
+                F.col("super") == F.col("super2"),
+            )
+            .select("node", F.col("label").alias("super"))
+            .localCheckpoint()
+        )
+        lab_a = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+        lab_b = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+        edges = (
+            edges.join(lab_a, "a")
+            .join(lab_b, "b")
+            .where(F.col("la") != F.col("lb"))
+            .select(
+                F.least("la", "lb").alias("a"),
+                F.greatest("la", "lb").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()
+        )
+        cur_nodes = labels.select(F.col("label").alias("node")).distinct()
+        if edges.limit(1).count() == 0:
+            break
+
+    membership = membership_parts[0].select(
+        "entity_id", "community_id", "level"
+    )
+    for part in membership_parts[1:]:
+        membership = membership.unionByName(
+            part.select("entity_id", "community_id", "level")
+        )
+    if hierarchy_parts:
+        hierarchy = hierarchy_parts[0]
+        for part in hierarchy_parts[1:]:
+            hierarchy = hierarchy.unionByName(part)
+        hierarchy = hierarchy.distinct()
+    else:
+        hierarchy = spark.createDataFrame(
+            [], "child_community string, parent_community string"
+        )
+    return membership, hierarchy
+
+
+def community_catalog(
+    membership: DataFrame,
+    entities: DataFrame,
+    triples: DataFrame,
+    mentions: DataFrame,
+) -> DataFrame:
+    """Community table: rank = countDistinct chunks mentioning members
+    (IN_COMMUNITY* transitive — summary/base.py:59-64), weight =
+    member count, stub summary + full_content (summary/base.py:15-45).
+    """
+    # rank via mentions ⋈ membership (J7)
+    rank = (
+        membership.join(mentions, "entity_id")
+        .groupBy("community_id")
+        .agg(F.countDistinct("chunk_id").cast("long").alias("community_rank"))
+    )
+    weight = membership.groupBy("community_id", "level").agg(
+        F.count("*").cast("long").alias("weight")
+    )
+
+    # intra-community rels: both endpoints in same community+level (J6)
+    m_subj = membership.select(
+        F.col("entity_id").alias("subj"), "community_id", "level"
+    )
+    m_obj = membership.select(F.col("entity_id").alias("obj"), "community_id", "level")
+    intra = (
+        triples.where(F.col("subj") != F.col("obj"))
+        .join(m_subj, "subj")
+        .join(m_obj, ["obj", "community_id", "level"])
+        .select("community_id", "subj", "pred", "obj", "description")
+    )
+
+    members = membership.join(
+        entities.select("entity_id", "entity_type", "description"), "entity_id"
+    )
+
+    nodes_packed = members.groupBy("community_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("entity_id", "entity_type", "description"))
+        ).alias("nodes")
+    )
+    rels_packed = intra.groupBy("community_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("subj", "pred", "obj", "description"))
+        ).alias("rels")
+    )
+
+    packed = (
+        weight.join(nodes_packed, "community_id", "left")
+        .join(rels_packed, "community_id", "left")
+        .join(rank, "community_id", "left")
+    )
+
+    summary_schema = (
+        "community_id string, level int, community_rank long, weight long, "
+        "summary string, full_content string"
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in pdf.itertuples(index=False):
+            raw_nodes = row.nodes if row.nodes is not None else []
+            raw_rels = row.rels if row.rels is not None else []
+            nodes = [
+                {
+                    "id": n["entity_id"],
+                    "type": n["entity_type"],
+                    "description": n["description"],
+                }
+                for n in raw_nodes
+            ]
+            rels = [
+                {
+                    "start": r["subj"],
+                    "end": r["obj"],
+                    "type": r["pred"],
+                    "description": r["description"],
+                }
+                for r in raw_rels
+            ]
+            out.append(
+                (
+                    row.community_id,
+                    row.level,
+                    row.community_rank if row.community_rank is not None else 0,
+                    row.weight,
+                    stub_summarize(row.community_id, nodes, rels),
+                    prepare_string(nodes, rels),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "community_id",
+                "level",
+                "community_rank",
+                "weight",
+                "summary",
+                "full_content",
+            ],
+        )
+
+    return (
+        packed.groupBy("community_id")
+        .applyInPandas(lambda pdf: summarize(pdf), schema=summary_schema)
+        .withColumn("summary_created_at", F.current_timestamp())
+    )

@@ -1,0 +1,192 @@
+"""Entity catalog, embeddings and the similarity join (SURVEY.md J3/J4,
+G1).
+
+Reference behavior reproduced:
+  - entity catalog: distinct entity ids, FIRST description wins in
+    (conv_id, position) chunk order (graph_writer.py:57-69 node cache
+    + Neo4j MERGE);
+  - embeddings over id + ' ' + description
+    (graph/indexing/entity_indexer.py:53-56,149-253) — here the
+    deterministic stub, in prod a batched model client in the same
+    pandas_udf slot;
+  - KNN: per-entity top-10 neighbors by cosine, similarityCutoff 0.9
+    (similar_entity.py:162-180, config/settings.py:38). Two physical
+    strategies:
+      * exact — blocked cross join; O(n²), used under a size
+        threshold and as the correctness baseline;
+      * LSH — random-hyperplane signatures banded into buckets;
+        candidates only within matching (band, bucket), then EXACT
+        cosine re-rank + cutoff (SURVEY.md §4.5: LSH blocks, exact
+        re-rank keeps correctness where it matters). This is the
+        100 TB path: candidate generation is an equi-join on the
+        band key instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core.linkage import SIMILARITY_CUTOFF, SIMILARITY_TOP_K
+from ..core.stub_embed import DIM, embed_entity
+
+LSH_BANDS = 8
+LSH_ROWS = 4  # bits per band
+
+
+def entity_catalog(entities_raw: DataFrame, chunks: DataFrame) -> DataFrame:
+    """entities_raw + chunks → one row per entity_id, first-seen
+    (conv_id, position, chunk_id) description/type winning."""
+    with_pos = entities_raw.join(
+        chunks.select("chunk_id", "conv_id", "position").dropDuplicates(
+            ["chunk_id", "conv_id"]
+        ),
+        ["chunk_id", "conv_id"],
+    )
+    w = Window.partitionBy("entity_id").orderBy("conv_id", "position", "chunk_id")
+    return (
+        with_pos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("entity_id", "entity_type", "description")
+    )
+
+
+def with_embeddings(catalog: DataFrame) -> DataFrame:
+    """Adds embedding array<double> via an Arrow-batched pandas UDF."""
+
+    @F.pandas_udf("array<double>")
+    def embed_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for entity_id, description in it:
+            yield pd.Series(
+                [embed_entity(e, d) for e, d in zip(entity_id, description)]
+            )
+
+    return catalog.withColumn("embedding", embed_udf("entity_id", "description"))
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(F.col(b), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when((norm_a == 0) | (norm_b == 0), F.lit(0.0)).otherwise(
+        dot / (norm_a * norm_b)
+    )
+
+
+def _topk_filter(pairs: DataFrame, top_k: int, cutoff: float) -> DataFrame:
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        pairs.where(F.col("score") >= cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select("src", "dst", "score")
+    )
+
+
+def similar_entities_exact(
+    embedded: DataFrame,
+    top_k: int = SIMILARITY_TOP_K,
+    cutoff: float = SIMILARITY_CUTOFF,
+) -> DataFrame:
+    """Exact KNN via self cross join — correctness baseline."""
+    a = embedded.select(
+        F.col("entity_id").alias("src"), F.col("embedding").alias("emb_a")
+    )
+    b = embedded.select(
+        F.col("entity_id").alias("dst"), F.col("embedding").alias("emb_b")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("src") != F.col("dst"))
+        .withColumn("score", _cosine_expr("emb_a", "emb_b"))
+    )
+    return _topk_filter(pairs, top_k, cutoff)
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.RandomState(42)  # fixed: signatures must be stable
+    return rng.normal(size=(n_planes, dim))
+
+
+def _signature_udf(dim: int, bands: int, rows: int):
+    planes = _hyperplanes(dim, bands * rows)
+
+    @F.pandas_udf("array<long>")
+    def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for emb in it:
+            mat = np.stack(emb.to_numpy())  # (n, dim)
+            bits = (mat @ planes.T) >= 0  # (n, bands*rows)
+            out = []
+            for row_bits in bits:
+                hashes = []
+                for b in range(bands):
+                    chunk = row_bits[b * rows : (b + 1) * rows]
+                    h = 0
+                    for bit in chunk:
+                        h = (h << 1) | int(bit)
+                    hashes.append((b << 32) | h)
+                out.append(hashes)
+            yield pd.Series(out)
+
+    return sig
+
+
+def similar_entities_lsh(
+    embedded: DataFrame,
+    top_k: int = SIMILARITY_TOP_K,
+    cutoff: float = SIMILARITY_CUTOFF,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    dim: int = DIM,
+) -> DataFrame:
+    """Banded random-hyperplane LSH candidates + exact cosine re-rank."""
+    sig = _signature_udf(dim, bands, rows)
+    signed = embedded.select("entity_id", "embedding").withColumn(
+        "band_hash", F.explode(sig("embedding"))
+    )
+    a = signed.select(
+        F.col("entity_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        "band_hash",
+    )
+    b = signed.select(
+        F.col("entity_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        "band_hash",
+    )
+    pairs = (
+        a.join(b, "band_hash")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", "emb_a", "emb_b")
+        .dropDuplicates(["src", "dst"])
+        .withColumn("score", _cosine_expr("emb_a", "emb_b"))
+    )
+    return _topk_filter(pairs, top_k, cutoff)
+
+
+def similar_entities(
+    embedded: DataFrame,
+    method: str = "auto",
+    exact_threshold: int = 20_000,
+    **kwargs,
+) -> DataFrame:
+    if method == "exact":
+        return similar_entities_exact(embedded, **kwargs)
+    if method == "lsh":
+        return similar_entities_lsh(embedded, **kwargs)
+    n = embedded.count()
+    if n <= exact_threshold:
+        return similar_entities_exact(embedded, **kwargs)
+    return similar_entities_lsh(embedded, **kwargs)

@@ -1,0 +1,287 @@
+"""End-to-end KG build plan with per-partition checkpoints, lineage
+and resume.
+
+Mirrors the reference's three-stage lifecycle
+(/root/reference/build/main.py:19-45 → build_graph.py,
+build_index_and_community.py, build_chunk_index.py; SURVEY.md §3.1) as
+one Spark job graph:
+
+    transcripts → chunks → extractions → parse → raw tables →
+    entity catalog + embeddings → SIMILAR → WCC → candidates →
+    merge → canonical map → triples/mentions → communities →
+    summaries → registry
+
+Durability model (north rule: "resumable from per-partition
+checkpoints with lineage + extraction metrics written per
+partition"):
+  - every stage materializes to ``<warehouse>/<table>`` parquet and is
+    skipped on resume when its _SUCCESS marker exists (the Iceberg
+    equivalent is a snapshot check — parquet layout here because the
+    sandbox has no Iceberg jars; the table API is format-agnostic);
+  - the expensive stage (extraction — the LLM boundary) additionally
+    checkpoints per hash-bucket: chunks are split into B buckets by
+    pmod(hash(chunk_id), B); each bucket's extractions are appended to
+    the extraction cache as they finish, with a lineage row
+    (stage='extract', partition_id=bucket, rows, timing). A killed run
+    resumes by skipping completed buckets AND anti-joining the cache,
+    mirroring the reference's pickle cache + file registry
+    (entity_extractor.py:77-143, file_change_manager.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..operators.canonicalize import (
+    candidate_groups,
+    canonical_entities,
+    canonical_map,
+    merge_groups,
+    rewrite_mentions,
+    rewrite_triples,
+)
+from ..operators.chunking import chunk_conversations
+from ..operators.community import community_catalog, detect_communities
+from ..operators.components import connected_components, consecutive_component_ids
+from ..operators.extraction import extract_chunks
+from ..operators.linking import entity_catalog, similar_entities, with_embeddings
+from ..operators.parsing import (
+    entities_raw,
+    mentions_raw,
+    parse_extractions,
+    triples_raw,
+)
+from ..sources.transcripts import conversation_registry
+
+
+@dataclass
+class BuildConfig:
+    warehouse: str
+    resume: bool = True
+    extraction_buckets: int = 8
+    similarity_method: str = "auto"
+    max_levels: int = 3
+    extractor: object = None  # None → deterministic stub
+    fail_after_bucket: int | None = None  # test hook: simulate a crash
+
+
+@dataclass
+class BuildResult:
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    metrics: dict[str, float] = field(default_factory=dict)
+
+
+class _Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> DataFrame:
+        df.write.mode(mode).parquet(self.path(name))
+        return self.read(name)
+
+    def append_lineage(self, stage: str, partition_id: int, rows: int, t0: float):
+        lineage = self.spark.createDataFrame(
+            [(stage, partition_id, rows, None, t0, time.time())],
+            "stage string, partition_id int, rows long, bytes long, "
+            "started_s double, finished_s double",
+        ).select(
+            "stage",
+            "partition_id",
+            "rows",
+            "bytes",
+            F.timestamp_seconds("started_s").alias("started_at"),
+            F.timestamp_seconds("finished_s").alias("finished_at"),
+        )
+        lineage.write.mode("append").parquet(self.path("lineage"))
+
+    def completed_partitions(self, stage: str) -> set[int]:
+        if not os.path.exists(self.path("lineage")):
+            return set()
+        try:
+            rows = (
+                self.read("lineage")
+                .where(F.col("stage") == stage)
+                .select("partition_id")
+                .distinct()
+                .collect()
+            )
+        except Exception:
+            return set()
+        return {r["partition_id"] for r in rows}
+
+
+def _stage(wh: _Warehouse, name: str, resume: bool, compute) -> DataFrame:
+    """Materialize-or-reuse one stage; lineage row on compute."""
+    if resume and wh.exists(name):
+        return wh.read(name)
+    t0 = time.time()
+    df = wh.write(compute(), name)
+    wh.append_lineage(name, -1, df.count(), t0)
+    return df
+
+
+def _extraction_stage(
+    wh: _Warehouse, chunks: DataFrame, cfg: BuildConfig
+) -> DataFrame:
+    """Bucketed, resumable extraction (see module docstring)."""
+    name = "extractions"
+    if cfg.resume and wh.exists(name):
+        return wh.read(name)
+
+    cache_path = wh.path("extraction_cache")
+    done = wh.completed_partitions("extract") if cfg.resume else set()
+    cache = None
+    if os.path.exists(cache_path):
+        try:
+            cache = wh.read("extraction_cache")
+        except Exception:
+            cache = None
+
+    bucketed = chunks.withColumn(
+        "bucket", F.pmod(F.hash("chunk_id"), F.lit(cfg.extraction_buckets))
+    )
+    kwargs = {} if cfg.extractor is None else {"extractor": cfg.extractor}
+    for b in range(cfg.extraction_buckets):
+        if b in done:
+            continue
+        t0 = time.time()
+        part = extract_chunks(
+            bucketed.where(F.col("bucket") == b), cache=cache, **kwargs
+        )
+        part.select("chunk_id", "result").dropDuplicates(["chunk_id"]).write.mode(
+            "append"
+        ).parquet(cache_path)
+        n = wh.spark.read.parquet(cache_path).count()
+        wh.append_lineage("extract", b, n, t0)
+        cache = wh.read("extraction_cache")
+        if cfg.fail_after_bucket is not None and b >= cfg.fail_after_bucket:
+            raise RuntimeError(f"simulated failure after bucket {b}")
+
+    # final assembly: every chunk joined to its cached result
+    final = chunks.select("chunk_id", "conv_id").join(
+        wh.read("extraction_cache").dropDuplicates(["chunk_id"]), "chunk_id"
+    ).select("chunk_id", "conv_id", "result")
+    return wh.write(final, name)
+
+
+def build_all(
+    spark: SparkSession, transcripts: DataFrame, cfg: BuildConfig
+) -> BuildResult:
+    wh = _Warehouse(spark, cfg.warehouse)
+    os.makedirs(cfg.warehouse, exist_ok=True)
+    res = BuildResult()
+    t_start = time.time()
+
+    transcripts = _stage(wh, "transcripts", cfg.resume, lambda: transcripts)
+    res.tables["transcripts"] = transcripts
+
+    registry = _stage(
+        wh, "registry", cfg.resume, lambda: conversation_registry(transcripts)
+    )
+    res.tables["registry"] = registry
+
+    chunks = _stage(wh, "chunks", cfg.resume, lambda: chunk_conversations(transcripts))
+    res.tables["chunks"] = chunks
+
+    extractions = _extraction_stage(wh, chunks, cfg)
+    res.tables["extractions"] = extractions
+
+    parsed = _stage(
+        wh, "parsed", cfg.resume, lambda: parse_extractions(extractions)
+    )
+    e_raw = _stage(wh, "entities_raw", cfg.resume, lambda: entities_raw(parsed))
+    t_raw = _stage(wh, "triples_raw", cfg.resume, lambda: triples_raw(parsed))
+    m_raw = _stage(wh, "mentions_raw", cfg.resume, lambda: mentions_raw(parsed))
+    res.tables.update(entities_raw=e_raw, triples_raw=t_raw, mentions_raw=m_raw)
+
+    embedded = _stage(
+        wh,
+        "entity_embeddings",
+        cfg.resume,
+        lambda: with_embeddings(entity_catalog(e_raw, chunks)),
+    )
+
+    similar = _stage(
+        wh,
+        "similar",
+        cfg.resume,
+        lambda: similar_entities(embedded, method=cfg.similarity_method),
+    )
+    res.tables["similar"] = similar
+
+    def _wcc():
+        comp = connected_components(
+            similar.select("src", "dst"),
+            nodes=embedded.select("entity_id"),
+        )
+        return consecutive_component_ids(comp).select(
+            F.col("node").alias("entity_id"), "wcc"
+        )
+
+    wcc = _stage(wh, "wcc", cfg.resume, _wcc)
+
+    def _canonical_map():
+        groups = candidate_groups(wcc)
+        merged = merge_groups(groups)
+        return canonical_map(merged)
+
+    cmap = _stage(wh, "canonical_map", cfg.resume, _canonical_map)
+    res.tables["canonical_map"] = cmap
+
+    triples = _stage(wh, "triples", cfg.resume, lambda: rewrite_triples(t_raw, cmap))
+    mentions = _stage(
+        wh, "mentions", cfg.resume, lambda: rewrite_mentions(m_raw, cmap)
+    )
+    res.tables.update(triples=triples, mentions=mentions)
+
+    def _entities():
+        catalog_wcc = embedded.join(wcc, "entity_id", "left")
+        return canonical_entities(catalog_wcc, cmap).select(
+            "entity_id", "entity_type", "description", "embedding", "wcc"
+        )
+
+    entities = _stage(wh, "entities", cfg.resume, _entities)
+    res.tables["entities"] = entities
+
+    def _membership_hierarchy():
+        membership, hierarchy = detect_communities(
+            entities, triples, max_levels=cfg.max_levels
+        )
+        return membership, hierarchy
+
+    if cfg.resume and wh.exists("membership") and wh.exists("hierarchy"):
+        membership, hierarchy = wh.read("membership"), wh.read("hierarchy")
+    else:
+        t0 = time.time()
+        membership, hierarchy = _membership_hierarchy()
+        membership = wh.write(membership, "membership")
+        hierarchy = wh.write(hierarchy, "hierarchy")
+        wh.append_lineage("membership", -1, membership.count(), t0)
+    res.tables.update(membership=membership, hierarchy=hierarchy)
+
+    communities = _stage(
+        wh,
+        "communities",
+        cfg.resume,
+        lambda: community_catalog(membership, entities, triples, mentions),
+    )
+    res.tables["communities"] = communities
+
+    res.metrics["build_seconds"] = time.time() - t_start
+    return res

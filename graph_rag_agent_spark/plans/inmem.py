@@ -1,0 +1,82 @@
+"""Warehouse-free pipeline composition (for entry()/bench/demos).
+
+Same operator graph as plans/build.py without the checkpoint writes —
+used where the driver just wants the resulting DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.canonicalize import (
+    candidate_groups,
+    canonical_entities,
+    canonical_map,
+    merge_groups,
+    rewrite_mentions,
+    rewrite_triples,
+)
+from ..operators.chunking import chunk_conversations
+from ..operators.community import community_catalog, detect_communities
+from ..operators.components import connected_components, consecutive_component_ids
+from ..operators.extraction import extract_chunks
+from ..operators.linking import entity_catalog, similar_entities, with_embeddings
+from ..operators.parsing import (
+    entities_raw,
+    mentions_raw,
+    parse_extractions,
+    triples_raw,
+)
+
+
+def build_kg_tables(
+    transcripts: DataFrame,
+    similarity_method: str = "auto",
+    with_communities: bool = False,
+    max_levels: int = 3,
+) -> dict[str, DataFrame]:
+    chunks = chunk_conversations(transcripts).localCheckpoint()
+    parsed = parse_extractions(extract_chunks(chunks)).localCheckpoint()
+    e_raw = entities_raw(parsed)
+    t_raw = triples_raw(parsed)
+    m_raw = mentions_raw(parsed)
+
+    embedded = with_embeddings(entity_catalog(e_raw, chunks)).localCheckpoint()
+    similar = similar_entities(embedded, method=similarity_method).localCheckpoint()
+    wcc = consecutive_component_ids(
+        connected_components(
+            similar.select("src", "dst"), nodes=embedded.select("entity_id")
+        )
+    ).select(F.col("node").alias("entity_id"), "wcc")
+    cmap = canonical_map(merge_groups(candidate_groups(wcc))).localCheckpoint()
+
+    triples = rewrite_triples(t_raw, cmap)
+    mentions = rewrite_mentions(m_raw, cmap)
+    entities = canonical_entities(embedded.join(wcc, "entity_id", "left"), cmap).select(
+        "entity_id", "entity_type", "description", "embedding", "wcc"
+    )
+
+    tables = {
+        "chunks": chunks,
+        "entities_raw": e_raw,
+        "triples_raw": t_raw,
+        "mentions_raw": m_raw,
+        "similar": similar,
+        "canonical_map": cmap,
+        "triples": triples,
+        "mentions": mentions,
+        "entities": entities,
+    }
+    if with_communities:
+        triples = triples.localCheckpoint()
+        entities = entities.localCheckpoint()
+        membership, hierarchy = detect_communities(
+            entities, triples, max_levels=max_levels
+        )
+        tables["membership"] = membership
+        tables["hierarchy"] = hierarchy
+        tables["communities"] = community_catalog(
+            membership, entities, triples, mentions
+        )
+    return tables

@@ -116,7 +116,8 @@ ENTITIES = StructType(
         StructField("entity_id", StringType(), False),
         StructField("entity_type", StringType(), False),
         StructField("description", StringType(), True),
-        StructField("embedding", ArrayType(FloatType()), True),
+        # Neo4j LIST<FLOAT> is 64-bit, so double is the faithful type
+        StructField("embedding", ArrayType(DoubleType()), True),
         StructField("wcc", LongType(), True),
         StructField("canonical_id", StringType(), True),
     ]

@@ -61,7 +61,9 @@ def synthesize_transcripts(
     return plan.mapInPandas(gen, schema=schemas.TRANSCRIPTS)
 
 
-def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transcripts_from_documents(
+    spark: SparkSession, sf_dir: str, plant_mentions: bool = False
+) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → transcripts.
 
     Deterministic: conv_id = 'doc-<doc_id>'; turns = non-empty
@@ -69,9 +71,13 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     user/assistant; ts = epoch + turn_idx minutes. Entirely JVM-side
     (split/posexplode), so it also serves as the oracle-SQL-checkable
     turn derivation (see __spark_entry__).
+
+    ``plant_mentions`` appends a hash-chosen vocabulary sentence to
+    each turn (the driver's documents are entity-free word soup; the
+    flagship KG query needs real mentions to extract).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
+    base = (
         docs.select(
             F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
             F.posexplode(F.split(F.col("text"), r"[。.!?]")).alias("pos", "turn_text"),
@@ -88,6 +94,26 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit("2025-01-01 00:00:00").cast("timestamp") + F.make_interval(mins=F.col("pos")))
             .alias("ts"),
         )
+    )
+    if not plant_mentions:
+        return base
+
+    from ..core.vocab import ALL_ALIASES
+
+    aliases = F.array(*[F.lit(a) for a in ALL_ALIASES])
+    n = len(ALL_ALIASES)
+    idx_a = F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n)) + 1
+    idx_b = F.pmod(F.hash("conv_id", "turn_idx", F.lit(7)), F.lit(n)) + 1
+    return base.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" "),
+            F.element_at(aliases, idx_a),
+            F.lit("与"),
+            F.element_at(aliases, idx_b),
+            F.lit("有合作关系。"),
+        ),
     )
 
 

@@ -1,0 +1,126 @@
+"""Linking stage vs oracle: embeddings, similarity join (exact + LSH),
+WCC, lev<3 candidates, merge + canonical map (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_rag_agent_spark.core import linkage as L
+from graph_rag_agent_spark.core.stub_embed import cosine, embed_entity
+from graph_rag_agent_spark.operators.canonicalize import (
+    candidate_groups,
+    canonical_map,
+    merge_groups,
+)
+from graph_rag_agent_spark.operators.chunking import chunk_conversations
+from graph_rag_agent_spark.operators.components import (
+    connected_components,
+    consecutive_component_ids,
+)
+from graph_rag_agent_spark.operators.extraction import extract_chunks
+from graph_rag_agent_spark.operators.linking import (
+    entity_catalog,
+    similar_entities_exact,
+    similar_entities_lsh,
+    with_embeddings,
+)
+from graph_rag_agent_spark.operators.parsing import entities_raw, parse_extractions
+
+
+@pytest.fixture(scope="module")
+def embedded_df(transcripts_df):
+    chunks = chunk_conversations(transcripts_df)
+    parsed = parse_extractions(extract_chunks(chunks))
+    catalog = entity_catalog(entities_raw(parsed), chunks)
+    return with_embeddings(catalog).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle_embeddings(oracle_small):
+    firsts = {}
+    for e in oracle_small.entities_raw:
+        firsts.setdefault(e["entity_id"], e["description"])
+    return {eid: embed_entity(eid, desc) for eid, desc in firsts.items()}
+
+
+def test_embeddings_match_oracle(embedded_df, oracle_embeddings):
+    got = {r["entity_id"]: r["embedding"] for r in embedded_df.collect()}
+    assert set(got) == set(oracle_embeddings)
+    for eid, vec in got.items():
+        want = oracle_embeddings[eid]
+        assert max(abs(a - b) for a, b in zip(vec, want)) < 1e-12
+
+
+def test_exact_similarity_matches_oracle(embedded_df, oracle_embeddings, oracle_small):
+    got = {
+        (r["src"], r["dst"]): r["score"]
+        for r in similar_entities_exact(embedded_df).collect()
+    }
+    want = {(s["src"], s["dst"]): s["score"] for s in oracle_small.similar}
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_lsh_recall_against_exact(embedded_df, oracle_small):
+    got = {(r["src"], r["dst"]) for r in similar_entities_lsh(embedded_df).collect()}
+    want = {(s["src"], s["dst"]) for s in oracle_small.similar}
+    # banded hyperplane LSH at cosine≥0.9 (angle ≤ 26°) must recover
+    # nearly everything; require ≥0.9 recall and full precision on
+    # the cutoff (all returned pairs are exact-re-ranked)
+    assert len(got & want) / len(want) >= 0.9
+    assert got <= want or all(p in want for p in got)
+
+
+def test_canonical_map_matches_oracle(embedded_df, oracle_small, spark):
+    similar = similar_entities_exact(embedded_df)
+    comp = connected_components(
+        similar.select("src", "dst"), nodes=embedded_df.select("entity_id")
+    )
+    wcc = consecutive_component_ids(comp).select(
+        F.col("node").alias("entity_id"), "wcc"
+    )
+    groups = candidate_groups(wcc)
+    merged = merge_groups(groups)
+    cmap = {
+        r["entity_id"]: r["canonical_id"] for r in canonical_map(merged).collect()
+    }
+    assert cmap == oracle_small.canonical_map
+
+
+def test_wcc_ids_match_oracle(embedded_df, oracle_small, spark):
+    similar = similar_entities_exact(embedded_df)
+    comp = connected_components(
+        similar.select("src", "dst"), nodes=embedded_df.select("entity_id")
+    )
+    got = {
+        r["node"]: r["wcc"] for r in consecutive_component_ids(comp).collect()
+    }
+    first = {}
+    for e in oracle_small.entities_raw:
+        first.setdefault(e["entity_id"], e)
+    want = L.wcc_ids(
+        sorted(first), [(s["src"], s["dst"]) for s in oracle_small.similar]
+    )
+    assert got == want
+
+
+def test_levenshtein_gate_negative():
+    # "Sony Inc" vs "Sony": lev=4 → never merged (reference
+    # similar_entity.py:324,352 would not either)
+    assert L.levenshtein("sony inc", "sony") >= 3
+    groups = L.duplicate_candidate_groups(
+        ["Sony", "Sony Inc", "sony"], {"Sony": 0, "Sony Inc": 0, "sony": 0}
+    )
+    assert ["Sony", "sony"] in groups
+    assert all("Sony Inc" not in g for g in groups)
+
+
+def test_cluster_embedding_regime():
+    # intra-cluster cosine ≥ 0.9, cross-cluster < 0.9
+    sony = embed_entity("Sony", "Sony is a Organization")
+    sony2 = embed_entity("sony", "sony is a Organization")
+    acme = embed_entity("Acme Corp", "Acme Corp is a Organization")
+    assert cosine(sony, sony2) >= 0.9
+    assert cosine(sony, acme) < 0.9
