@@ -28,43 +28,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graph_rag_agent_spark.operators.canonicalize import (
-        candidate_groups,
-        canonical_map,
-        merge_groups,
-        rewrite_triples,
-    )
-    from graph_rag_agent_spark.operators.chunking import chunk_conversations
-    from graph_rag_agent_spark.operators.components import (
-        connected_components,
-        consecutive_component_ids,
-    )
-    from graph_rag_agent_spark.operators.extraction import extract_chunks
-    from graph_rag_agent_spark.operators.linking import (
-        entity_catalog,
-        similar_entities,
-        with_embeddings,
-    )
-    from graph_rag_agent_spark.operators.parsing import (
-        entities_raw,
-        parse_extractions,
-        triples_raw,
-    )
+    from graph_rag_agent_spark.plans.inmem import build_kg_tables
     from graph_rag_agent_spark.sources.transcripts import transcripts_from_documents
 
     transcripts = transcripts_from_documents(spark, sf_dir, plant_mentions=True)
-    chunks = chunk_conversations(transcripts)
-    parsed = parse_extractions(extract_chunks(chunks))
-    e_raw, t_raw = entities_raw(parsed), triples_raw(parsed)
-    embedded = with_embeddings(entity_catalog(e_raw, chunks))
-    similar = similar_entities(embedded, method="auto")
-    wcc = consecutive_component_ids(
-        connected_components(
-            similar.select("src", "dst"), nodes=embedded.select("entity_id")
-        )
-    ).select(F.col("node").alias("entity_id"), "wcc")
-    cmap = canonical_map(merge_groups(candidate_groups(wcc)))
-    return rewrite_triples(t_raw, cmap).select(
+    tables = build_kg_tables(transcripts, similarity_method="auto")
+    return tables["triples"].select(
         "subj", "pred", "obj", "description", "weight", "chunk_id"
     )
 
@@ -270,6 +239,68 @@ def _q_connected_components(spark, sf_dir):
     return connected_components(edges).select("node", "component")
 
 
+def _q_quality_scores(spark, sf_dir):
+    # text analysis: integer heuristic quality score
+    from graph_rag_agent_spark.functions.textstats import quality_score_x100
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score_x100("text").alias("quality_x100")
+    )
+
+
+def _q_char_jaccard_pairs(spark, sf_dir):
+    # n-gram (1-gram char-set) Jaccard between consecutive same-lang
+    # docs — oracle: DuckDB's jaccard()
+    from graph_rag_agent_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 25 < 2)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", "lang")
+
+
+def _q_ann_topk(spark, sf_dir):
+    # brute-force cosine top-3 per vector (J3 baseline / similarity
+    # search) — oracle: DuckDB list_cosine_similarity
+    from graph_rag_agent_spark.operators.knn import ann_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_bruteforce(emb, k=3)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    # rows-only: MinHash-LSH near-dup candidates over documents
+    from graph_rag_agent_spark.operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    # rows-only: SimHash near-dups over documents
+    from graph_rag_agent_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=6)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    # rows-only: IVF approximate ANN (scale path of _q_ann_topk)
+    from graph_rag_agent_spark.operators.knn import ann_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf(emb, k=3, n_cells=8, nprobe=2)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    # rows-only: binary-column feature plumbing (stubbed decode)
+    from graph_rag_agent_spark.operators.multimodal import (
+        extract_features,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, 200)
+    return extract_features(assets, mode="stub").where(F.col("decode_status") == "ok")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_derivation": _q_turns_derivation,
@@ -287,6 +318,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "exact_dedup": _q_exact_dedup,
         "connected_components": _q_connected_components,
+        "quality_scores": _q_quality_scores,
+        "char_jaccard_pairs": _q_char_jaccard_pairs,
+        "ann_topk": _q_ann_topk,
+        "minhash_pairs": _q_minhash_pairs,  # rows-only (blake2 hashes)
+        "simhash_pairs": _q_simhash_pairs,  # rows-only
+        "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design)
+        "multimodal_features": _q_multimodal_features,  # rows-only
         "kg_triples": _kg_triples,  # rows-only (stub-extraction based)
     }
 
@@ -404,6 +442,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(r) AS component FROM reach GROUP BY node
         """,
-        # kg_triples: no oracle — stub-extraction pipeline, rows-only;
-        # its real oracle is the pytest P/R gate.
+        "quality_scores": """
+            SELECT doc_id,
+                   CAST(
+                     least(CAST(floor(length(text) / 10) AS INTEGER), 40)
+                   + CASE WHEN length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) > 0
+                          THEN 20 ELSE 0 END
+                   + CASE WHEN upper(text) <> text THEN 20 ELSE 0 END
+                   + least(CAST(floor(
+                       length(string_split_regex(trim(text), '\\s+')) / 5) AS INTEGER), 20)
+                   AS INTEGER) AS quality_x100
+            FROM documents
+        """,
+        "char_jaccard_pairs": """
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   round(jaccard(a.text, b.text), 6) AS char_jaccard
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 25 < 2 AND b.doc_id % 25 < 2
+        """,
+        "ann_topk": """
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) DESC,
+                               b.vec_id ASC) AS rank
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ) WHERE rank <= 3
+        """,
+        # kg_triples / minhash_pairs / simhash_pairs / ann_ivf /
+        # multimodal_features: no oracle — UDF-hash/approximate/stub
+        # based; their oracles are the pytest suites.
     }

@@ -30,9 +30,19 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core.linkage import WORD_EDIT_DISTANCE
+from ..core.linkage import (
+    WORD_EDIT_DISTANCE,
+    duplicate_candidate_groups,
+    resolve_canonical_map,
+)
 from ..core.stub_judge import judge_group
 from .components import connected_components
+
+# Same rationale as components.DRIVER_THRESHOLD: the post-extraction
+# entity catalog is tiny next to the corpus; below this count the
+# candidates→judge→union→survivor chain runs the identical core spec
+# driver-side instead of ~8 actions of shuffle latency.
+DRIVER_THRESHOLD = 100_000
 
 
 def duplicate_candidate_edges(
@@ -110,6 +120,27 @@ def canonical_map(merged: DataFrame) -> DataFrame:
         .select("merge_root", F.col("entity_id").alias("canonical_id"))
     )
     return merged.join(survivors, "merge_root").select("entity_id", "canonical_id")
+
+
+def resolve_canonical(
+    entities_with_wcc: DataFrame, driver_threshold: int = DRIVER_THRESHOLD
+) -> DataFrame:
+    """(entity_id, wcc) → (entity_id, canonical_id) for merged members.
+
+    Routes small catalogs through the pure-Python core spec (collect +
+    resolve + createDataFrame); large catalogs through the distributed
+    candidate_groups → merge_groups → canonical_map chain. Both paths
+    are tested equal."""
+    if entities_with_wcc.count() <= driver_threshold:
+        rows = entities_with_wcc.select("entity_id", "wcc").collect()
+        wcc = {r["entity_id"]: r["wcc"] for r in rows}
+        groups = duplicate_candidate_groups(sorted(wcc), wcc)
+        mapping = resolve_canonical_map(groups)
+        spark = entities_with_wcc.sparkSession
+        return spark.createDataFrame(
+            list(mapping.items()) or [], "entity_id string, canonical_id string"
+        )
+    return canonical_map(merge_groups(candidate_groups(entities_with_wcc)))
 
 
 def _canonize(df: DataFrame, col: str, cmap: DataFrame) -> DataFrame:

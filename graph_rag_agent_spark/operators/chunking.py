@@ -1,14 +1,26 @@
 """Per-conversation chunking operator.
 
-Spark shape: groupBy(conv_id).applyInPandas — each group receives its
-turns, sorts by turn_idx (the stable-ordering invariant), joins them
-into the conversation text and runs the transcribed chunker
-(core/textchunk.py; reference processor/text_chunker.py:185-266).
+Two-phase Spark shape (skew-proof):
 
-Everything that the reference computes per-chunk imperatively in
+  1. **Segment planning** — groupBy(conv_id).applyInPandas: sort turns
+     by turn_idx (the stable-ordering invariant), join them into the
+     conversation text and split it into chunking segments exactly as
+     the reference does (core/textchunk.preprocess_large_text —
+     paragraph pre-split of >500k-char texts, reference
+     processor/text_chunker.py:43-102). A ≤500k-char conversation is
+     one segment. This phase is a cheap linear string scan; the
+     mega-conversation costs one memcpy-grade task.
+  2. **Segment chunking** — repartition segments by hash and
+     mapInPandas the transcribed window chunker
+     (core/textchunk.chunk_segment_spans; reference :211-266) over
+     each segment independently. Chunk windows never cross segment
+     boundaries in the reference either, so this parallelization is
+     semantics-preserving — a 10%-of-corpus mega-conversation becomes
+     ~28 independent 250k-char tasks instead of one straggler.
+
+Everything the reference computes per-chunk imperatively in
 struct_builder (/root/reference/graph/structure/struct_builder.py:
-80-127) is done JVM-side afterwards with window functions (SURVEY.md
-§2 W1-W3):
+80-127) is done JVM-side with window functions (SURVEY.md §2 W1-W3):
   - chunk_id   = sha1(text)         → F.sha1(F.encode(...)) (F1, bit-
                  identical to graph/core/utils.py:24-34)
   - position   = row_number per conv (W3; :83)
@@ -17,68 +29,102 @@ struct_builder (/root/reference/graph/structure/struct_builder.py:
   - previous_chunk_id = lag(chunk_id), first chunk points at itself
                  (W1; :84) — the NEXT_CHUNK chain as a column
   - first_chunk = position == 1     → the FIRST_CHUNK edge (:90)
-
-Scale note (100 TB): the group key is conv_id, so a mega-conversation
-lands in one task — but chunking is a single linear pass over its
-text; the expensive downstream work (extraction) is redistributed by
-chunk hash immediately after (see operators/extraction.py). Oversized
-conversations (>500k chars) are pre-split into segments inside the
-chunker (textchunk.preprocess_large_text), exactly like the reference,
-bounding per-window memory.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core.textchunk import chunk_text, conversation_text
+from ..core.textchunk import (
+    CHUNK_SIZE,
+    MAX_TEXT_LENGTH,
+    chunk_segment_spans,
+    conversation_text,
+    preprocess_large_text,
+    tokenize,
+)
 
-_BASE_SCHEMA = (
-    "conv_id string, seg_id int, chunk_index int, text string, "
+_SEGMENT_SCHEMA = "conv_id string, seg_id int, seg_text string"
+
+_CHUNK_SCHEMA = (
+    "conv_id string, seg_id int, seg_chunk_index int, text string, "
     "tokens int, token_start int, token_end int"
 )
 
 
-def _chunk_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _plan_segments(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("turn_idx")
     conv_id = pdf["conv_id"].iloc[0]
     text = conversation_text(pdf["text"].tolist())
-    rows = []
-    for i, ch in enumerate(chunk_text(text)):
-        rows.append(
-            {
-                "conv_id": conv_id,
-                "seg_id": ch["seg_id"],
-                "chunk_index": i,
-                "text": ch["text"],
-                "tokens": ch["tokens"],
-                "token_start": ch["token_start"],
-                "token_end": ch["token_end"],
-            }
-        )
+    if not text:
+        return pd.DataFrame(columns=["conv_id", "seg_id", "seg_text"])
+    if len(text) < CHUNK_SIZE / 10:
+        # reference short-text path (text_chunker.py:195-198): a single
+        # chunk == a single whole-text segment here
+        segments = [text]
+    else:
+        segments = preprocess_large_text(text, MAX_TEXT_LENGTH)
     return pd.DataFrame(
-        rows,
-        columns=[
-            "conv_id",
-            "seg_id",
-            "chunk_index",
-            "text",
-            "tokens",
-            "token_start",
-            "token_end",
-        ],
+        {
+            "conv_id": conv_id,
+            "seg_id": range(len(segments)),
+            "seg_text": segments,
+        }
     )
+
+
+def _chunk_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for conv_id, seg_id, seg_text in zip(
+            pdf["conv_id"], pdf["seg_id"], pdf["seg_text"]
+        ):
+            tokens = tokenize(seg_text)
+            for i, (start, end) in enumerate(chunk_segment_spans(tokens)):
+                rows.append(
+                    (
+                        conv_id,
+                        seg_id,
+                        i,
+                        "".join(tokens[start:end]),
+                        end - start,
+                        start,
+                        end,
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id",
+                "seg_id",
+                "seg_chunk_index",
+                "text",
+                "tokens",
+                "token_start",
+                "token_end",
+            ],
+        )
 
 
 def chunk_conversations(transcripts: DataFrame) -> DataFrame:
     """transcripts → chunks table (schemas.CHUNKS)."""
-    base = transcripts.select("conv_id", "turn_idx", "text").groupBy("conv_id").applyInPandas(
-        _chunk_group, schema=_BASE_SCHEMA
+    spark = transcripts.sparkSession
+    partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    segments = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandas(_plan_segments, schema=_SEGMENT_SCHEMA)
+    )
+    base = segments.repartition(partitions, "conv_id", "seg_id").mapInPandas(
+        _chunk_segments, schema=_CHUNK_SCHEMA
     )
 
-    w = Window.partitionBy("conv_id").orderBy("chunk_index")
+    w = Window.partitionBy("conv_id").orderBy("seg_id", "seg_chunk_index")
     offset_w = w.rowsBetween(Window.unboundedPreceding, -1)
 
     return (

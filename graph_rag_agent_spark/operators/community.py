@@ -20,8 +20,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core.lpa import MAX_LEVELS, MAX_SWEEPS
+from ..core.lpa import MAX_LEVELS, MAX_SWEEPS, communities_array, detect_hierarchy
 from ..core.stub_summary import prepare_string, stub_summarize
+
+# Same rationale as operators/components.DRIVER_THRESHOLD: tiny
+# contracted graphs run the identical core spec driver-side instead of
+# paying O(levels × sweeps) shuffle-job latency.
+DRIVER_THRESHOLD = 100_000
 
 
 def projection_edges(triples: DataFrame) -> DataFrame:
@@ -98,7 +103,10 @@ def lpa_level(nodes: DataFrame, edges: DataFrame, max_sweeps: int = MAX_SWEEPS) 
 
 
 def detect_communities(
-    entities: DataFrame, triples: DataFrame, max_levels: int = MAX_LEVELS
+    entities: DataFrame,
+    triples: DataFrame,
+    max_levels: int = MAX_LEVELS,
+    driver_threshold: int = DRIVER_THRESHOLD,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (membership(entity_id, community_id, level, number),
          hierarchy(child_community, parent_community)).
@@ -108,6 +116,26 @@ def detect_communities(
     spark = entities.sparkSession
     nodes = entities.select(F.col("entity_id").alias("node")).distinct()
     edges = projection_edges(triples)
+
+    if nodes.count() <= driver_threshold:
+        node_list = [r["node"] for r in nodes.collect()]
+        edge_list = [(r["a"], r["b"], r["w"]) for r in edges.collect()]
+        levels = detect_hierarchy(node_list, edge_list, max_levels=max_levels)
+        m_rows, h_rows = [], set()
+        for n in node_list:
+            arr = communities_array(levels, n)
+            for level, num in enumerate(arr):
+                m_rows.append((n, f"{level}-{num}", level))
+            for level in range(1, len(arr)):
+                h_rows.add((f"{level - 1}-{arr[level - 1]}", f"{level}-{arr[level]}"))
+        membership = spark.createDataFrame(
+            m_rows, "entity_id string, community_id string, level int"
+        )
+        hierarchy = spark.createDataFrame(
+            sorted(h_rows) or [],
+            "child_community string, parent_community string",
+        )
+        return membership, hierarchy
 
     # node → supernode of current level (starts as itself)
     assignment = nodes.withColumn("super", F.col("node"))

@@ -25,7 +25,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..core.linkage import connected_components as _py_cc
+
 MAX_ITERATIONS = 50
+
+# Below this node count the component graph fits trivially in the
+# driver; running the union-find there (same spec, tested equal)
+# avoids ~3 shuffles × O(rounds) of fixed job latency. The canonical
+# entity graph after extraction is typically tiny relative to the
+# corpus; at 100 TB the distributed loop below is the default path.
+DRIVER_THRESHOLD = 100_000
 
 
 def connected_components(
@@ -34,6 +43,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = MAX_ITERATIONS,
+    driver_threshold: int = DRIVER_THRESHOLD,
 ) -> DataFrame:
     """edges(src, dst) [+ optional nodes(node)] → (node, component)
     where component = min node id (string order) in the component."""
@@ -50,6 +60,16 @@ def connected_components(
         ).distinct()
     else:
         all_nodes = endpoint_nodes
+
+    n_nodes = all_nodes.count()
+    if n_nodes <= driver_threshold:
+        node_list = [r["node"] for r in all_nodes.collect()]
+        edge_list = [(r["a"], r["b"]) for r in e.collect()]
+        comp = _py_cc(node_list, edge_list)
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            list(comp.items()), "node string, component string"
+        )
 
     labels = all_nodes.withColumn("label", F.col("node")).localCheckpoint()
     e = e.localCheckpoint()

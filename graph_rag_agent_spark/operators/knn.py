@@ -1,0 +1,188 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(training-pipeline extension; exercised on the driver ``embeddings``
+table: vec_id bigint, embedding array<float>, label int).
+
+Three strategies:
+  - brute-force top-k: blocked cross join + exact cosine — the
+    correctness baseline, O(n²) but fully JVM-side (zip_with/
+    aggregate inside whole-stage codegen);
+  - LSH: random-hyperplane band buckets → candidate equi-join → exact
+    cosine re-rank (same family as linking/similar_entities_lsh);
+  - IVF: k-means-lite coarse quantizer — deterministic seeded
+    centroid init + a few Lloyd iterations driver-side on a sample,
+    then assignment is one broadcast-joined JVM expression; probes =
+    nprobe nearest centroids per query → candidates only within
+    probed cells. The 100 TB path: cells partition the corpus, so
+    per-query work is |corpus| * nprobe / ncells.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def _to_double(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias(f"{prefix}_vec"),
+    )
+
+
+def ann_bruteforce(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5
+) -> DataFrame:
+    """(query_id, neighbor_id, rank) — exact top-k per vector by
+    (cosine desc, neighbor_id asc)."""
+    a = _to_double(df, id_col, vec_col, "query")
+    b = _to_double(df, id_col, vec_col, "neighbor")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", _cosine_expr("query_vec", "neighbor_vec"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    return np.random.RandomState(7).normal(size=(n_planes, dim))
+
+
+def ann_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bands: int = 12,
+    rows: int = 3,
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded hyperplane LSH candidates + exact re-rank."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bands * rows)
+
+    @F.pandas_udf("array<long>")
+    def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for emb in it:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+            bits = (mat @ planes.T) >= 0
+            out = []
+            for rb in bits:
+                hashes = []
+                for bd in range(bands):
+                    chunk = rb[bd * rows : (bd + 1) * rows]
+                    h = 0
+                    for bit in chunk:
+                        h = (h << 1) | int(bit)
+                    hashes.append((bd << 32) | h)
+                out.append(hashes)
+            yield pd.Series(out)
+
+    base = _to_double(df, id_col, vec_col, "v").withColumn(
+        "band", F.explode(sig("v_vec"))
+    )
+    a = base.select(F.col("v_id").alias("query_id"), F.col("v_vec").alias("query_vec"), "band")
+    b = base.select(
+        F.col("v_id").alias("neighbor_id"), F.col("v_vec").alias("neighbor_vec"), "band"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        a.join(b, "band")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", _cosine_expr("query_vec", "neighbor_vec"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iterations: int = 5,
+    sample: int = 10_000,
+) -> np.ndarray:
+    """Deterministic k-means-lite coarse quantizer: seeded sample,
+    first-n init, a few Lloyd iterations driver-side. The corpus
+    assignment stays distributed."""
+    vecs = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(vec_col).orderBy(F.md5(F.col(vec_col).cast("string"))).limit(sample).collect()
+        ]
+    )
+    centroids = vecs[:n_cells].copy()
+    for _ in range(iterations):
+        d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = vecs[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ann_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF: assign every vector to its nearest centroid cell; each
+    query probes its nprobe nearest cells; exact cosine within."""
+    centroids = train_ivf_centroids(df, vec_col, n_cells)
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for emb in it:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+            d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1)[:, :nprobe]
+            yield pd.Series([row.tolist() for row in order])
+
+    base = _to_double(df, id_col, vec_col, "v").withColumn(
+        "cells", probe_cells("v_vec")
+    )
+    data_side = base.select(
+        F.col("v_id").alias("neighbor_id"),
+        F.col("v_vec").alias("neighbor_vec"),
+        F.element_at("cells", 1).alias("cell"),  # stored in nearest cell only
+    )
+    query_side = base.select(
+        F.col("v_id").alias("query_id"),
+        F.col("v_vec").alias("query_vec"),
+        F.explode("cells").alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        query_side.join(data_side, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", _cosine_expr("query_vec", "neighbor_vec"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

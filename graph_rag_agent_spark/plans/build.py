@@ -39,10 +39,8 @@ from pyspark.sql import functions as F
 
 from .. import schemas
 from ..operators.canonicalize import (
-    candidate_groups,
     canonical_entities,
-    canonical_map,
-    merge_groups,
+    resolve_canonical,
     rewrite_mentions,
     rewrite_triples,
 )
@@ -236,12 +234,7 @@ def build_all(
 
     wcc = _stage(wh, "wcc", cfg.resume, _wcc)
 
-    def _canonical_map():
-        groups = candidate_groups(wcc)
-        merged = merge_groups(groups)
-        return canonical_map(merged)
-
-    cmap = _stage(wh, "canonical_map", cfg.resume, _canonical_map)
+    cmap = _stage(wh, "canonical_map", cfg.resume, lambda: resolve_canonical(wcc))
     res.tables["canonical_map"] = cmap
 
     triples = _stage(wh, "triples", cfg.resume, lambda: rewrite_triples(t_raw, cmap))

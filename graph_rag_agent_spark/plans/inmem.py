@@ -10,10 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.canonicalize import (
-    candidate_groups,
     canonical_entities,
-    canonical_map,
-    merge_groups,
+    resolve_canonical,
     rewrite_mentions,
     rewrite_triples,
 )
@@ -49,7 +47,8 @@ def build_kg_tables(
             similar.select("src", "dst"), nodes=embedded.select("entity_id")
         )
     ).select(F.col("node").alias("entity_id"), "wcc")
-    cmap = canonical_map(merge_groups(candidate_groups(wcc))).localCheckpoint()
+    wcc = wcc.localCheckpoint()
+    cmap = resolve_canonical(wcc).localCheckpoint()
 
     triples = rewrite_triples(t_raw, cmap)
     mentions = rewrite_mentions(m_raw, cmap)

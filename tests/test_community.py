@@ -67,14 +67,18 @@ def test_isolated_nodes_are_singletons(spark):
     assert got["lone1"] == "lone1" and got["lone2"] == "lone2"
 
 
-def test_detect_communities_schema_and_hierarchy(spark):
+@pytest.mark.parametrize("driver_threshold", [0, 10**6])
+def test_detect_communities_schema_and_hierarchy(spark, driver_threshold):
+    # 0 → distributed LPA loop; 10**6 → driver-side core fast path
     nodes, edges = TWO_CLUSTERS
     entities = spark.createDataFrame([(n,) for n in nodes], "entity_id string")
     triples = spark.createDataFrame(
         [(a, "R", b) for a, b, w in edges for _ in range(int(w))],
         "subj string, pred string, obj string",
     )
-    membership, hierarchy = detect_communities(entities, triples)
+    membership, hierarchy = detect_communities(
+        entities, triples, driver_threshold=driver_threshold
+    )
     m = membership.collect()
     # ids follow "{level}-{n}" (leiden.py:107,126-128)
     assert all(

@@ -12,16 +12,29 @@ from graph_rag_agent_spark.operators.components import (
 )
 
 
-def _run(spark, nodes, edges):
+def _run(spark, nodes, edges, driver_threshold=0):
+    # driver_threshold=0 forces the DISTRIBUTED min-label loop; the
+    # driver-side fast path is the py_cc spec itself (tested by
+    # test_driver_fast_path_equivalent)
     e = spark.createDataFrame(edges or [("__none__", "__none__")], "src string, dst string")
     n = spark.createDataFrame([(x,) for x in nodes], "node string")
     got = {
         r["node"]: r["component"]
-        for r in connected_components(e, nodes=n).collect()
+        for r in connected_components(
+            e, nodes=n, driver_threshold=driver_threshold
+        ).collect()
         if r["node"] != "__none__"
     }
     want = py_cc(nodes, edges)
     return got, want
+
+
+def test_driver_fast_path_equivalent(spark):
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    nodes = ["a", "b", "c", "x", "y", "solo"]
+    fast, want = _run(spark, nodes, edges, driver_threshold=10**6)
+    dist, _ = _run(spark, nodes, edges, driver_threshold=0)
+    assert fast == dist == want
 
 
 def test_chain_transitive(spark):

@@ -1,0 +1,111 @@
+"""Dedup tiers (exact / MinHash / SimHash / char-Jaccard) and ANN
+(brute / LSH / IVF) on deterministic fixtures + driver testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_rag_agent_spark.operators import dedup, knn
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away "
+    # many DISTINCT tokens → a one-token diff flips only ~2 SimHash
+    # bits (each token carries 1/n of the signature weight)
+    other = " ".join(f"tok{i}" for i in range(500))
+    rows = [
+        (1, base * 8),
+        (2, base * 8),  # exact duplicate of 1
+        (3, base * 8 + "with a tiny suffix change"),  # near-dup of 1
+        (4, other + " rules"),
+        (5, "另一个完全不同的中文文档，内容关于知识图谱构建。"),
+        (6, other + " rule"),  # one-token diff of 4 → hamming ≈ 2
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+def test_exact_duplicate_groups(docs):
+    groups = {
+        r["keeper_id"]: (r["n_docs"], r["doc_ids"])
+        for r in dedup.exact_duplicate_groups(docs, "doc_id", "text").collect()
+    }
+    assert groups[1] == (2, [1, 2])
+    assert groups[4][0] == 1
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup found
+    assert all(not (a in (4, 5) and b in (4, 5)) for a, b in pairs)
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(docs, "doc_id", "text").collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (4, 6) in pairs  # one-word-suffix diff → tiny hamming
+    assert not any(5 in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "night"), (2, "en", "nacht"), (3, "zh", "中文")],
+        "doc_id bigint, lang string, text string",
+    )
+    rows = {
+        (r["a_id"], r["b_id"]): r["char_jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", "lang").collect()
+    }
+    # matches duckdb jaccard('night','nacht') = 3/7
+    assert rows[(1, 2)] == round(3 / 7, 6)
+    assert (1, 3) not in rows  # different block
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_ann_bruteforce_topk(embeddings):
+    res = knn.ann_bruteforce(embeddings, k=3)
+    got = res.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in got)
+    assert res.where(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_ann_lsh_recall(embeddings):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.ann_bruteforce(embeddings, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.ann_lsh(embeddings, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # banded LSH on random vectors
+
+
+def test_ann_ivf_recall(embeddings):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.ann_bruteforce(embeddings, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.ann_ivf(embeddings, k=3, n_cells=8, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall

@@ -1,0 +1,116 @@
+"""Incremental update cycle (S9/J9 semantics) + streaming ingest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_rag_agent_spark import schemas
+from graph_rag_agent_spark.core.gen import generate_transcripts
+from graph_rag_agent_spark.oracle import oracle_build
+from graph_rag_agent_spark.plans.build import BuildConfig, build_all
+from graph_rag_agent_spark.plans.incremental import (
+    cascade_delete_entities,
+    detect_changes,
+    incremental_update,
+)
+from graph_rag_agent_spark.sources.transcripts import conversation_registry
+
+
+def test_detect_changes(spark, transcripts_df):
+    reg = conversation_registry(transcripts_df).cache()
+    # modify conv-000001 (drop a turn), delete conv-000002, add conv-X
+    modified = transcripts_df.where(
+        ~((F.col("conv_id") == "conv-000001") & (F.col("turn_idx") == 0))
+    ).where(F.col("conv_id") != "conv-000002")
+    extra = spark.createDataFrame(
+        [("conv-X", 0, "user", "hi", None, None)], schema=schemas.TRANSCRIPTS
+    )
+    new_reg = conversation_registry(modified.unionByName(extra))
+    ch = detect_changes(new_reg, reg)
+    assert {r["conv_id"] for r in ch["added"].collect()} == {"conv-X"}
+    assert {r["conv_id"] for r in ch["modified"].collect()} == {"conv-000001"}
+    assert {r["conv_id"] for r in ch["deleted"].collect()} == {"conv-000002"}
+
+
+def test_cascade_delete_reference_counting(spark):
+    mentions = spark.createDataFrame(
+        [
+            ("c1", "convA", "OnlyA"),
+            ("c2", "convA", "Shared"),
+            ("c3", "convB", "Shared"),
+            ("c4", "convB", "OnlyB"),
+        ],
+        "chunk_id string, conv_id string, entity_id string",
+    )
+    dropped = spark.createDataFrame([("convA",)], "conv_id string")
+    got = {r["entity_id"] for r in cascade_delete_entities(mentions, dropped).collect()}
+    assert got == {"OnlyA"}  # Shared survives via convB
+
+    protected = spark.createDataFrame([("OnlyA",)], "entity_id string")
+    got2 = {
+        r["entity_id"]
+        for r in cascade_delete_entities(mentions, dropped, protected).collect()
+    }
+    assert got2 == set()  # manual_first conflict policy
+
+
+def test_incremental_update_matches_full_rebuild(
+    spark, transcripts_df, tmp_path_factory
+):
+    """Build v1, then apply changes incrementally; final triples must
+    equal a from-scratch oracle build of the v2 corpus."""
+    wh = str(tmp_path_factory.mktemp("wh_incr"))
+    build_all(
+        spark,
+        transcripts_df,
+        BuildConfig(warehouse=wh, similarity_method="exact", extraction_buckets=2),
+    )
+
+    # v2 corpus: drop conv-000003 entirely, truncate conv-000001
+    v2_rows = [
+        r
+        for r in generate_transcripts(12)
+        if r["conv_id"] != "conv-000003"
+        and not (r["conv_id"] == "conv-000001" and r["turn_idx"] >= 5)
+    ]
+    v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+    tables = incremental_update(
+        spark,
+        v2_df,
+        wh,
+        cfg=BuildConfig(
+            warehouse=wh, resume=False, similarity_method="exact", extraction_buckets=2
+        ),
+    )
+
+    want = oracle_build(v2_rows).triple_set()
+    got = {(r["subj"], r["pred"], r["obj"]) for r in tables["triples"].collect()}
+    assert got == want
+    deleted = {r["conv_id"] for r in tables["changes_deleted"].collect()}
+    modified = {r["conv_id"] for r in tables["changes_modified"].collect()}
+    assert deleted == {"conv-000003"} and modified == {"conv-000001"}
+
+
+def test_streaming_ingest_dedups_replays(spark, tmp_path_factory):
+    from graph_rag_agent_spark.streaming.ingest import (
+        read_transcript_stream,
+        start_ingest,
+    )
+
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+
+    rows = generate_transcripts(3)
+    df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+    df.write.mode("append").parquet(src)
+    # replay the same rows (duplicate files) — watermark dedup drops them
+    df.write.mode("append").parquet(src)
+
+    q = start_ingest(read_transcript_stream(spark, src), out, ckpt)
+    q.awaitTermination(120)
+
+    written = spark.read.parquet(out)
+    assert written.count() == len(rows)
+    assert written.dropDuplicates(["conv_id", "turn_idx"]).count() == len(rows)

@@ -89,6 +89,27 @@ def test_canonical_map_matches_oracle(embedded_df, oracle_small, spark):
     assert cmap == oracle_small.canonical_map
 
 
+def test_resolve_canonical_paths_equal(embedded_df, oracle_small, spark):
+    from graph_rag_agent_spark.operators.canonicalize import resolve_canonical
+
+    similar = similar_entities_exact(embedded_df)
+    comp = connected_components(
+        similar.select("src", "dst"), nodes=embedded_df.select("entity_id")
+    )
+    wcc = consecutive_component_ids(comp).select(
+        F.col("node").alias("entity_id"), "wcc"
+    ).localCheckpoint()
+    fast = {
+        r["entity_id"]: r["canonical_id"]
+        for r in resolve_canonical(wcc, driver_threshold=10**6).collect()
+    }
+    dist = {
+        r["entity_id"]: r["canonical_id"]
+        for r in resolve_canonical(wcc, driver_threshold=0).collect()
+    }
+    assert fast == dist == oracle_small.canonical_map
+
+
 def test_wcc_ids_match_oracle(embedded_df, oracle_small, spark):
     similar = similar_entities_exact(embedded_df)
     comp = connected_components(
