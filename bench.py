@@ -58,7 +58,10 @@ def main() -> None:
 
     def kg_build():
         tables = build_kg_tables(
-            transcripts, similarity_method="auto", with_communities=True
+            transcripts,
+            similarity_method="auto",
+            with_communities=True,
+            with_signatures=True,
         )
         return (
             tables["triples"].count(),

@@ -22,7 +22,11 @@ from __future__ import annotations
 import re
 
 from .hashing import stable_int
-from .records import format_entity_record, format_relationship_record
+from .records import (
+    BATCH_SEPARATOR,
+    format_entity_record,
+    format_relationship_record,
+)
 from .vocab import ALIAS_TO_TYPE, ALL_ALIASES, RELATIONSHIP_TYPES
 
 _ALIAS_RE = re.compile("|".join(re.escape(a) for a in ALL_ALIASES))
@@ -60,3 +64,18 @@ def stub_extract(chunk_text: str) -> str:
         )
 
     return "\n".join(records) + "\n\n"  # completion delimiter
+
+
+def stub_extract_batch(batch_text: str) -> str:
+    """Batch-mode extractor stub: the reference joins ≤5 chunk texts
+    with BATCH_SEPARATOR into ONE LLM call and splits the response on
+    the same separator (entity_extractor.py:220-332). This stub
+    simulates a mostly-well-behaved model — per-section results joined
+    back with the separator — but deterministically drops a section
+    for ~1/7 of batches, reproducing the "result count mismatch →
+    fall back to per-chunk calls" path (:286-300)."""
+    parts = batch_text.split(BATCH_SEPARATOR)
+    results = [stub_extract(p) for p in parts]
+    if len(parts) > 1 and stable_int("batchfail", batch_text) % 7 == 0:
+        results = results[:-1]  # simulated miscounted response
+    return BATCH_SEPARATOR.join(results)

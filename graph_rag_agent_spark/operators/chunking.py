@@ -40,15 +40,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..core.textchunk import (
-    CHUNK_SIZE,
     MAX_TEXT_LENGTH,
     chunk_segment_spans,
-    conversation_text,
     preprocess_large_text,
     tokenize,
 )
 
 _SEGMENT_SCHEMA = "conv_id string, seg_id int, seg_text string"
+
+_CONV_SCHEMA = "conv_id string, conv_text string"
 
 _CHUNK_SCHEMA = (
     "conv_id string, seg_id int, seg_chunk_index int, text string, "
@@ -56,25 +56,15 @@ _CHUNK_SCHEMA = (
 )
 
 
-def _plan_segments(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("turn_idx")
-    conv_id = pdf["conv_id"].iloc[0]
-    text = conversation_text(pdf["text"].tolist())
-    if not text:
-        return pd.DataFrame(columns=["conv_id", "seg_id", "seg_text"])
-    if len(text) < CHUNK_SIZE / 10:
-        # reference short-text path (text_chunker.py:195-198): a single
-        # chunk == a single whole-text segment here
-        segments = [text]
-    else:
-        segments = preprocess_large_text(text, MAX_TEXT_LENGTH)
-    return pd.DataFrame(
-        {
-            "conv_id": conv_id,
-            "seg_id": range(len(segments)),
-            "seg_text": segments,
-        }
-    )
+def _plan_oversized(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Paragraph pre-split for >MAX_TEXT_LENGTH conversations only
+    (rare) — one input row per conversation, already assembled."""
+    for pdf in batches:
+        rows = []
+        for conv_id, text in zip(pdf["conv_id"], pdf["conv_text"]):
+            for seg_id, seg in enumerate(preprocess_large_text(text, MAX_TEXT_LENGTH)):
+                rows.append((conv_id, seg_id, seg))
+        yield pd.DataFrame(rows, columns=["conv_id", "seg_id", "seg_text"])
 
 
 def _chunk_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -115,11 +105,28 @@ def chunk_conversations(transcripts: DataFrame) -> DataFrame:
     spark = transcripts.sparkSession
     partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    segments = (
-        transcripts.select("conv_id", "turn_idx", "text")
-        .groupBy("conv_id")
-        .applyInPandas(_plan_segments, schema=_SEGMENT_SCHEMA)
+    # conversation assembly is pure string work → JVM-side:
+    # sort turns by turn_idx (array_sort on struct), null text → '',
+    # join with '\n\n' (== core.textchunk.conversation_text)
+    conv_text = F.concat_ws(
+        "\n\n",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+            lambda s: F.coalesce(s["text"], F.lit("")),
+        ),
     )
+    convs = transcripts.groupBy("conv_id").agg(conv_text.alias("conv_text"))
+
+    normal = convs.where(
+        (F.length("conv_text") > 0) & (F.length("conv_text") <= MAX_TEXT_LENGTH)
+    ).select("conv_id", F.lit(0).alias("seg_id"), F.col("conv_text").alias("seg_text"))
+    oversized = (
+        convs.where(F.length("conv_text") > MAX_TEXT_LENGTH)
+        .select("conv_id", "conv_text")
+        .mapInPandas(_plan_oversized, schema=_SEGMENT_SCHEMA)
+    )
+    segments = normal.unionByName(oversized)
+
     base = segments.repartition(partitions, "conv_id", "seg_id").mapInPandas(
         _chunk_segments, schema=_CHUNK_SCHEMA
     )

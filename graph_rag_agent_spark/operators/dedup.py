@@ -75,11 +75,17 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 def minhash_signature(text: str, k: int = 5) -> np.ndarray:
-    """_N_PERM minima of universal hashes over the shingle set."""
+    """_N_PERM minima of universal hashes over the shingle set.
+
+    Computed one permutation at a time: the full (n_shingles × n_perm)
+    matrix is ~1 MB per document, which saturates memory bandwidth
+    when 32 Arrow workers run concurrently; the per-permutation
+    temporary stays L2-resident and scales with cores."""
     sh = _shingle_hashes(text, k)
-    # (n_shingles, n_perm) would be large; compute per permutation
-    vals = (sh[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
-    return vals.min(axis=0)
+    out = np.empty(_N_PERM, dtype=np.int64)
+    for i in range(_N_PERM):
+        out[i] = ((sh * _A[i] + _B[i]) % _MERSENNE).min()
+    return out
 
 
 def minhash_candidates(
@@ -152,6 +158,56 @@ def minhash_near_duplicates(
         paired.withColumn("jaccard", jaccard("a_txt", "b_txt"))
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
+    )
+
+
+def chunk_signature_columns(
+    df: DataFrame,
+    text_col: str = "text",
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Adds dedup/quality signature columns to a chunk/document table:
+    minhash_bands array<long>, simhash long (one Arrow pass), plus
+    JVM-side lang/quality/token columns. At 100 TB these are
+    materialized with the chunks so dedup and quality filtering are
+    joins, not recomputation."""
+    from ..functions.textstats import lang_id, quality_score_x100, token_count
+
+    rows = _N_PERM // bands
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_minhash, out_simhash = [], []
+            for t in pdf[text_col]:
+                sig = minhash_signature(t or "", shingle_k)
+                bh = []
+                for b in range(bands):
+                    chunk = sig[b * rows : (b + 1) * rows]
+                    h = b
+                    for v in chunk:
+                        h = (h * 1000003 ^ int(v)) & 0x7FFFFFFFFFFFFFFF
+                    bh.append(h)
+                out_minhash.append(bh)
+                out_simhash.append(simhash64(t or ""))
+            pdf = pdf.copy()
+            pdf["minhash_bands"] = out_minhash
+            pdf["simhash"] = pd.Series(out_simhash, dtype="int64")
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema += ", minhash_bands array<long>, simhash long"
+    # AQE coalesces upstream shuffles by BYTES; this stage is CPU-bound
+    # Python, so spread it across all cores explicitly
+    partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.repartition(partitions)
+        .mapInPandas(sigs, schema=schema)
+        .withColumn("pred_lang", lang_id(text_col))
+        .withColumn("quality_x100", quality_score_x100(text_col))
+        .withColumn("n_tokens_ws", token_count(text_col))
     )
 
 

@@ -26,9 +26,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.stub_extract import stub_extract
+from ..core.records import BATCH_SEPARATOR, split_batch_response
+from ..core.stub_extract import stub_extract, stub_extract_batch
 
 EXTRACT_SCHEMA = "chunk_id string, result string"
+
+LLM_BATCH_SIZE = 5  # reference config/settings.py:76
 
 
 def extract_chunks(
@@ -36,11 +39,20 @@ def extract_chunks(
     extractor: Callable[[str], str] = stub_extract,
     cache: DataFrame | None = None,
     partitions: int | None = None,
+    batched: bool = False,
+    batch_extractor: Callable[[str], str] = stub_extract_batch,
+    batch_size: int = LLM_BATCH_SIZE,
 ) -> DataFrame:
     """chunks → extractions(chunk_id, conv_id, result).
 
     ``cache`` is a DataFrame(chunk_id, result) of previous extractions
     (e.g. the extractions table of an earlier run / checkpoint).
+
+    ``batched=True`` reproduces the reference's LLM batch mode
+    (entity_extractor.py:220-332): pack up to ``batch_size`` chunk
+    texts into one call joined by BATCH_SEPARATOR, split the response
+    on the same separator, and fall back to per-chunk calls when the
+    response section count mismatches.
     """
     spark = chunks.sparkSession
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -59,12 +71,20 @@ def extract_chunks(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "chunk_id": pdf["chunk_id"],
-                    "result": [extractor(t) for t in pdf["text"]],
-                }
-            )
+            if not batched:
+                results = [extractor(t) for t in pdf["text"]]
+            else:
+                texts = list(pdf["text"])
+                results = []
+                for i in range(0, len(texts), batch_size):
+                    group = texts[i : i + batch_size]
+                    response = batch_extractor(BATCH_SEPARATOR.join(group))
+                    sections = split_batch_response(response)
+                    if len(sections) != len(group):
+                        # entity_extractor.py:286-300 fallback ladder
+                        sections = [extractor(t) for t in group]
+                    results.extend(sections)
+            yield pd.DataFrame({"chunk_id": pdf["chunk_id"], "result": results})
 
     extracted = (
         misses.repartition(partitions, "chunk_id")  # even spread, skew-proof

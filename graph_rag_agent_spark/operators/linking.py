@@ -176,6 +176,67 @@ def similar_entities_lsh(
     return _topk_filter(pairs, top_k, cutoff)
 
 
+def link_entities_driver_path(
+    catalog: DataFrame, threshold: int = 50_000
+) -> dict[str, DataFrame] | None:
+    """Whole linking stage (embed → KNN → WCC → candidates → judge →
+    canonical map) computed driver-side when the entity catalog is
+    small — one collect in, four createDataFrames out, zero shuffle
+    jobs. Runs the same core spec as the oracle
+    (core/stub_embed + core/linkage), so results are identical to the
+    distributed chain (tested). Returns None when the catalog exceeds
+    ``threshold`` — callers then use the distributed operators.
+
+    Rationale: the canonical entity catalog is typically orders of
+    magnitude smaller than the corpus (vocabulary-bound); spending
+    ~15 shuffle jobs of fixed latency on a few thousand rows is the
+    wrong physical plan at ANY cluster size.
+    """
+    from ..core.linkage import (
+        duplicate_candidate_groups,
+        knn_pairs,
+        resolve_canonical_map,
+        wcc_ids,
+    )
+
+    rows = catalog.limit(threshold + 1).collect()
+    if len(rows) > threshold:
+        return None
+    spark = catalog.sparkSession
+    info = {r["entity_id"]: r for r in rows}
+    embeddings = {
+        eid: embed_entity(eid, r["description"]) for eid, r in info.items()
+    }
+    similar = knn_pairs(embeddings)
+    wcc = wcc_ids(sorted(info), [(s, d) for s, d, _ in similar])
+    groups = duplicate_candidate_groups(sorted(info), wcc)
+    cmap = resolve_canonical_map(groups)
+
+    embedded_df = spark.createDataFrame(
+        [
+            (eid, r["entity_type"], r["description"], embeddings[eid])
+            for eid, r in info.items()
+        ],
+        "entity_id string, entity_type string, description string, "
+        "embedding array<double>",
+    )
+    similar_df = spark.createDataFrame(
+        similar or [], "src string, dst string, score double"
+    )
+    wcc_df = spark.createDataFrame(
+        list(wcc.items()) or [], "entity_id string, wcc long"
+    )
+    cmap_df = spark.createDataFrame(
+        list(cmap.items()) or [], "entity_id string, canonical_id string"
+    )
+    return {
+        "embedded": embedded_df,
+        "similar": similar_df,
+        "wcc": wcc_df,
+        "canonical_map": cmap_df,
+    }
+
+
 def similar_entities(
     embedded: DataFrame,
     method: str = "auto",

@@ -36,7 +36,14 @@ def parse_extractions(extractions: DataFrame) -> DataFrame:
 
     kind='node': a=entity_id, b=entity_type, c=description.
     kind='rel' : a=subj, b=obj, c=pred, d=description, weight.
+
+    Repartitions first: AQE sizes upstream shuffles by bytes, but this
+    stage is CPU-bound Python — spread it across all cores.
     """
+    partitions = int(
+        extractions.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    extractions = extractions.repartition(partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -48,7 +48,12 @@ from ..operators.chunking import chunk_conversations
 from ..operators.community import community_catalog, detect_communities
 from ..operators.components import connected_components, consecutive_component_ids
 from ..operators.extraction import extract_chunks
-from ..operators.linking import entity_catalog, similar_entities, with_embeddings
+from ..operators.linking import (
+    entity_catalog,
+    link_entities_driver_path,
+    similar_entities,
+    with_embeddings,
+)
 from ..operators.parsing import (
     entities_raw,
     mentions_raw,
@@ -208,22 +213,44 @@ def build_all(
     m_raw = _stage(wh, "mentions_raw", cfg.resume, lambda: mentions_raw(parsed))
     res.tables.update(entities_raw=e_raw, triples_raw=t_raw, mentions_raw=m_raw)
 
+    # linking: one driver-side pass when the catalog is small (same
+    # core spec as the distributed chain — see linking.py), else the
+    # distributed operators stage by stage
+    _linked_cache: list = []
+
+    def _linked():
+        if not _linked_cache:
+            _linked_cache.append(
+                link_entities_driver_path(entity_catalog(e_raw, chunks))
+            )
+        return _linked_cache[0]
+
     embedded = _stage(
         wh,
         "entity_embeddings",
         cfg.resume,
-        lambda: with_embeddings(entity_catalog(e_raw, chunks)),
+        lambda: (
+            _linked()["embedded"]
+            if _linked() is not None
+            else with_embeddings(entity_catalog(e_raw, chunks))
+        ),
     )
 
     similar = _stage(
         wh,
         "similar",
         cfg.resume,
-        lambda: similar_entities(embedded, method=cfg.similarity_method),
+        lambda: (
+            _linked()["similar"]
+            if _linked() is not None
+            else similar_entities(embedded, method=cfg.similarity_method)
+        ),
     )
     res.tables["similar"] = similar
 
     def _wcc():
+        if _linked() is not None:
+            return _linked()["wcc"]
         comp = connected_components(
             similar.select("src", "dst"),
             nodes=embedded.select("entity_id"),
@@ -234,7 +261,16 @@ def build_all(
 
     wcc = _stage(wh, "wcc", cfg.resume, _wcc)
 
-    cmap = _stage(wh, "canonical_map", cfg.resume, lambda: resolve_canonical(wcc))
+    cmap = _stage(
+        wh,
+        "canonical_map",
+        cfg.resume,
+        lambda: (
+            _linked()["canonical_map"]
+            if _linked() is not None
+            else resolve_canonical(wcc)
+        ),
+    )
     res.tables["canonical_map"] = cmap
 
     triples = _stage(wh, "triples", cfg.resume, lambda: rewrite_triples(t_raw, cmap))

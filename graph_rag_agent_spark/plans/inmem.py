@@ -19,7 +19,12 @@ from ..operators.chunking import chunk_conversations
 from ..operators.community import community_catalog, detect_communities
 from ..operators.components import connected_components, consecutive_component_ids
 from ..operators.extraction import extract_chunks
-from ..operators.linking import entity_catalog, similar_entities, with_embeddings
+from ..operators.linking import (
+    entity_catalog,
+    link_entities_driver_path,
+    similar_entities,
+    with_embeddings,
+)
 from ..operators.parsing import (
     entities_raw,
     mentions_raw,
@@ -32,23 +37,34 @@ def build_kg_tables(
     transcripts: DataFrame,
     similarity_method: str = "auto",
     with_communities: bool = False,
+    with_signatures: bool = False,
     max_levels: int = 3,
 ) -> dict[str, DataFrame]:
-    chunks = chunk_conversations(transcripts).localCheckpoint()
+    chunks = chunk_conversations(transcripts)
+    if with_signatures:
+        from ..operators.dedup import chunk_signature_columns
+
+        chunks = chunk_signature_columns(chunks)
+    chunks = chunks.localCheckpoint()
     parsed = parse_extractions(extract_chunks(chunks)).localCheckpoint()
     e_raw = entities_raw(parsed)
     t_raw = triples_raw(parsed)
     m_raw = mentions_raw(parsed)
 
-    embedded = with_embeddings(entity_catalog(e_raw, chunks)).localCheckpoint()
-    similar = similar_entities(embedded, method=similarity_method).localCheckpoint()
-    wcc = consecutive_component_ids(
-        connected_components(
-            similar.select("src", "dst"), nodes=embedded.select("entity_id")
-        )
-    ).select(F.col("node").alias("entity_id"), "wcc")
-    wcc = wcc.localCheckpoint()
-    cmap = resolve_canonical(wcc).localCheckpoint()
+    catalog = entity_catalog(e_raw, chunks)
+    linked = link_entities_driver_path(catalog)
+    if linked is not None:
+        embedded, similar = linked["embedded"], linked["similar"]
+        wcc, cmap = linked["wcc"], linked["canonical_map"]
+    else:
+        embedded = with_embeddings(catalog).localCheckpoint()
+        similar = similar_entities(embedded, method=similarity_method).localCheckpoint()
+        wcc = consecutive_component_ids(
+            connected_components(
+                similar.select("src", "dst"), nodes=embedded.select("entity_id")
+            )
+        ).select(F.col("node").alias("entity_id"), "wcc").localCheckpoint()
+        cmap = resolve_canonical(wcc).localCheckpoint()
 
     triples = rewrite_triples(t_raw, cmap)
     mentions = rewrite_mentions(m_raw, cmap)
