@@ -28,13 +28,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG-construction pipeline (chunk → stub-extract → parse →
+    link → canonicalize → triple dedup) over documents-derived
+    transcripts with planted vocabulary + pattern-entity mentions.
+
+    Output drops per-chunk provenance so the row set is a pure
+    function of the corpus — which the DuckDB oracle recomputes in
+    closed form (planting arithmetic + md5 rel hash + closed-form
+    canonical map)."""
     from graph_rag_agent_spark.plans.inmem import build_kg_tables
     from graph_rag_agent_spark.sources.transcripts import transcripts_from_documents
 
     transcripts = transcripts_from_documents(spark, sf_dir, plant_mentions=True)
     tables = build_kg_tables(transcripts, similarity_method="auto")
     return tables["triples"].select(
-        "subj", "pred", "obj", "description", "weight", "chunk_id"
+        "subj", "pred", "obj", "description", "weight"
     )
 
 
@@ -290,6 +298,60 @@ def _q_ann_ivf(spark, sf_dir):
     return ann_ivf(emb, k=3, n_cells=8, nprobe=2)
 
 
+def _q_entity_canonical_map(spark, sf_dir):
+    """The DISTRIBUTED linking chain end-to-end (SURVEY §2 J3/G1/G2/
+    J4/L4/SO1-2): pattern-entity catalog (id space ∝ corpus) → stub
+    embeddings (pandas UDF) → LSH band-bucket similarity join →
+    iterative distributed connected components → blocked lev<3 theta
+    join → judge (applyInPandas) → canonical survivor map.
+
+    Every driver fast path is disabled (threshold=0, asserted), so a
+    green row here proves the distributed operators themselves produce
+    the closed-form canonicalization the oracle computes.
+    """
+    from graph_rag_agent_spark.core.vocab import PATTERN_REGEX, PATTERN_TYPES
+    from graph_rag_agent_spark.operators.canonicalize import resolve_canonical
+    from graph_rag_agent_spark.operators.components import (
+        connected_components,
+        consecutive_component_ids,
+    )
+    from graph_rag_agent_spark.operators.linking import (
+        link_entities_driver_path,
+        similar_entities_lsh,
+        with_embeddings,
+    )
+    from graph_rag_agent_spark.sources.transcripts import transcripts_from_documents
+
+    transcripts = transcripts_from_documents(spark, sf_dir, plant_mentions=True)
+    forms = transcripts.select(
+        F.explode(
+            F.regexp_extract_all("text", F.lit(PATTERN_REGEX), 0)
+        ).alias("entity_id")
+    ).distinct()
+    etype = F.col("entity_id").substr(1, 3)
+    for prefix, tname in PATTERN_TYPES.items():
+        etype = F.when(F.col("entity_id").substr(1, 3) == prefix, F.lit(tname)).otherwise(etype)
+    catalog = forms.select(
+        "entity_id",
+        etype.alias("entity_type"),
+        F.concat("entity_id", F.lit(" is a "), etype).alias("description"),
+    )
+    assert link_entities_driver_path(catalog, threshold=0) is None  # distributed
+    embedded = with_embeddings(catalog).localCheckpoint()
+    similar = similar_entities_lsh(embedded)
+    wcc = consecutive_component_ids(
+        connected_components(
+            similar.select("src", "dst"),
+            nodes=embedded.select("entity_id"),
+            driver_threshold=0,
+        )
+    ).select(F.col("node").alias("entity_id"), "wcc")
+    cmap = resolve_canonical(wcc, driver_threshold=0)
+    return forms.join(cmap, "entity_id", "left").select(
+        "entity_id", F.coalesce("canonical_id", "entity_id").alias("canonical_id")
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     # rows-only: binary-column feature plumbing (stubbed decode)
     from graph_rag_agent_spark.operators.multimodal import (
@@ -321,12 +383,148 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "ann_topk": _q_ann_topk,
+        "entity_canonical_map": _q_entity_canonical_map,
         "minhash_pairs": _q_minhash_pairs,  # rows-only (blake2 hashes)
         "simhash_pairs": _q_simhash_pairs,  # rows-only
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design)
         "multimodal_features": _q_multimodal_features,  # rows-only
         "kg_triples": _kg_triples,  # rows-only (stub-extraction based)
     }
+
+
+def _kg_triples_oracle() -> str:
+    """ANSI-SQL (DuckDB) replica of the ENTIRE flagship pipeline.
+
+    Valid because (a) every driver document is a single sentence, so
+    each conversation is one ≤500-token chunk — mention pairing spans
+    the whole conversation; (b) planting indices are pure integer
+    arithmetic on (doc_id, pos); (c) the stub rel hash is
+    md5_number_lower-compatible (core/hashing.stable_u64); (d) the
+    canonical map is closed-form: variants of one id form a lev<3
+    clique inside one embedding cluster, so merge groups == alias
+    clusters (vocab) / normalization groups (pattern ids), survivor =
+    (length, lex)-min present member.
+    """
+    from graph_rag_agent_spark.core.vocab import (
+        ALIAS_TO_CANONICAL,
+        ALL_ALIASES,
+        RELATIONSHIP_TYPES,
+    )
+
+    n_alias = len(ALL_ALIASES)
+    alias_arr = "[" + ", ".join(f"'{a}'" for a in ALL_ALIASES) + "]"
+    alias_rows = ", ".join(
+        f"('{a}', '{c}')" for a, c in sorted(ALIAS_TO_CANONICAL.items())
+    )
+    rel_arr = "[" + ", ".join(f"'{r}'" for r in RELATIONSHIP_TYPES) + "]"
+    return f"""
+        WITH turns AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(o - 1 AS BIGINT) AS pos
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '[。.!?]')) AS t,
+                       generate_subscripts(regexp_split_to_array(text, '[。.!?]'), 1) AS o
+                FROM documents
+            ) WHERE length(trim(t)) > 0
+        ),
+        params AS (
+            SELECT greatest(16, least(100000, 2 * count(*))) AS id_space
+            FROM documents
+        ),
+        planted AS (
+            SELECT doc_id, pos,
+                   (doc_id*40503 + pos*8191 + 11) % {n_alias} AS va,
+                   (doc_id*69621 + pos*3571 + 29) % {n_alias} AS vb,
+                   (doc_id*48271 + pos*16807 + 7) % id_space AS pat_a,
+                   (doc_id*22695477 + pos*101 + 3) % 3 AS var_a,
+                   (doc_id*65539 + pos*131 + 5) % (id_space - 1) AS off_b,
+                   (doc_id*69069 + pos*89 + 1) % 3 AS var_b,
+                   id_space
+            FROM turns, params
+        ),
+        pat0 AS (
+            SELECT doc_id, pos,
+                   {alias_arr}[CAST(va AS INTEGER) + 1] AS m1,
+                   {alias_arr}[CAST(vb AS INTEGER) + 1] AS m2,
+                   pat_a, var_a,
+                   (pat_a + 1 + off_b) % id_space AS pat_b, var_b
+            FROM planted
+        ),
+        formed AS (
+            SELECT doc_id, pos, m1, m2,
+                   CASE var_a WHEN 0 THEN pa_p||'-'||pa_n
+                              WHEN 1 THEN pa_p||' '||pa_n
+                              ELSE pa_p||'-'||pa_n||'.' END AS m3,
+                   CASE var_b WHEN 0 THEN pb_p||'-'||pb_n
+                              WHEN 1 THEN pb_p||' '||pb_n
+                              ELSE pb_p||'-'||pb_n||'.' END AS m4
+            FROM (
+                SELECT doc_id, pos, m1, m2, var_a, var_b,
+                       ['EMP','PRJ','TKT'][CAST(pat_a % 3 AS INTEGER) + 1] AS pa_p,
+                       printf('%05d', pat_a) AS pa_n,
+                       ['EMP','PRJ','TKT'][CAST(pat_b % 3 AS INTEGER) + 1] AS pb_p,
+                       printf('%05d', pat_b) AS pb_n
+                FROM pat0
+            )
+        ),
+        mentions AS (
+            SELECT doc_id, pos*4 + 1 AS ord, m1 AS m FROM formed
+            UNION ALL SELECT doc_id, pos*4 + 2, m2 FROM formed
+            UNION ALL SELECT doc_id, pos*4 + 3, m3 FROM formed
+            UNION ALL SELECT doc_id, pos*4 + 4, m4 FROM formed
+        ),
+        dedup AS (
+            SELECT doc_id, m, min(ord) AS ord FROM mentions GROUP BY doc_id, m
+        ),
+        pairs AS (
+            SELECT doc_id, m AS a, m_next AS b FROM (
+                SELECT doc_id, m,
+                       lead(m) OVER (PARTITION BY doc_id ORDER BY ord) AS m_next
+                FROM dedup
+            ) WHERE m_next IS NOT NULL
+        ),
+        present AS (SELECT DISTINCT m FROM mentions),
+        keyed AS (
+            SELECT m,
+                   COALESCE('c:' || am.canon,
+                            'n:' || trim(regexp_replace(lower(m), '[^a-z0-9]+', ' ', 'g'))) AS k
+            FROM present
+            LEFT JOIN (VALUES {alias_rows}) am(alias, canon) ON m = am.alias
+        ),
+        grp AS (
+            SELECT m, k,
+                   count(*) OVER (PARTITION BY k) AS n,
+                   row_number() OVER (PARTITION BY k ORDER BY length(m), m) AS rn
+            FROM keyed
+        ),
+        survivors AS (SELECT k, m AS surv FROM grp WHERE rn = 1),
+        cmap AS (
+            SELECT g.m, CASE WHEN g.n >= 2 THEN s.surv ELSE g.m END AS canon
+            FROM grp g JOIN survivors s USING (k)
+        ),
+        trip AS (
+            SELECT ca.canon AS subj, cb.canon AS obj, a, b,
+                   md5_number_lower('rel' || chr(31) || a || chr(31) || b) AS h
+            FROM pairs
+            JOIN cmap ca ON pairs.a = ca.m
+            JOIN cmap cb ON pairs.b = cb.m
+        ),
+        trip2 AS (
+            SELECT subj,
+                   {rel_arr}[CAST(h % 7 AS INTEGER) + 1] AS pred,
+                   obj,
+                   a || ' ' || {rel_arr}[CAST(h % 7 AS INTEGER) + 1] || ' ' || b AS description,
+                   ((h >> 8) % 20) / 2.0 + 1.0 AS weight
+            FROM trip
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY subj, pred, obj ORDER BY description, weight) AS rn
+            FROM trip2
+        )
+        SELECT subj, pred, obj, description, weight FROM ranked WHERE rn = 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -474,7 +672,68 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
             ) WHERE rank <= 3
         """,
-        # kg_triples / minhash_pairs / simhash_pairs / ann_ivf /
-        # multimodal_features: no oracle — UDF-hash/approximate/stub
-        # based; their oracles are the pytest suites.
+        # The linking chain's emergent result is closed-form: planted
+        # pattern mentions (pure arithmetic on doc_id/pos — replicated
+        # below), variants of one id form a lev<3 clique inside one
+        # embedding cluster, so the distributed LSH→CC→judge chain must
+        # resolve each variant group to its (length, lex)-min survivor.
+        "entity_canonical_map": """
+            WITH turns AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST(o - 1 AS BIGINT) AS pos
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(text, '[。.!?]')) AS t,
+                           generate_subscripts(regexp_split_to_array(text, '[。.!?]'), 1) AS o
+                    FROM documents
+                ) WHERE length(trim(t)) > 0
+            ),
+            params AS (
+                SELECT greatest(16, least(100000, 2 * count(*))) AS id_space
+                FROM documents
+            ),
+            planted AS (
+                SELECT doc_id, pos,
+                       (doc_id*48271 + pos*16807 + 7) % id_space AS pat_a,
+                       (doc_id*22695477 + pos*101 + 3) % 3 AS var_a,
+                       (doc_id*65539 + pos*131 + 5) % (id_space - 1) AS off_b,
+                       (doc_id*69069 + pos*89 + 1) % 3 AS var_b,
+                       id_space
+                FROM turns, params
+            ),
+            forms0 AS (
+                SELECT pat_a AS ent, var_a AS var FROM planted
+                UNION ALL
+                SELECT (pat_a + 1 + off_b) % id_space, var_b FROM planted
+            ),
+            formed AS (
+                SELECT DISTINCT
+                    CASE var
+                        WHEN 0 THEN pfx || '-' || num
+                        WHEN 1 THEN pfx || ' ' || num
+                        ELSE pfx || '-' || num || '.'
+                    END AS entity_id
+                FROM (
+                    SELECT ['EMP','PRJ','TKT'][CAST(ent % 3 AS INTEGER) + 1] AS pfx,
+                           printf('%05d', ent) AS num, var
+                    FROM forms0
+                )
+            ),
+            grp AS (
+                SELECT entity_id,
+                       trim(regexp_replace(lower(entity_id), '[^a-z0-9]+', ' ', 'g')) AS k,
+                       count(*) OVER (PARTITION BY trim(regexp_replace(lower(entity_id), '[^a-z0-9]+', ' ', 'g'))) AS n,
+                       row_number() OVER (
+                           PARTITION BY trim(regexp_replace(lower(entity_id), '[^a-z0-9]+', ' ', 'g'))
+                           ORDER BY length(entity_id), entity_id) AS rn
+                FROM formed
+            ),
+            survivors AS (SELECT k, entity_id AS survivor FROM grp WHERE rn = 1)
+            SELECT g.entity_id,
+                   CASE WHEN g.n >= 2 THEN s.survivor ELSE g.entity_id END AS canonical_id
+            FROM grp g JOIN survivors s USING (k)
+        """,
+        "kg_triples": _kg_triples_oracle(),
+        # minhash_pairs / simhash_pairs / ann_ivf / multimodal_features:
+        # see their query docstrings for oracle status.
     }

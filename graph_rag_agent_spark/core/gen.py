@@ -15,7 +15,12 @@ from __future__ import annotations
 import datetime as _dt
 
 from .hashing import stable_int
-from .vocab import ALIAS_TO_CANONICAL, ALL_ALIASES, FILLER_SENTENCES
+from .vocab import (
+    ALIAS_TO_CANONICAL,
+    ALL_ALIASES,
+    FILLER_SENTENCES,
+    pattern_form,
+)
 
 _EPOCH = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
 
@@ -50,8 +55,18 @@ def _pick_alias(h: int) -> str:
     return ALL_ALIASES[h % len(ALL_ALIASES)]
 
 
-def turn_row(conv_index: int, turn_idx: int) -> dict:
-    """One transcript row; pure function of its key."""
+def pattern_id_space(n_convs: int) -> int:
+    """Pattern-entity id space ∝ corpus size (capped by the 5-digit
+    grammar) — the catalog grows with data, so bench-scale corpora
+    exercise the distributed LSH→CC→judge chain instead of the
+    driver fast path."""
+    return max(16, min(100_000, n_convs))
+
+
+def turn_row(conv_index: int, turn_idx: int, n_convs: int = 0) -> dict:
+    """One transcript row; pure function of (conv_index, turn_idx,
+    n_convs). ``n_convs`` sizes the pattern-entity id space (0 keeps
+    the legacy vocabulary-only corpus)."""
     conv_id = conv_id_for(conv_index)
     h = stable_int(conv_id, turn_idx)
     role = _ROLES[turn_idx % 2]
@@ -60,13 +75,22 @@ def turn_row(conv_index: int, turn_idx: int) -> dict:
         role = "tool"
         tool = _TOOLS[h % len(_TOOLS)]
 
+    id_space = pattern_id_space(n_convs) if n_convs else 0
     sentences: list[str] = []
     n_sentences = 1 + h % 3
     for s in range(n_sentences):
         hs = stable_int(conv_id, turn_idx, s)
-        if hs % 5 < 2:  # 40%: filler, no entities
+        branch = hs % 5
+        if branch < 2:  # 40%: filler, no entities
             sentences.append(FILLER_SENTENCES[hs % len(FILLER_SENTENCES)])
-        else:  # 60%: planted mention sentence with two entities
+        elif branch == 4 and id_space:  # 20%: pattern-entity pair
+            ent_a = hs % id_space
+            ent_b = (ent_a + 1 + (hs >> 17) % (id_space - 1)) % id_space
+            a = pattern_form(ent_a, (hs >> 7) % 3)
+            b = pattern_form(ent_b, (hs >> 11) % 3)
+            template = _TEMPLATES[hs % len(_TEMPLATES)]
+            sentences.append(template.format(a=a, b=b))
+        else:  # vocabulary mention sentence with two entities
             a = _pick_alias(hs)
             b = _pick_alias(hs >> 13)
             if ALIAS_TO_CANONICAL[a] == ALIAS_TO_CANONICAL[b]:
@@ -87,7 +111,10 @@ def turn_row(conv_index: int, turn_idx: int) -> dict:
 
 
 def generate_conversation(conv_index: int, n_convs: int) -> list[dict]:
-    return [turn_row(conv_index, t) for t in range(turns_in_conversation(conv_index, n_convs))]
+    return [
+        turn_row(conv_index, t, n_convs)
+        for t in range(turns_in_conversation(conv_index, n_convs))
+    ]
 
 
 def generate_transcripts(n_convs: int) -> list[dict]:

@@ -24,3 +24,15 @@ def stable_int(*parts: object, salt: str = "") -> int:
     replaces random.* so generator output is a pure function of ids."""
     key = salt + "\x1f".join(str(p) for p in parts)
     return int.from_bytes(hashlib.sha1(key.encode("utf-8")).digest()[:8], "big")
+
+
+HASH_SEP = "\x1f"
+
+
+def stable_u64(*parts: object, salt: str = "") -> int:
+    """Unsigned 64-bit hash that is bit-identical to DuckDB's
+    ``md5_number_lower(key)`` (lower 8 digest bytes, little-endian) —
+    used wherever a hash must be replicated by the ANSI-SQL oracle
+    (stub relationship type/weight, MinHash/SimHash bases)."""
+    key = salt + HASH_SEP.join(str(p) for p in parts)
+    return int.from_bytes(hashlib.md5(key.encode("utf-8")).digest()[8:16], "little")

@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 
 from .hashing import stable_int
-from .vocab import ALIAS_TO_CANONICAL
+from .vocab import canonical_for
 
 DIM = 64
 _CLUSTER_WEIGHT = 10.0
@@ -52,7 +52,7 @@ def embed_entity(entity_id: str, description: str | None, dim: int = DIM) -> lis
     entity_indexer.py:53-56), cluster-aware for known aliases."""
     text = f"{entity_id} {description or ''}"
     base = _gram_vector(text, dim)
-    canonical = ALIAS_TO_CANONICAL.get(entity_id)
+    canonical = canonical_for(entity_id)
     if canonical is not None:
         cvec = _normalize(_gram_vector(canonical, dim))
         bvec = _normalize(base)

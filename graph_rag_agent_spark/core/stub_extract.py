@@ -21,15 +21,21 @@ from __future__ import annotations
 
 import re
 
-from .hashing import stable_int
+from .hashing import stable_int, stable_u64
 from .records import (
     BATCH_SEPARATOR,
     format_entity_record,
     format_relationship_record,
 )
-from .vocab import ALIAS_TO_TYPE, ALL_ALIASES, RELATIONSHIP_TYPES
+from .vocab import ALL_ALIASES, PATTERN_REGEX, RELATIONSHIP_TYPES, type_for
 
-_ALIAS_RE = re.compile("|".join(re.escape(a) for a in ALL_ALIASES))
+# Vocabulary aliases (longest-first) plus the scaling pattern-entity
+# grammar (vocab.PATTERN_REGEX). Leftmost match wins; at equal start
+# positions the earlier alternative wins, and the pattern's optional
+# trailing dot is greedy so "EMP-00123." is one mention.
+_ALIAS_RE = re.compile(
+    "|".join([re.escape(a) for a in ALL_ALIASES] + [PATTERN_REGEX])
+)
 
 
 def extract_mentions(text: str) -> list[str]:
@@ -52,11 +58,13 @@ def stub_extract(chunk_text: str) -> str:
         if m not in seen:
             seen.add(m)
             ordered.append(m)
-            etype = ALIAS_TO_TYPE[m]
+            etype = type_for(m)
             records.append(format_entity_record(m, etype, f"{m} is a {etype}"))
 
     for a, b in zip(ordered, ordered[1:]):
-        h = stable_int("rel", a, b)
+        # md5-based (stable_u64) so the DuckDB oracle can recompute the
+        # rel type/weight with md5_number_lower — see __spark_entry__
+        h = stable_u64("rel", a, b)
         rel_type = RELATIONSHIP_TYPES[h % len(RELATIONSHIP_TYPES)]
         weight = (h >> 8) % 20 / 2 + 1.0  # 1.0 .. 10.5 in 0.5 steps
         records.append(

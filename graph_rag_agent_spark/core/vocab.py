@@ -37,6 +37,79 @@ ENTITY_CLUSTERS: list[tuple[str, list[str], str]] = [
     ("奖学金管理规定", ["奖学金管理规定"], "管理规定"),
 ]
 
+# Pattern-derived entities ---------------------------------------------------
+#
+# Regex-recognizable ids ("EMP-00123") whose id space scales with the
+# corpus, so the entity catalog — and therefore the distributed
+# LSH → CC → judge linking chain — grows with data size instead of
+# being bounded by the closed vocabulary above. Three surface variants
+# per canonical id, pairwise Levenshtein < 3 (a clique, so ANY
+# co-occurring subset is transitively mergeable under the reference's
+# lev<3 rule, similar_entity.py:315-352):
+#     v0  EMP-00123      (canonical)
+#     v1  EMP 00123      (dist 1 from v0)
+#     v2  EMP-00123.     (dist 1 from v0, dist 2 from v1)
+# Distinct ids are never mergeable: the judge's normalization key
+# ("emp 00123") differs whenever the digits differ.
+
+PATTERN_TYPES: dict[str, str] = {
+    "EMP": "Person",
+    "PRJ": "Project",
+    "TKT": "Ticket",
+}
+PATTERN_PREFIXES: list[str] = ["EMP", "PRJ", "TKT"]
+PATTERN_REGEX = r"(?:EMP|PRJ|TKT)[- ][0-9]{5}\.?"
+N_PATTERN_VARIANTS = 3
+
+_PATTERN_RE = None  # compiled lazily to avoid import-order cycles
+
+
+def pattern_form(ent_index: int, variant: int) -> str:
+    """Surface form for pattern entity ``ent_index`` (0..99999)."""
+    prefix = PATTERN_PREFIXES[ent_index % len(PATTERN_PREFIXES)]
+    num = f"{ent_index:05d}"
+    v = variant % N_PATTERN_VARIANTS
+    if v == 0:
+        return f"{prefix}-{num}"
+    if v == 1:
+        return f"{prefix} {num}"
+    return f"{prefix}-{num}."
+
+
+def is_pattern_entity(entity_id: str) -> bool:
+    global _PATTERN_RE
+    if _PATTERN_RE is None:
+        import re
+
+        _PATTERN_RE = re.compile(f"^{PATTERN_REGEX}$")
+    return bool(_PATTERN_RE.match(entity_id or ""))
+
+
+def pattern_canonical(entity_id: str) -> str:
+    """Canonical (v0) form of any pattern variant."""
+    return f"{entity_id[:3]}-{entity_id[4:9]}"
+
+
+def canonical_for(entity_id: str) -> str | None:
+    """Cluster canonical for a known alias or pattern variant; None for
+    out-of-vocabulary ids (the embedding stub's knowledge source)."""
+    canon = ALIAS_TO_CANONICAL.get(entity_id)
+    if canon is not None:
+        return canon
+    if is_pattern_entity(entity_id):
+        return pattern_canonical(entity_id)
+    return None
+
+
+def type_for(entity_id: str) -> str | None:
+    etype = ALIAS_TO_TYPE.get(entity_id)
+    if etype is not None:
+        return etype
+    if is_pattern_entity(entity_id):
+        return PATTERN_TYPES[entity_id[:3]]
+    return None
+
+
 RELATIONSHIP_TYPES: list[str] = [
     "WORKS_AT",
     "PARTNERS_WITH",

@@ -131,7 +131,7 @@ def resolve_canonical(
     resolve + createDataFrame); large catalogs through the distributed
     candidate_groups → merge_groups → canonical_map chain. Both paths
     are tested equal."""
-    if entities_with_wcc.count() <= driver_threshold:
+    if driver_threshold > 0 and entities_with_wcc.count() <= driver_threshold:
         rows = entities_with_wcc.select("entity_id", "wcc").collect()
         wcc = {r["entity_id"]: r["wcc"] for r in rows}
         groups = duplicate_candidate_groups(sorted(wcc), wcc)
@@ -155,10 +155,17 @@ def _canonize(df: DataFrame, col: str, cmap: DataFrame) -> DataFrame:
 
 
 def rewrite_triples(triples_raw: DataFrame, cmap: DataFrame) -> DataFrame:
-    """Canonical rewrite + (subj,pred,obj) dedup keeping pinned first."""
+    """Canonical rewrite + (subj,pred,obj) dedup keeping pinned first.
+
+    The reference's "first" is arbitrary Neo4j internal order
+    (entity_merger.py:418-429); our pin orders by (description,
+    weight, conv_id, chunk_id) — properties first so the surviving
+    (description, weight) is a pure function of the triple key, which
+    is what lets the DuckDB oracle recompute the table without
+    replicating chunk ids (__spark_entry__ kg_triples oracle)."""
     rewritten = _canonize(_canonize(triples_raw, "subj", cmap), "obj", cmap)
     w = Window.partitionBy("subj", "pred", "obj").orderBy(
-        "conv_id", "chunk_id", "description", "weight"
+        "description", "weight", "conv_id", "chunk_id"
     )
     return (
         rewritten.withColumn("rn", F.row_number().over(w))

@@ -36,6 +36,10 @@ MAX_ITERATIONS = 50
 # corpus; at 100 TB the distributed loop below is the default path.
 DRIVER_THRESHOLD = 100_000
 
+# A small-node graph can still carry an enormous edge list (dense
+# similarity cliques); the driver path must bound BOTH collects.
+EDGE_DRIVER_THRESHOLD = 2_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -44,6 +48,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = MAX_ITERATIONS,
     driver_threshold: int = DRIVER_THRESHOLD,
+    edge_driver_threshold: int = EDGE_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """edges(src, dst) [+ optional nodes(node)] → (node, component)
     where component = min node id (string order) in the component."""
@@ -61,8 +66,8 @@ def connected_components(
     else:
         all_nodes = endpoint_nodes
 
-    n_nodes = all_nodes.count()
-    if n_nodes <= driver_threshold:
+    n_nodes = all_nodes.count() if driver_threshold > 0 else driver_threshold + 1
+    if n_nodes <= driver_threshold and e.count() <= edge_driver_threshold:
         node_list = [r["node"] for r in all_nodes.collect()]
         edge_list = [(r["a"], r["b"]) for r in e.collect()]
         comp = _py_cc(node_list, edge_list)

@@ -34,8 +34,14 @@ from pyspark.sql import functions as F
 from ..core.linkage import SIMILARITY_CUTOFF, SIMILARITY_TOP_K
 from ..core.stub_embed import DIM, embed_entity
 
-LSH_BANDS = 8
-LSH_ROWS = 4  # bits per band
+# 12 bands × 12 bits: for intra-cluster pairs (cosine ≈ 0.99 →
+# per-bit agreement ≈ 0.955) the per-pair miss probability is
+# (1 - 0.955¹²)¹² ≈ 3e-5, while random cross pairs collide in a band
+# with p ≈ 2⁻¹² — so candidate volume stays ≈ linear in catalog size.
+# Round-1's 8×4 left only 16 buckets per band, which degenerates to
+# O(n²/16) candidates on a catalog that scales with the corpus.
+LSH_BANDS = 12
+LSH_ROWS = 12  # bits per band
 
 
 def entity_catalog(entities_raw: DataFrame, chunks: DataFrame) -> DataFrame:
@@ -151,33 +157,109 @@ def similar_entities_lsh(
     rows: int = LSH_ROWS,
     dim: int = DIM,
 ) -> DataFrame:
-    """Banded random-hyperplane LSH candidates + exact cosine re-rank."""
+    """Banded random-hyperplane LSH candidates + exact cosine re-rank.
+
+    Physical shape (the 100 TB path): the band equi-join carries ONLY
+    (entity_id, band_hash) — embeddings would multiply the shuffle by
+    bands × dim. Candidates are deduped as unordered (src<dst) pairs,
+    embeddings re-joined once per unique pair, cosine computed once
+    and mirrored; norms come precomputed from a single pass over the
+    catalog (embeddings are unit vectors, but dividing by the exact
+    float norm keeps score parity with the exact path/oracle).
+    """
     sig = _signature_udf(dim, bands, rows)
-    signed = embedded.select("entity_id", "embedding").withColumn(
-        "band_hash", F.explode(sig("embedding"))
+    signed = embedded.select(
+        "entity_id", F.explode(sig("embedding")).alias("band_hash")
     )
-    a = signed.select(
-        F.col("entity_id").alias("src"),
-        F.col("embedding").alias("emb_a"),
-        "band_hash",
-    )
-    b = signed.select(
-        F.col("entity_id").alias("dst"),
-        F.col("embedding").alias("emb_b"),
-        "band_hash",
-    )
-    pairs = (
-        a.join(b, "band_hash")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", "emb_a", "emb_b")
+    cand = (
+        signed.alias("l")
+        .join(signed.alias("r"), "band_hash")
+        .where(F.col("l.entity_id") < F.col("r.entity_id"))
+        .select(
+            F.col("l.entity_id").alias("src"), F.col("r.entity_id").alias("dst")
+        )
         .dropDuplicates(["src", "dst"])
-        .withColumn("score", _cosine_expr("emb_a", "emb_b"))
     )
-    return _topk_filter(pairs, top_k, cutoff)
+    emb = embedded.select(
+        "entity_id",
+        F.col("embedding"),
+        F.sqrt(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("norm"),
+    )
+    scored = (
+        cand.join(
+            emb.select(
+                F.col("entity_id").alias("src"),
+                F.col("embedding").alias("emb_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "src",
+        )
+        .join(
+            emb.select(
+                F.col("entity_id").alias("dst"),
+                F.col("embedding").alias("emb_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "dst",
+        )
+        .withColumn(
+            "score",
+            F.when(
+                (F.col("norm_a") == 0) | (F.col("norm_b") == 0), F.lit(0.0)
+            ).otherwise(
+                F.aggregate(
+                    F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("norm_a") * F.col("norm_b"))
+            ),
+        )
+        .select("src", "dst", "score")
+    )
+    both = scored.unionByName(
+        scored.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+        )
+    )
+    return _topk_filter(both, top_k, cutoff)
+
+
+# Driver-path ceiling. Above this the catalog goes through the
+# distributed LSH chain; below it a single collect + numpy KNN wins
+# (the driver KNN is O(n²) flops — 2000² × 64 ≈ 0.3 GFlop ≈ tens of
+# ms in numpy; the distributed chain costs ~15 fixed-latency shuffle
+# jobs). Round-1 shipped 50k, which was driver-feasible only for
+# collect volume, not for the O(n²) similarity work.
+LINK_DRIVER_THRESHOLD = 2_000
+
+
+def knn_pairs_np(
+    ids: list[str],
+    mat: "np.ndarray",
+    top_k: int = SIMILARITY_TOP_K,
+    cutoff: float = SIMILARITY_CUTOFF,
+) -> list[tuple[str, str, float]]:
+    """Vectorized core/linkage.knn_pairs: same (cosine desc, dst asc)
+    ordering and cutoff semantics, numpy instead of per-pair Python."""
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    out: list[tuple[str, str, float]] = []
+    n = len(ids)
+    for i in range(n):
+        row = sims[i]
+        cand = [(float(row[j]), ids[j]) for j in range(n) if j != i and row[j] >= cutoff]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for score, dst in cand[:top_k]:
+            out.append((ids[i], dst, score))
+    return out
 
 
 def link_entities_driver_path(
-    catalog: DataFrame, threshold: int = 50_000
+    catalog: DataFrame, threshold: int = LINK_DRIVER_THRESHOLD
 ) -> dict[str, DataFrame] | None:
     """Whole linking stage (embed → KNN → WCC → candidates → judge →
     canonical map) computed driver-side when the entity catalog is
@@ -194,11 +276,12 @@ def link_entities_driver_path(
     """
     from ..core.linkage import (
         duplicate_candidate_groups,
-        knn_pairs,
         resolve_canonical_map,
         wcc_ids,
     )
 
+    if threshold <= 0:
+        return None
     rows = catalog.limit(threshold + 1).collect()
     if len(rows) > threshold:
         return None
@@ -207,7 +290,10 @@ def link_entities_driver_path(
     embeddings = {
         eid: embed_entity(eid, r["description"]) for eid, r in info.items()
     }
-    similar = knn_pairs(embeddings)
+    ids = sorted(embeddings)
+    similar = (
+        knn_pairs_np(ids, np.array([embeddings[i] for i in ids])) if ids else []
+    )
     wcc = wcc_ids(sorted(info), [(s, d) for s, d, _ in similar])
     groups = duplicate_candidate_groups(sorted(info), wcc)
     cmap = resolve_canonical_map(groups)
@@ -240,9 +326,14 @@ def link_entities_driver_path(
 def similar_entities(
     embedded: DataFrame,
     method: str = "auto",
-    exact_threshold: int = 20_000,
+    exact_threshold: int = 2_000,
     **kwargs,
 ) -> DataFrame:
+    """exact under ``exact_threshold`` rows (the interpreted per-pair
+    cosine fold makes the O(n²) cross join viable only for small
+    catalogs — 2k ≈ 4M pairs; round-1's 20k threshold allowed 4×10⁸),
+    LSH above. Catalogs ≤ LINK_DRIVER_THRESHOLD normally never reach
+    here (driver fast path), so auto effectively means LSH."""
     if method == "exact":
         return similar_entities_exact(embedded, **kwargs)
     if method == "lsh":

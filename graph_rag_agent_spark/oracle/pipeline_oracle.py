@@ -156,20 +156,21 @@ def oracle_build(transcripts: list[dict], max_levels: int = 3) -> OracleResult:
             }
         )
 
-    # rewrite + dedup triples: keep first by (conv_id, chunk_id,
-    # description, weight) per (subj,pred,obj) — entity_merger.py:418-429
-    # with a deterministic pin for "first".
+    # rewrite + dedup triples: keep first by (description, weight,
+    # conv_id, chunk_id) per (subj,pred,obj) — entity_merger.py:418-429
+    # with a deterministic pin for "first" (properties-first so the
+    # surviving description/weight is a pure function of the key).
     best: dict[tuple[str, str, str], dict] = {}
     for t in res.triples_raw:
         key = (canon(t["subj"]), t["pred"], canon(t["obj"]))
         cand = dict(t, subj=key[0], obj=key[2])
         prev = best.get(key)
-        rank = (cand["conv_id"], cand["chunk_id"], cand["description"], cand["weight"])
+        rank = (cand["description"], cand["weight"], cand["conv_id"], cand["chunk_id"])
         if prev is None or rank < (
-            prev["conv_id"],
-            prev["chunk_id"],
             prev["description"],
             prev["weight"],
+            prev["conv_id"],
+            prev["chunk_id"],
         ):
             best[key] = cand
     res.triples = [best[k] for k in sorted(best)]

@@ -51,7 +51,7 @@ def synthesize_transcripts(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                turn_row(int(c), int(t))
+                turn_row(int(c), int(t), n_convs)
                 for c, t in zip(pdf["conv_index"], pdf["turn_idx"])
             ]
             yield pd.DataFrame(
@@ -72,19 +72,26 @@ def transcripts_from_documents(
     (split/posexplode), so it also serves as the oracle-SQL-checkable
     turn derivation (see __spark_entry__).
 
-    ``plant_mentions`` appends a hash-chosen vocabulary sentence to
-    each turn (the driver's documents are entity-free word soup; the
-    flagship KG query needs real mentions to extract).
+    ``plant_mentions`` appends a deterministically-chosen mention
+    sentence to each turn (the driver's documents are entity-free word
+    soup; the flagship KG query needs real mentions to extract): two
+    vocabulary aliases plus two pattern-entity forms whose id space is
+    ∝ the document count (vocab.pattern_form), so the entity catalog
+    scales with sf. All planting indices are pure integer arithmetic
+    on (doc_id, pos) — replicable in ANSI SQL, which is what lets the
+    DuckDB oracle recompute the full KG output (__spark_entry__
+    kg_triples / entity_canonical_map oracles).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = (
         docs.select(
-            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
+            F.col("doc_id").cast("long").alias("doc_key"),
             F.posexplode(F.split(F.col("text"), r"[。.!?]")).alias("pos", "turn_text"),
         )
         .where(F.length(F.trim("turn_text")) > 0)
         .select(
-            "conv_id",
+            "doc_key",
+            F.concat(F.lit("doc-"), F.col("doc_key").cast("string")).alias("conv_id"),
             F.col("pos").cast("int").alias("turn_idx"),
             F.when(F.col("pos") % 2 == 0, F.lit("user"))
             .otherwise(F.lit("assistant"))
@@ -96,23 +103,79 @@ def transcripts_from_documents(
         )
     )
     if not plant_mentions:
-        return base
+        return base.drop("doc_key")
 
+    return plant_mention_text(base, n_docs=docs.count()).drop("doc_key")
+
+
+# Multipliers for the arithmetic planting hash (any fixed co-prime-ish
+# constants work; products stay well under 2^63 so Spark ANSI mode and
+# DuckDB agree exactly).
+_PLANT = {
+    "vocab_a": (40503, 8191, 11),
+    "vocab_b": (69621, 3571, 29),
+    "pat_a": (48271, 16807, 7),
+    "var_a": (22695477, 101, 3),
+    "pat_off": (65539, 131, 5),
+    "var_b": (69069, 89, 1),
+}
+
+
+def _plant_idx(name: str, modulus) -> "F.Column":
+    m1, m2, c = _PLANT[name]
+    return F.pmod(
+        F.col("doc_key") * m1 + F.col("turn_idx").cast("long") * m2 + c, modulus
+    )
+
+
+def pattern_space_for_docs(n_docs: int) -> int:
+    """Pattern-entity id space for document-derived corpora (∝ corpus
+    size, capped by the 5-digit grammar)."""
+    return max(16, min(100_000, 2 * n_docs))
+
+
+def _pattern_form_col(ent, var) -> "F.Column":
+    """JVM-side vocab.pattern_form: EMP-00123 / EMP 00123 / EMP-00123."""
+    from ..core.vocab import PATTERN_PREFIXES
+
+    prefix = F.element_at(
+        F.array(*[F.lit(p) for p in PATTERN_PREFIXES]), (ent % 3 + 1).cast("int")
+    )
+    num = F.lpad(ent.cast("string"), 5, "0")
+    return F.when(var == 0, F.concat(prefix, F.lit("-"), num)).when(
+        var == 1, F.concat(prefix, F.lit(" "), num)
+    ).otherwise(F.concat(prefix, F.lit("-"), num, F.lit(".")))
+
+
+def plant_mention_text(base: DataFrame, n_docs: int) -> DataFrame:
+    """Appends the planted mention sentence to ``text``. Requires
+    ``doc_key``/``turn_idx`` columns; keeps all input columns."""
     from ..core.vocab import ALL_ALIASES
 
     aliases = F.array(*[F.lit(a) for a in ALL_ALIASES])
     n = len(ALL_ALIASES)
-    idx_a = F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n)) + 1
-    idx_b = F.pmod(F.hash("conv_id", "turn_idx", F.lit(7)), F.lit(n)) + 1
+    id_space = pattern_space_for_docs(n_docs)
+
+    vocab_a = F.element_at(aliases, (_plant_idx("vocab_a", n) + 1).cast("int"))
+    vocab_b = F.element_at(aliases, (_plant_idx("vocab_b", n) + 1).cast("int"))
+    pat_a = _plant_idx("pat_a", id_space)
+    pat_b = F.pmod(pat_a + 1 + _plant_idx("pat_off", id_space - 1), id_space)
+    form_a = _pattern_form_col(pat_a, _plant_idx("var_a", 3))
+    form_b = _pattern_form_col(pat_b, _plant_idx("var_b", 3))
+
     return base.withColumn(
         "text",
         F.concat(
             "text",
             F.lit(" "),
-            F.element_at(aliases, idx_a),
+            vocab_a,
             F.lit("与"),
-            F.element_at(aliases, idx_b),
-            F.lit("有合作关系。"),
+            vocab_b,
+            F.lit("有合作关系。 "),
+            form_a,
+            F.lit(" is assigned to "),
+            form_b,
+            F.lit(" today。"),
         ),
     )
 

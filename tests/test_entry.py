@@ -10,7 +10,7 @@ def test_entry_produces_triples(spark):
     rows = df.limit(2000).collect()
     assert len(rows) > 0
     cols = set(df.columns)
-    assert {"subj", "pred", "obj", "weight", "chunk_id"} <= cols
+    assert {"subj", "pred", "obj", "description", "weight"} <= cols
 
 
 def test_queries_oracle_key_consistency():
@@ -20,7 +20,6 @@ def test_queries_oracle_key_consistency():
     # every oracle-less query is intentionally rows-only (documented)
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
-        "kg_triples",
         "minhash_pairs",
         "simhash_pairs",
         "ann_ivf",
