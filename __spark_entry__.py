@@ -291,11 +291,23 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    # rows-only: IVF approximate ANN (scale path of _q_ann_topk)
-    from graph_rag_agent_spark.operators.knn import ann_ivf
+    # rows-only BY DESIGN (IVF is approximate — the one remaining
+    # no-oracle query): each result row carries in_brute_topk, a
+    # Spark-computed recall flag against the exact baseline, so the
+    # recorded rows self-report answer quality.
+    from graph_rag_agent_spark.operators.knn import ann_bruteforce, ann_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_ivf(emb, k=3, n_cells=8, nprobe=2)
+    ivf = ann_ivf(emb, k=3, n_cells=8, nprobe=2)
+    brute = ann_bruteforce(emb, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_brute")
+    )
+    return ivf.join(brute, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.coalesce("in_brute", F.lit(0)).alias("in_brute_topk"),
+    )
 
 
 def _q_entity_canonical_map(spark, sf_dir):
@@ -353,14 +365,32 @@ def _q_entity_canonical_map(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    # rows-only: binary-column feature plumbing (stubbed decode)
+    """Binary-column feature plumbing: synthesize opaque binary assets
+    (JVM expressions), run the Arrow-batched decode stub over the
+    payload bytes, and project a hashable fingerprint of the feature
+    vector (codes = round(f·255) recovers the sampled payload bytes).
+    The DuckDB oracle recomputes payload + sampled bytes in SQL."""
     from graph_rag_agent_spark.operators.multimodal import (
         extract_features,
         synthesize_assets,
     )
 
     assets = synthesize_assets(spark, 200)
-    return extract_features(assets, mode="stub").where(F.col("decode_status") == "ok")
+    feats = extract_features(assets, mode="stub").where(
+        F.col("decode_status") == "ok"
+    )
+    codes = F.transform(
+        "feature", lambda x: F.round(x * 255).cast("int").cast("string")
+    )
+    return feats.select(
+        "asset_id",
+        "kind",
+        "feat_dim",
+        "decode_status",
+        F.md5(F.encode(F.concat_ws(",", codes), "utf-8")).alias(
+            "feature_fingerprint"
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -734,6 +764,127 @@ def oracle_sql() -> dict[str, str]:
             FROM grp g JOIN survivors s USING (k)
         """,
         "kg_triples": _kg_triples_oracle(),
+        # Full SQL replay of the MinHash-LSH plan: md5-based 31-bit
+        # shingle hashes → 64 formulaic permutations → 16×4 band
+        # buckets → candidate join → exact raw-shingle Jaccard ≥ 0.5.
+        # Candidates (and therefore any LSH misses) are IDENTICAL by
+        # construction, so the match is exact, not probabilistic.
+        "minhash_pairs": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           unnest([substr(text, CAST(i AS INTEGER), 5)
+                                   for i in range(1, greatest(length(text) - 4, 1) + 1)])
+                               AS shingle
+                    FROM documents
+                )
+            ),
+            shh AS (
+                SELECT doc_id, shingle,
+                       md5_number_lower(shingle) % 2147483647 AS h
+                FROM sh
+            ),
+            mins AS (
+                SELECT doc_id, i,
+                       min((h * ((i*40503 + 12347) % 2147483647)
+                            + ((i*69621 + 777) % 2147483647)) % 2147483647) AS m
+                FROM shh, range(64) p(i)
+                GROUP BY doc_id, i
+            ),
+            sigs AS (
+                SELECT doc_id, list(m ORDER BY i) AS sig FROM mins GROUP BY doc_id
+            ),
+            buckets AS (
+                SELECT doc_id,
+                       CAST(b AS VARCHAR) || ':' ||
+                       CAST(sig[CAST(b*4+1 AS INTEGER)] AS VARCHAR) || ',' ||
+                       CAST(sig[CAST(b*4+2 AS INTEGER)] AS VARCHAR) || ',' ||
+                       CAST(sig[CAST(b*4+3 AS INTEGER)] AS VARCHAR) || ',' ||
+                       CAST(sig[CAST(b*4+4 AS INTEGER)] AS VARCHAR) AS bucket
+                FROM sigs, range(16) t(b)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM buckets a JOIN buckets b USING (bucket)
+                WHERE a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT c.a_id, c.b_id, count(*) AS ni
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.a_id
+                JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+                GROUP BY c.a_id, c.b_id
+            )
+            SELECT c.a_id, c.b_id,
+                   CAST(coalesce(i.ni, 0) AS DOUBLE)
+                       / (sa.n + sb.n - coalesce(i.ni, 0)) AS jaccard
+            FROM cand c
+            LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+            JOIN sizes sa ON sa.doc_id = c.a_id
+            JOIN sizes sb ON sb.doc_id = c.b_id
+            WHERE CAST(coalesce(i.ni, 0) AS DOUBLE)
+                      / (sa.n + sb.n - coalesce(i.ni, 0)) >= 0.5
+        """,
+        # Full SQL replay of the SimHash plan: md5 token hashes →
+        # ±1 bit votes → 64-bit simhash → 4×16-bit band blocking →
+        # exact Hamming ≤ 6.
+        "simhash_pairs": """
+            WITH toks AS (
+                SELECT doc_id, t AS tok FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents
+                ) WHERE t <> ''
+            ),
+            bits AS (
+                SELECT doc_id, j,
+                       sum(CASE WHEN (md5_number_lower(tok) >> CAST(j AS INTEGER)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS acc
+                FROM toks, range(64) r(j)
+                GROUP BY doc_id, j
+            ),
+            hv AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN acc > 0
+                                THEN (CAST(1 AS UBIGINT) << CAST(j AS INTEGER))
+                                ELSE 0 END) AS UBIGINT) AS h
+                FROM bits GROUP BY doc_id
+            ),
+            sh AS (
+                SELECT d.doc_id, coalesce(hv.h, 0) AS h
+                FROM documents d LEFT JOIN hv USING (doc_id)
+            ),
+            bands AS (
+                SELECT doc_id, h,
+                       CAST(b AS VARCHAR) || ':' ||
+                       CAST((h >> CAST(b*16 AS INTEGER)) & 65535 AS VARCHAR) AS band
+                FROM sh, range(4) r(b)
+            )
+            SELECT a_id, b_id, hamming FROM (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                       bit_count(xor(a.h, b.h)) AS hamming
+                FROM bands a JOIN bands b USING (band)
+                WHERE a.doc_id < b.doc_id
+            ) WHERE hamming <= 6
+        """,
+        "multimodal_features": """
+            WITH a AS (
+                SELECT i,
+                       substr(repeat(md5('asset:' || CAST(i AS VARCHAR)),
+                                     CAST(20 + i % 10 AS INTEGER)),
+                              1, CAST(256 + i % 128 AS INTEGER)) AS s
+                FROM range(200) t(i)
+            )
+            SELECT printf('asset-%06d', i) AS asset_id,
+                   ['image','audio','video'][CAST(i % 3 AS INTEGER) + 1] AS kind,
+                   16 AS feat_dim,
+                   'ok' AS decode_status,
+                   md5(concat_ws(',',
+                       """ + ", ".join(
+                           f"ascii(substr(s, {2*j+1}, 1))" for j in range(16)
+                       ) + """)) AS feature_fingerprint
+            FROM a
+        """,
         # minhash_pairs / simhash_pairs / ann_ivf / multimodal_features:
         # see their query docstrings for oracle status.
     }

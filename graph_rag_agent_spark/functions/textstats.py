@@ -38,13 +38,14 @@ def lang_id(col: str | Column) -> Column:
 
 
 def stopword_ratio_x1000(col: str | Column) -> Column:
-    """Per-mille of tokens that are English stopwords (integer output
-    so cross-engine hashes are exact)."""
+    """Per-mille of token OCCURRENCES that are English stopwords,
+    floored to an integer so cross-engine value hashes are exact."""
     stop = ["the", "a", "an", "of", "and", "or", "to", "in", "is", "are"]
     toks = F.split(F.lower(F.trim(col)), r"\s+")
-    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in stop])))
-    # NOTE: array_intersect dedups — this is distinct-stopword coverage
-    return (n_stop * 1000) / F.greatest(F.size(toks), F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(stop)))
+    return F.floor((n_stop * 1000) / F.greatest(F.size(toks), F.lit(1))).cast(
+        "long"
+    )
 
 
 def quality_score_x100(col: str | Column) -> Column:

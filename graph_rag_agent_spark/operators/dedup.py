@@ -28,12 +28,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# deterministic 64-bit universal-hash parameters (fixed seed)
-_RNG = np.random.RandomState(1337)
-_MERSENNE = (1 << 61) - 1
+from ..core.hashing import stable_u64
+
+# Deterministic universal-hash family over a 31-bit prime field.
+# The base shingle/token hash is md5-derived (core/hashing.stable_u64
+# == DuckDB md5_number_lower), and the permutation parameters are
+# formulaic — so the ENTIRE MinHash/SimHash pipeline (signatures,
+# band buckets, candidates, verification) is replicable in ANSI SQL;
+# the driver oracles replay it step for step. 31-bit values keep
+# a·h+b inside int64/BIGINT in both engines.
+_P31 = 2_147_483_647
 _N_PERM = 64
-_A = _RNG.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64)
-_B = _RNG.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64)
+_A = np.array([(i * 40503 + 12347) % _P31 for i in range(_N_PERM)], dtype=np.int64)
+_B = np.array([(i * 69621 + 777) % _P31 for i in range(_N_PERM)], dtype=np.int64)
 
 
 def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -49,29 +56,20 @@ def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
-def _stable_hash64(data: str) -> int:
-    import hashlib
-
-    return int.from_bytes(
-        hashlib.blake2b(data.encode("utf-8"), digest_size=8).digest(), "big"
-    ) & 0x7FFFFFFFFFFFFFFF
+def _shingles(text: str, k: int) -> list[str]:
+    """Distinct character k-shingles; a short/empty text is its own
+    single shingle (== SQL substr(text, 1, k) when length < k)."""
+    if not text or len(text) < k:
+        return [text or ""]
+    return list({text[i : i + k] for i in range(len(text) - k + 1)})
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    if not text or len(text) < k:
-        return np.array([_stable_hash64(text or "")], dtype=np.int64)
-    # stable 64-bit shingle hashes via python hash of substrings is
-    # seed-dependent — use np.frombuffer over utf-8 rolling windows
-    arr = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-    # rolling polynomial hash, vectorized
-    n = len(arr)
-    if n < k:
-        return np.array([int(arr.sum())], dtype=np.int64)
-    base = np.int64(1099511628211)
-    powers = np.power(base, np.arange(k, dtype=np.int64), dtype=np.int64)
-    windows = np.lib.stride_tricks.sliding_window_view(arr.astype(np.int64), k)
-    hashes = (windows * powers).sum(axis=1)
-    return np.unique(hashes)
+    """31-bit md5-based shingle hashes (DuckDB:
+    md5_number_lower(shingle) % 2147483647)."""
+    return np.array(
+        [stable_u64(s) % _P31 for s in _shingles(text, k)], dtype=np.int64
+    )
 
 
 def minhash_signature(text: str, k: int = 5) -> np.ndarray:
@@ -84,7 +82,7 @@ def minhash_signature(text: str, k: int = 5) -> np.ndarray:
     sh = _shingle_hashes(text, k)
     out = np.empty(_N_PERM, dtype=np.int64)
     for i in range(_N_PERM):
-        out[i] = ((sh * _A[i] + _B[i]) % _MERSENNE).min()
+        out[i] = ((sh * _A[i] + _B[i]) % _P31).min()
     return out
 
 
@@ -95,23 +93,26 @@ def minhash_candidates(
     bands: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(a_id, b_id) candidate near-dup pairs from banded MinHash."""
+    """(a_id, b_id) candidate near-dup pairs from banded MinHash.
+
+    Band bucket key = '<band>:<sig values joined>' — a plain string so
+    the SQL oracle can reproduce the exact bucket (no re-hashing)."""
     rows = _N_PERM // bands
 
-    @F.pandas_udf("array<long>")
+    @F.pandas_udf("array<string>")
     def band_hashes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in it:
             out = []
             for t in texts:
                 sig = minhash_signature(t or "", shingle_k)
-                bh = []
-                for b in range(bands):
-                    chunk = sig[b * rows : (b + 1) * rows]
-                    h = b  # plain python int: no wraparound warnings
-                    for v in chunk:
-                        h = (h * 1000003 ^ int(v)) & 0x7FFFFFFFFFFFFFFF
-                    bh.append(h)
-                out.append(bh)
+                out.append(
+                    [
+                        f"{b}:" + ",".join(
+                            str(int(v)) for v in sig[b * rows : (b + 1) * rows]
+                        )
+                        for b in range(bands)
+                    ]
+                )
             yield pd.Series(out)
 
     signed = df.select(
@@ -148,8 +149,10 @@ def minhash_near_duplicates(
         for a_txt, b_txt in it:
             vals = []
             for x, y in zip(a_txt, b_txt):
-                sa = set(_shingle_hashes(x or "", shingle_k).tolist())
-                sb = set(_shingle_hashes(y or "", shingle_k).tolist())
+                # raw shingle sets (not hashes): exact Jaccard, and the
+                # SQL oracle's DISTINCT-substring join computes the same
+                sa = set(_shingles(x or "", shingle_k))
+                sb = set(_shingles(y or "", shingle_k))
                 union = len(sa | sb)
                 vals.append(len(sa & sb) / union if union else 1.0)
             yield pd.Series(vals)
@@ -212,19 +215,18 @@ def chunk_signature_columns(
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens."""
+    """64-bit SimHash over single-space-separated token occurrences.
+
+    Token hash = md5_number_lower(token) (core/hashing.stable_u64), and
+    tokenization is an explicit split on ' ' with empties dropped — both
+    chosen for exact replication in the SQL oracle (string_split + md5)."""
     acc = np.zeros(64, dtype=np.int64)
-    for tok in (text or "").split():
-        h = np.int64(
-            int.from_bytes(
-                __import__("hashlib").blake2b(
-                    tok.encode("utf-8"), digest_size=8
-                ).digest(),
-                "big",
-                signed=True,
-            )
-        )
-        bits = (h >> np.arange(64, dtype=np.int64)) & 1
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok in (text or "").split(" "):
+        if not tok:
+            continue
+        h = np.uint64(stable_u64(tok))
+        bits = (h >> shifts) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
     out = 0
     for i in range(64):

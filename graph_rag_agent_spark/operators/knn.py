@@ -126,13 +126,24 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Deterministic k-means-lite coarse quantizer: seeded sample,
     first-n init, a few Lloyd iterations driver-side. The corpus
-    assignment stays distributed."""
-    vecs = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in df.select(vec_col).orderBy(F.md5(F.col(vec_col).cast("string"))).limit(sample).collect()
-        ]
+    assignment stays distributed.
+
+    Sampling is df.sample (per-partition Bernoulli — no global sort;
+    round 1 ordered the whole corpus by md5 just to take 10k rows,
+    a scale-killer). The deterministic tie-break for WHICH rows seed
+    the centroids is the md5 sort applied to the small sample only.
+    """
+    n = df.count()
+    fraction = min(1.0, (sample * 1.25) / max(n, 1))
+    sampled = df.select(vec_col) if fraction >= 1.0 else df.select(vec_col).sample(
+        withReplacement=False, fraction=fraction, seed=42
     )
+    rows = (
+        sampled.orderBy(F.md5(F.col(vec_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    vecs = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     centroids = vecs[:n_cells].copy()
     for _ in range(iterations):
         d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -153,7 +164,13 @@ def ann_ivf(
     nprobe: int = 3,
 ) -> DataFrame:
     """IVF: assign every vector to its nearest centroid cell; each
-    query probes its nprobe nearest cells; exact cosine within."""
+    query probes its nprobe nearest cells; exact cosine within.
+
+    Recall note (standard IVF trade-off): data vectors are stored in
+    their single nearest cell, so a true neighbor sitting just outside
+    every probed cell is missed; raise nprobe (or n_cells resolution)
+    to trade cost for recall. The driver query reports measured recall
+    vs the brute-force baseline as an output column."""
     centroids = train_ivf_centroids(df, vec_col, n_cells)
 
     @F.pandas_udf("array<int>")

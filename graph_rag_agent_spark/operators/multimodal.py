@@ -17,7 +17,6 @@ clearly-marked _decode_* functions.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -38,46 +37,49 @@ _KINDS = ("image", "audio", "video")
 
 
 def synthesize_assets(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
-    """Deterministic fake binary assets (payload = repeated sha-derived
-    bytes; sizes hash-derived) — stands in for a real binary-file scan
-    (spark.read.format('binaryFile') in prod)."""
+    """Deterministic fake binary assets — stands in for a real
+    binary-file scan (spark.read.format('binaryFile') in prod).
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                h = hashlib.sha1(f"asset:{i}".encode()).digest()
-                kind = _KINDS[i % 3]
-                payload = (h * (20 + i % 10))[: 256 + (i % 128)]
-                rows.append(
-                    {
-                        "asset_id": f"asset-{i:06d}",
-                        "kind": kind,
-                        "payload": payload,
-                        "width": 64 + (h[0] % 64) if kind == "image" else None,
-                        "height": 64 + (h[1] % 64) if kind == "image" else None,
-                        "sample_rate": 16000 if kind == "audio" else None,
-                        "duration_ms": 1000 + h[2] * 37 if kind != "image" else None,
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "asset_id",
-                    "kind",
-                    "payload",
-                    "width",
-                    "height",
-                    "sample_rate",
-                    "duration_ms",
-                ],
-            )
-
+    Entirely JVM-side expressions: payload = utf-8 bytes of the
+    repeated md5 hex of the asset id, truncated to a per-asset length;
+    metadata is integer arithmetic on the id. Both are replicable in
+    ANSI SQL, which is what gives the multimodal driver query a real
+    DuckDB oracle (__spark_entry__ multimodal_features)."""
     base = spark.range(n)
     if partitions:
         base = base.repartition(partitions)
-    return base.mapInPandas(gen, schema=ASSET_SCHEMA)
+    i = F.col("id")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]), (i % 3 + 1).cast("int")
+    )
+    paystr = F.expr(
+        "substring(repeat(md5(encode(concat('asset:', cast(id as string)), 'utf-8')), "
+        "cast(20 + id % 10 as int)), 1, cast(256 + id % 128 as int))"
+    )
+    is_image = kind == "image"
+    return base.select(
+        F.format_string("asset-%06d", i).alias("asset_id"),
+        kind.alias("kind"),
+        F.encode(paystr, "utf-8").alias("payload"),
+        F.when(is_image, (64 + (i * 7919) % 64).cast("int")).alias("width"),
+        F.when(is_image, (64 + (i * 104729) % 64).cast("int")).alias("height"),
+        F.when(kind == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(~is_image, (1000 + (i * 37) % 9000).cast("int")).alias("duration_ms"),
+    )
+
+
+FEAT_DIM = 16
+_FEAT_STRIDE = 2
+
+
+def _stub_feature(payload: bytes) -> list[float]:
+    """Deterministic fake feature: sample every 2nd payload byte,
+    scale to [0,1]. Pure byte arithmetic so the SQL oracle can
+    recompute it (ascii(substr(payload, 2j+1, 1)) / 255.0)."""
+    data = payload or b"\x00" * (FEAT_DIM * _FEAT_STRIDE)
+    return [
+        (data[(j * _FEAT_STRIDE) % len(data)]) / 255.0 for j in range(FEAT_DIM)
+    ]
 
 
 def _decode_image_features(payload: bytes, mode: str) -> list[float]:
@@ -86,8 +88,7 @@ def _decode_image_features(payload: bytes, mode: str) -> list[float]:
             "image decode requires Pillow/opencv — not in this container; "
             "plug the real decoder here"
         )
-    h = hashlib.blake2b(payload or b"", digest_size=32).digest()
-    return [b / 255.0 for b in h[:16]]
+    return _stub_feature(payload)
 
 
 def _decode_audio_features(payload: bytes, mode: str) -> list[float]:
@@ -96,8 +97,7 @@ def _decode_audio_features(payload: bytes, mode: str) -> list[float]:
             "audio feature extraction requires torchaudio/librosa — "
             "plug the real extractor here"
         )
-    h = hashlib.blake2b(b"audio" + (payload or b""), digest_size=32).digest()
-    return [b / 255.0 for b in h[:16]]
+    return _stub_feature(payload)
 
 
 def _decode_video_features(payload: bytes, mode: str) -> list[float]:
@@ -106,8 +106,7 @@ def _decode_video_features(payload: bytes, mode: str) -> list[float]:
             "video frame sampling requires pyav/ffmpeg — plug the real "
             "sampler here"
         )
-    h = hashlib.blake2b(b"video" + (payload or b""), digest_size=32).digest()
-    return [b / 255.0 for b in h[:16]]
+    return _stub_feature(payload)
 
 
 _DECODERS = {

@@ -149,6 +149,13 @@ def _extraction_stage(
 
     cache_path = wh.path("extraction_cache")
     done = wh.completed_partitions("extract") if cfg.resume else set()
+    if not cfg.resume and os.path.exists(cache_path):
+        # fresh rebuild must not reuse a stale cache: a changed
+        # extractor/config would otherwise survive via the
+        # dropDuplicates(chunk_id) pick (nondeterministic winner)
+        import shutil
+
+        shutil.rmtree(cache_path, ignore_errors=True)
     cache = None
     if os.path.exists(cache_path):
         try:

@@ -19,13 +19,9 @@ def test_queries_oracle_key_consistency():
     assert set(oracles) <= set(qs), "oracle without a query"
     # every oracle-less query is intentionally rows-only (documented)
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {
-        "minhash_pairs",
-        "simhash_pairs",
-        "ann_ivf",
-        "multimodal_features",
-        "knn_candidates",
-    }
+    # ann_ivf is approximate by design — the one intended rows-only
+    # query (it self-reports recall vs brute force per row)
+    assert rows_only <= {"ann_ivf"}
 
 
 def test_all_queries_run_at_smoke_scale(spark):
