@@ -310,6 +310,39 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+_CHARVEC_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _q_chunk_vector_topk(spark, sf_dir):
+    """Chunk vector index read path (reference build stage 3 /
+    Neo4jVector chunk retrieval): per-query top-k chunks via the
+    chunk_topk operator (broadcast query set, JVM score, per-query
+    window). Vectors here are integer letter-count embeddings — exact
+    integer arithmetic in both engines, so ranks and scores hash-match;
+    the pandas-UDF embedding slot is covered by pytest (stub parity).
+    """
+    from graph_rag_agent_spark.operators.chunk_index import chunk_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower("text")
+    charvec = F.array(
+        *[
+            (F.length(low) - F.length(F.regexp_replace(low, c, ""))).cast("long")
+            for c in _CHARVEC_ALPHABET
+        ]
+    )
+    chunks_emb = docs.select(
+        F.col("doc_id").alias("chunk_key"), charvec.alias("embedding")
+    )
+    queries = (
+        docs.where(F.col("doc_id") % 100 == 7)
+        .select(F.col("doc_id").alias("query_id"), charvec.alias("qvec"))
+    )
+    return chunk_topk(
+        chunks_emb, queries, k=3, metric="dot", id_col="chunk_key"
+    )
+
+
 def _q_entity_canonical_map(spark, sf_dir):
     """The DISTRIBUTED linking chain end-to-end (SURVEY §2 J3/G1/G2/
     J4/L4/SO1-2): pattern-entity catalog (id space ∝ corpus) → stub
@@ -414,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "ann_topk": _q_ann_topk,
         "entity_canonical_map": _q_entity_canonical_map,
+        "chunk_vector_topk": _q_chunk_vector_topk,
         "minhash_pairs": _q_minhash_pairs,  # rows-only (blake2 hashes)
         "simhash_pairs": _q_simhash_pairs,  # rows-only
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design)
@@ -764,6 +798,32 @@ def oracle_sql() -> dict[str, str]:
             FROM grp g JOIN survivors s USING (k)
         """,
         "kg_triples": _kg_triples_oracle(),
+        "chunk_vector_topk": """
+            WITH emb AS (
+                SELECT doc_id, ["""
+            + ", ".join(
+                f"CAST(length(lower(text)) - length(regexp_replace(lower(text), '{c}', '', 'g')) AS BIGINT)"
+                for c in _CHARVEC_ALPHABET
+            )
+            + """] AS v
+                FROM documents
+            ),
+            q AS (SELECT doc_id AS query_id, v AS qv FROM emb WHERE doc_id % 100 = 7),
+            scored AS (
+                SELECT q.query_id, e.doc_id AS chunk_key,
+                       list_dot_product(q.qv, e.v) AS score
+                FROM q, emb e
+            ),
+            ranked AS (
+                SELECT query_id, chunk_key, CAST(score AS BIGINT) AS score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, chunk_key ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, chunk_key, CAST(rank AS INTEGER) AS rank, score
+            FROM ranked WHERE rank <= 3
+        """,
         # Full SQL replay of the MinHash-LSH plan: md5-based 31-bit
         # shingle hashes → 64 formulaic permutations → 16×4 band
         # buckets → candidate join → exact raw-shingle Jaccard ≥ 0.5.

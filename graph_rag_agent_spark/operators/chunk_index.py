@@ -1,0 +1,102 @@
+"""Chunk embedding + chunk vector index (the reference's build stage 3).
+
+Reference behavior reproduced:
+  - every chunk gets an embedding and a vector index over chunk nodes
+    (/root/reference/build/build_chunk_index.py:101-172,
+    graph/indexing/chunk_indexer.py:120+); chunk-level vector top-k is
+    the primary RAG read path (Neo4jVector over the chunk index,
+    search/local_search.py uses it as retriever input).
+
+Spark-first shape: the embedding is ONE Arrow-batched pandas-UDF
+column on the chunks table (prod swaps a batched model client into the
+same slot — identical contract to entity embeddings in
+operators/linking.with_embeddings). The "index" IS the embedded
+column: top-k retrieval for a (small) query set is a broadcast join
+against the chunk table with a JVM-side score and a per-query top-k
+window — no collect, parallel over the chunks' existing partitioning.
+Corpus-scale chunk↔chunk similarity reuses operators/knn (LSH/IVF).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core.stub_embed import embed_text
+
+
+def with_chunk_embeddings(chunks: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``embedding array<double>`` via an Arrow-batched pandas UDF
+    (deterministic stub; prod: batched model client, same slot)."""
+
+    @F.pandas_udf("array<double>")
+    def embed_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            yield pd.Series([embed_text(t or "") for t in texts])
+
+    return chunks.withColumn("embedding", embed_udf(text_col))
+
+
+def _dot(vec_col: str, qvec_col: str, integral: bool):
+    zero = F.lit(0).cast("long") if integral else F.lit(0.0)
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(qvec_col), lambda x, y: x * y),
+        zero,
+        lambda acc, x: acc + x,
+    )
+
+
+def chunk_topk(
+    chunks_emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    metric: str = "cosine",
+    id_col: str = "chunk_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Top-k chunks per query vector: (query_id, <id_col>, rank, score).
+
+    ``metric='cosine'`` (double) or ``'dot'`` — dot over integral
+    vectors stays in exact integer arithmetic (score long), which is
+    what makes the driver oracle hash-exact across engines.
+    """
+    elem = chunks_emb.schema[vec_col].dataType.elementType.simpleString()
+    integral = metric == "dot" and elem in ("int", "bigint", "smallint", "tinyint")
+    joined = chunks_emb.join(F.broadcast(queries))
+    dot = _dot(vec_col, qvec_col, integral)
+    if metric == "dot":
+        score = dot
+    else:
+        n_c = F.sqrt(
+            F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        n_q = F.sqrt(
+            F.aggregate(F.col(qvec_col), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        score = F.when((n_c == 0) | (n_q == 0), F.lit(0.0)).otherwise(
+            dot / (n_c * n_q)
+        )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        joined.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "score")
+    )
+
+
+def top_chunks_for_query(
+    chunks_emb: DataFrame, query: str, k: int = 3, id_col: str = "chunk_id"
+) -> DataFrame:
+    """Single-text convenience wrapper: embed the query with the same
+    stub/model slot and retrieve top-k chunks by cosine."""
+    spark = chunks_emb.sparkSession
+    qdf = spark.createDataFrame(
+        [("q0", embed_text(query))], f"{'query_id'} string, qvec array<double>"
+    )
+    return chunk_topk(chunks_emb, qdf, k=k, id_col=id_col)

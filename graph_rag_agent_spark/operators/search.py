@@ -63,7 +63,11 @@ def local_search(
     top_rels: int = 10,
 ) -> dict[str, DataFrame]:
     """The reference's retrieval fan-out (local_search.py:88-133) as
-    four declarative queries from seed entities."""
+    declarative queries from seed entities. When the chunks table
+    carries an ``embedding`` column (build stage 3 —
+    operators/chunk_index.with_chunk_embeddings), the result also
+    includes direct chunk-vector retrieval (``vector_chunks``), the
+    reference's Neo4jVector chunk-index read path."""
     seeds = top_entities_for_query(entities, query, top_entities)
 
     # chunks by mention frequency of seed entities (A7 + W6)
@@ -75,6 +79,12 @@ def local_search(
         .orderBy(F.desc("freq"), F.asc("chunk_id"))
         .limit(top_chunks)
     )
+
+    vector_chunks = None
+    if "embedding" in chunks.columns:
+        from .chunk_index import top_chunks_for_query
+
+        vector_chunks = top_chunks_for_query(chunks, query, k=top_chunks)
 
     # communities of seeds by rank (W5-like)
     seed_comms = (
@@ -110,13 +120,16 @@ def local_search(
         .select("subj", "pred", "obj", "weight")
     )
 
-    return {
+    out = {
         "seeds": seeds,
         "chunks": chunk_freq,
         "communities": seed_comms,
         "inside_rels": inside,
         "outside_rels": outside,
     }
+    if vector_chunks is not None:
+        out["vector_chunks"] = vector_chunks
+    return out
 
 
 def global_search_map(

@@ -319,5 +319,15 @@ def build_all(
     )
     res.tables["communities"] = communities
 
+    # build stage 3 (reference build/build_chunk_index.py:101-172):
+    # chunk embeddings for the chunk vector index — one pandas-UDF pass
+    def _chunk_embeddings():
+        from ..operators.chunk_index import with_chunk_embeddings
+
+        return with_chunk_embeddings(chunks).select("chunk_id", "embedding")
+
+    chunk_embeddings = _stage(wh, "chunk_embeddings", cfg.resume, _chunk_embeddings)
+    res.tables["chunk_embeddings"] = chunk_embeddings
+
     res.metrics["build_seconds"] = time.time() - t_start
     return res

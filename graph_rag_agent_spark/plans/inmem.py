@@ -40,6 +40,7 @@ def build_kg_tables(
     with_signatures: bool = False,
     max_levels: int = 3,
     link_driver_threshold: int | None = None,
+    with_chunk_index: bool = False,
 ) -> dict[str, DataFrame]:
     """``link_driver_threshold=0`` forces the fully distributed
     linking chain (LSH → CC → candidates → judge) regardless of
@@ -50,6 +51,10 @@ def build_kg_tables(
         from ..operators.dedup import chunk_signature_columns
 
         chunks = chunk_signature_columns(chunks)
+    if with_chunk_index:
+        from ..operators.chunk_index import with_chunk_embeddings
+
+        chunks = with_chunk_embeddings(chunks)
     chunks = chunks.localCheckpoint()
     parsed = parse_extractions(extract_chunks(chunks)).localCheckpoint()
     e_raw = entities_raw(parsed)
