@@ -78,48 +78,207 @@ def incremental_update(
     warehouse: str,
     cfg=None,
 ) -> dict[str, DataFrame]:
-    """Full incremental cycle against an existing build warehouse.
+    """True incremental cycle against an existing build warehouse.
 
-    Strategy: compute changed conv set; rebuild is then a targeted
-    build_all over (old transcripts minus deleted/modified) ∪ new —
-    with the extraction cache making unchanged chunk texts free. For
-    parquet simplicity the per-conv fact tables are rewritten via
-    anti-join + append (Iceberg: MERGE INTO / DELETE WHERE).
+    Per-conversation stages (chunk, extract, parse, raw tables) are
+    REUSED for unchanged conversations via anti-join + append — only
+    the changed conv set flows through the operators, mirroring the
+    reference's changed-files-only reprocessing
+    (incremental_graph_builder.py:94-307). Global stages (entity
+    catalog → linking → canonicalization → communities) re-run over
+    the merged raw tables, exactly as the reference re-runs its
+    index/community stage. At 100 TB an incremental cycle therefore
+    costs O(changed conversations) + the global linking work, not a
+    full-corpus re-chunk/re-parse (round 1 rebuilt everything).
+
+    Lineage rows (stage='incr_*') record how many rows each
+    incremental stage actually processed — the unchanged-is-free
+    property is testable from them. Output tables are overwritten in
+    the warehouse (Iceberg: MERGE INTO / DELETE WHERE).
     """
-    from .build import BuildConfig, build_all
-
-    old_registry = spark.read.parquet(f"{warehouse}/registry")
-    new_registry = conversation_registry(new_transcripts)
-    changes = detect_changes(new_registry, old_registry)
-
-    old_transcripts = spark.read.parquet(f"{warehouse}/transcripts")
-    dropped = changes["deleted"].union(changes["modified"]).distinct()
-
-    merged = (
-        old_transcripts.join(dropped, "conv_id", "left_anti")
-        .join(changes["added"].union(changes["modified"]), "conv_id", "left_anti")
-        .unionByName(
-            new_transcripts.join(
-                changes["added"].union(changes["modified"]), "conv_id", "left_semi"
-            )
-        )
+    from ..operators.canonicalize import (
+        canonical_entities,
+        resolve_canonical,
+        rewrite_mentions,
+        rewrite_triples,
     )
+    from ..operators.chunk_index import with_chunk_embeddings
+    from ..operators.chunking import chunk_conversations
+    from ..operators.community import community_catalog, detect_communities
+    from ..operators.components import (
+        connected_components,
+        consecutive_component_ids,
+    )
+    from ..operators.extraction import extract_chunks
+    from ..operators.linking import (
+        entity_catalog,
+        link_entities_driver_path,
+        similar_entities,
+        with_embeddings,
+    )
+    from ..operators.parsing import (
+        entities_raw,
+        mentions_raw,
+        parse_extractions,
+        triples_raw,
+    )
+    from .build import BuildConfig, _Warehouse
 
-    # materialize before build_all overwrites the tables they read from
-    merged = merged.localCheckpoint()
-    for key in changes:
-        changes[key] = changes[key].localCheckpoint()
-
-    # audit row for the cascade (J9) — what a delete-only cycle drops
-    mentions = spark.read.parquet(f"{warehouse}/mentions")
-    cascade = cascade_delete_entities(mentions, dropped).localCheckpoint()
+    import time as _time
 
     cfg = cfg or BuildConfig(warehouse=warehouse, resume=False)
-    # keep the extraction cache: unchanged chunk texts are cache hits
-    cfg.resume = False
-    result = build_all(spark, merged, cfg)
-    result.tables["cascade_deleted_entities"] = cascade
-    result.tables["changes_added"] = changes["added"]
-    result.tables["changes_modified"] = changes["modified"]
-    result.tables["changes_deleted"] = changes["deleted"]
-    return result.tables
+    wh = _Warehouse(spark, warehouse)
+
+    old_registry = wh.read("registry")
+    new_registry = conversation_registry(new_transcripts).localCheckpoint()
+    changes = {
+        k: v.localCheckpoint() for k, v in detect_changes(new_registry, old_registry).items()
+    }
+    changed = changes["added"].union(changes["modified"]).distinct().localCheckpoint()
+    dropped = changes["deleted"].union(changes["modified"]).distinct().localCheckpoint()
+    stale = dropped.union(changed).distinct().localCheckpoint()
+
+    old_transcripts = wh.read("transcripts")
+    old_chunks = wh.read("chunks")
+    old_extractions = wh.read("extractions")
+    old_parsed = wh.read("parsed")
+
+    # audit row for the cascade (J9) — what a delete-only cycle drops
+    cascade = cascade_delete_entities(wh.read("mentions"), dropped).localCheckpoint()
+
+    changed_transcripts = new_transcripts.join(changed, "conv_id", "left_semi")
+    transcripts = (
+        old_transcripts.join(stale, "conv_id", "left_anti")
+        .unionByName(changed_transcripts)
+        .localCheckpoint()
+    )
+
+    # --- per-conversation stages: changed convs only -----------------
+    t0 = _time.time()
+    new_chunks = chunk_conversations(changed_transcripts).localCheckpoint()
+    wh.append_lineage("incr_chunks", -1, new_chunks.count(), t0)
+    chunks = (
+        old_chunks.join(stale, "conv_id", "left_anti")
+        .select(*old_chunks.columns)  # join key reorders columns
+        .unionByName(new_chunks)
+        .select(*new_chunks.columns)
+        .localCheckpoint()
+    )
+
+    cache = None
+    try:
+        cache = wh.read("extraction_cache")
+    except Exception:
+        cache = old_extractions.select("chunk_id", "result")
+    t0 = _time.time()
+    kwargs = {} if cfg.extractor is None else {"extractor": cfg.extractor}
+    new_extractions = extract_chunks(new_chunks, cache=cache, **kwargs).localCheckpoint()
+    wh.append_lineage("incr_extract", -1, new_extractions.count(), t0)
+    extractions = (
+        old_extractions.join(stale, "conv_id", "left_anti")
+        .unionByName(new_extractions.select(*old_extractions.columns))
+        .select(*new_extractions.columns)
+        .localCheckpoint()
+    )
+
+    t0 = _time.time()
+    parsed_new = parse_extractions(new_extractions).localCheckpoint()
+    wh.append_lineage("incr_parse", -1, parsed_new.count(), t0)
+    parsed = (
+        old_parsed.join(stale, "conv_id", "left_anti")
+        .unionByName(parsed_new.select(*old_parsed.columns))
+        .select(*parsed_new.columns)
+        .localCheckpoint()
+    )
+    e_raw = entities_raw(parsed)
+    t_raw = triples_raw(parsed)
+    m_raw = mentions_raw(parsed)
+
+    # chunk embeddings: re-embed only chunk texts not already embedded
+    try:
+        old_ce = wh.read("chunk_embeddings")
+    except Exception:
+        old_ce = None
+    distinct_chunks = chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"])
+    if old_ce is not None:
+        kept_ce = old_ce.join(
+            distinct_chunks.select("chunk_id"), "chunk_id", "left_semi"
+        )
+        todo = distinct_chunks.join(old_ce.select("chunk_id"), "chunk_id", "left_anti")
+        chunk_embeddings = kept_ce.unionByName(
+            with_chunk_embeddings(todo).select("chunk_id", "embedding")
+        ).localCheckpoint()
+    else:
+        chunk_embeddings = (
+            with_chunk_embeddings(distinct_chunks)
+            .select("chunk_id", "embedding")
+            .localCheckpoint()
+        )
+
+    # --- global stages over the merged raw tables --------------------
+    catalog = entity_catalog(e_raw, chunks)
+    linked = link_entities_driver_path(catalog)
+    if linked is not None:
+        embedded, similar = linked["embedded"], linked["similar"]
+        wcc, cmap = linked["wcc"], linked["canonical_map"]
+    else:
+        embedded = with_embeddings(catalog).localCheckpoint()
+        similar = similar_entities(
+            embedded, method=cfg.similarity_method
+        ).localCheckpoint()
+        wcc = (
+            consecutive_component_ids(
+                connected_components(
+                    similar.select("src", "dst"), nodes=embedded.select("entity_id")
+                )
+            )
+            .select(F.col("node").alias("entity_id"), "wcc")
+            .localCheckpoint()
+        )
+        cmap = resolve_canonical(wcc).localCheckpoint()
+
+    triples = rewrite_triples(t_raw, cmap).localCheckpoint()
+    mentions = rewrite_mentions(m_raw, cmap).localCheckpoint()
+    entities = (
+        canonical_entities(embedded.join(wcc, "entity_id", "left"), cmap)
+        .select("entity_id", "entity_type", "description", "embedding", "wcc")
+        .localCheckpoint()
+    )
+    membership, hierarchy = detect_communities(
+        entities, triples, max_levels=cfg.max_levels
+    )
+    membership = membership.localCheckpoint()
+    hierarchy = hierarchy.localCheckpoint()
+    communities = community_catalog(
+        membership, entities, triples, mentions
+    ).localCheckpoint()
+
+    # --- overwrite warehouse tables (everything above is eagerly
+    # checkpointed, so reading-while-overwriting is safe) -------------
+    tables = {
+        "transcripts": transcripts,
+        "registry": new_registry,
+        "chunks": chunks,
+        "extractions": extractions,
+        "parsed": parsed,
+        "entities_raw": e_raw.localCheckpoint(),
+        "triples_raw": t_raw.localCheckpoint(),
+        "mentions_raw": m_raw.localCheckpoint(),
+        "entity_embeddings": embedded,
+        "similar": similar,
+        "wcc": wcc,
+        "canonical_map": cmap,
+        "triples": triples,
+        "mentions": mentions,
+        "entities": entities,
+        "membership": membership,
+        "hierarchy": hierarchy,
+        "communities": communities,
+        "chunk_embeddings": chunk_embeddings,
+    }
+    out = {name: wh.write(df, name) for name, df in tables.items()}
+    out["cascade_deleted_entities"] = cascade
+    out["changes_added"] = changes["added"]
+    out["changes_modified"] = changes["modified"]
+    out["changes_deleted"] = changes["deleted"]
+    return out

@@ -91,6 +91,31 @@ def test_incremental_update_matches_full_rebuild(
     modified = {r["conv_id"] for r in tables["changes_modified"].collect()}
     assert deleted == {"conv-000003"} and modified == {"conv-000001"}
 
+    # unchanged-is-free: the incremental chunk/parse stages processed
+    # ONLY the changed conversation's rows (lineage incr_* counters)
+    lineage = spark.read.parquet(f"{wh}/lineage")
+    incr_chunks = (
+        lineage.where(F.col("stage") == "incr_chunks").agg(F.sum("rows")).first()[0]
+    )
+    n_changed_chunks = (
+        tables["chunks"].where(F.col("conv_id") == "conv-000001").count()
+    )
+    assert incr_chunks == n_changed_chunks  # not the full corpus
+    total_chunks = tables["chunks"].count()
+    assert incr_chunks < total_chunks
+
+    # and the final warehouse state equals a from-scratch rebuild
+    wh2 = str(tmp_path_factory.mktemp("wh_rebuild"))
+    rebuilt = build_all(
+        spark,
+        v2_df,
+        BuildConfig(warehouse=wh2, similarity_method="exact", extraction_buckets=2),
+    )
+    for name in ["chunks", "entities", "mentions"]:
+        a = {tuple(r) for r in tables[name].drop("embedding").collect()}
+        b = {tuple(r) for r in rebuilt.tables[name].drop("embedding").collect()}
+        assert a == b, name
+
 
 def test_streaming_ingest_dedups_replays(spark, tmp_path_factory):
     from graph_rag_agent_spark.streaming.ingest import (
