@@ -242,6 +242,34 @@ def detect_communities(
     return membership, hierarchy
 
 
+def detect_communities_factory(
+    entities: DataFrame,
+    triples: DataFrame,
+    algorithm: str = "leiden",
+    **kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Algorithm selector mirroring the reference's
+    ``community_algorithm`` setting (config/settings.py:48 — 'leiden'
+    or 'sllpa', factory community/detector/__init__).
+
+    'leiden' → the hierarchical LPA/contraction detector above;
+    'sllpa' → overlapping single-level SLLPA (operators/sllpa.py) —
+    its hierarchy is empty (level-0 only, like the reference's SLLPA
+    save path)."""
+    if algorithm == "leiden":
+        return detect_communities(entities, triples, **kwargs)
+    if algorithm == "sllpa":
+        from .sllpa import sllpa_membership_table
+
+        kwargs.pop("max_levels", None)
+        membership = sllpa_membership_table(entities, triples, **kwargs)
+        hierarchy = entities.sparkSession.createDataFrame(
+            [], "child_community string, parent_community string"
+        )
+        return membership, hierarchy
+    raise ValueError(f"unknown community algorithm: {algorithm!r}")
+
+
 def community_catalog(
     membership: DataFrame,
     entities: DataFrame,
