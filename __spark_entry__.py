@@ -397,6 +397,43 @@ def _q_entity_canonical_map(spark, sf_dir):
     )
 
 
+def _q_entity_coverage(spark, sf_dir):
+    """Evaluator metric A11 (reference evaluator/metrics/
+    graph_metrics.py:1009-1259): per-sample entity-coverage score over
+    synthetic samples — question = the planted turn text, referenced
+    entities = its pattern mentions, descriptions from the stub
+    catalog formula. The oracle recomputes keywords, match rate,
+    entity factor and the 0.4 + 0.6·mr·ef score in SQL."""
+    from graph_rag_agent_spark.core.vocab import PATTERN_REGEX, PATTERN_TYPES
+    from graph_rag_agent_spark.operators.evaluator import entity_coverage
+    from graph_rag_agent_spark.sources.transcripts import transcripts_from_documents
+
+    transcripts = transcripts_from_documents(spark, sf_dir, plant_mentions=True)
+    samples = transcripts.select(
+        F.col("conv_id").alias("sample_id"),
+        F.col("text").alias("question"),
+        F.regexp_extract_all("text", F.lit(PATTERN_REGEX), 0).alias("entity_ids"),
+    )
+    etype = F.col("entity_id").substr(1, 3)
+    for prefix, tname in PATTERN_TYPES.items():
+        etype = F.when(
+            F.col("entity_id").substr(1, 3) == prefix, F.lit(tname)
+        ).otherwise(etype)
+    entities = (
+        transcripts.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(PATTERN_REGEX), 0)
+            ).alias("entity_id")
+        )
+        .distinct()
+        .select(
+            "entity_id",
+            F.concat("entity_id", F.lit(" is a "), etype).alias("description"),
+        )
+    )
+    return entity_coverage(samples, entities)
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Binary-column feature plumbing: synthesize opaque binary assets
     (JVM expressions), run the Arrow-batched decode stub over the
@@ -448,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "entity_canonical_map": _q_entity_canonical_map,
         "chunk_vector_topk": _q_chunk_vector_topk,
+        "entity_coverage": _q_entity_coverage,
         "minhash_pairs": _q_minhash_pairs,  # rows-only (blake2 hashes)
         "simhash_pairs": _q_simhash_pairs,  # rows-only
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design)
@@ -798,6 +836,108 @@ def oracle_sql() -> dict[str, str]:
             FROM grp g JOIN survivors s USING (k)
         """,
         "kg_triples": _kg_triples_oracle(),
+        "entity_coverage": ("""
+            WITH turns AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST(o - 1 AS BIGINT) AS pos,
+                       trim(t) AS turn_text
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(text, '[。.!?]')) AS t,
+                           generate_subscripts(regexp_split_to_array(text, '[。.!?]'), 1) AS o
+                    FROM documents
+                ) WHERE length(trim(t)) > 0
+            ),
+            params AS (
+                SELECT greatest(16, least(100000, 2 * count(*))) AS id_space
+                FROM documents
+            ),
+            planted AS (
+                SELECT doc_id, pos, turn_text,
+                       (doc_id*48271 + pos*16807 + 7) % id_space AS pat_a,
+                       (doc_id*22695477 + pos*101 + 3) % 3 AS var_a,
+                       (doc_id*65539 + pos*131 + 5) % (id_space - 1) AS off_b,
+                       (doc_id*69069 + pos*89 + 1) % 3 AS var_b,
+                       (doc_id*40503 + pos*8191 + 11) AS kva,
+                       (doc_id*69621 + pos*3571 + 29) AS kvb,
+                       id_space
+                FROM turns, params
+            ),
+            formed AS (
+                SELECT doc_id, pos, turn_text, kva, kvb,
+                       CASE var_a WHEN 0 THEN pa_p||'-'||pa_n
+                                  WHEN 1 THEN pa_p||' '||pa_n
+                                  ELSE pa_p||'-'||pa_n||'.' END AS m3,
+                       CASE var_b WHEN 0 THEN pb_p||'-'||pb_n
+                                  WHEN 1 THEN pb_p||' '||pb_n
+                                  ELSE pb_p||'-'||pb_n||'.' END AS m4
+                FROM (
+                    SELECT doc_id, pos, turn_text, kva, kvb, var_a, var_b,
+                           ['EMP','PRJ','TKT'][CAST(pat_a % 3 AS INTEGER) + 1] AS pa_p,
+                           printf('%05d', pat_a) AS pa_n,
+                           ['EMP','PRJ','TKT'][CAST((pat_a + 1 + off_b) % id_space % 3 AS INTEGER) + 1] AS pb_p,
+                           printf('%05d', (pat_a + 1 + off_b) % id_space) AS pb_n
+                    FROM planted
+                )
+            ),
+            samples AS (
+                SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS sample_id,
+                       turn_text || ' ' || """
+            + "__ALIAS_ARR__[CAST(kva % __N_ALIAS__ AS INTEGER) + 1]"
+            + """ || '与' || """
+            + "__ALIAS_ARR__[CAST(kvb % __N_ALIAS__ AS INTEGER) + 1]"
+            + """ || '有合作关系。 ' || m3 || ' is assigned to ' || m4 || ' today。'
+                           AS question,
+                       m3, m4
+                FROM formed
+            ),
+            scored AS (
+                SELECT sample_id,
+                       list_filter(
+                           regexp_extract_all(lower(question), '[a-z0-9一-鿿]{2,}'),
+                           k -> length(k) < 15) AS kw,
+                       lower(array_to_string(list_sort([
+                           m3 || ' ' || m3 || ' is a ' ||
+                             CASE substr(m3,1,3) WHEN 'EMP' THEN 'Person'
+                                  WHEN 'PRJ' THEN 'Project' ELSE 'Ticket' END,
+                           m4 || ' ' || m4 || ' is a ' ||
+                             CASE substr(m4,1,3) WHEN 'EMP' THEN 'Person'
+                                  WHEN 'PRJ' THEN 'Project' ELSE 'Ticket' END
+                       ]), ' ')) AS etext
+                FROM samples
+            )
+            SELECT sample_id,
+                   CAST(len(kw) AS INTEGER) AS n_keywords,
+                   CAST(len(list_filter(kw, k -> contains(etext, k))) AS INTEGER) AS matched,
+                   CAST(2 AS BIGINT) AS n_entities,
+                   CAST(round(
+                       CASE WHEN len(kw) > 0
+                            THEN least(1.0,
+                                 0.4 + 0.6 * (len(list_filter(kw, k -> contains(etext, k)))
+                                              / CAST(len(kw) AS DOUBLE))
+                                           * least(1.0, 2 / 5.0))
+                            ELSE 0.4 END * 10000) AS INTEGER) AS score_x10000
+            FROM scored
+        """).replace(
+            "__ALIAS_ARR__",
+            "["
+            + ", ".join(
+                "'" + a + "'"
+                for a in __import__(
+                    "graph_rag_agent_spark.core.vocab", fromlist=["ALL_ALIASES"]
+                ).ALL_ALIASES
+            )
+            + "]",
+        ).replace(
+            "__N_ALIAS__",
+            str(
+                len(
+                    __import__(
+                        "graph_rag_agent_spark.core.vocab", fromlist=["ALL_ALIASES"]
+                    ).ALL_ALIASES
+                )
+            ),
+        ),
         "chunk_vector_topk": """
             WITH emb AS (
                 SELECT doc_id, ["""

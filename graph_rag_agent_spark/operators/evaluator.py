@@ -1,0 +1,271 @@
+"""Graph-side evaluator metrics (SURVEY §2 A11 — the DataFrame-
+expressible subset of the reference's evaluator/metrics family).
+
+Reference formulas transcribed exactly:
+  - entity_coverage (evaluator/metrics/graph_metrics.py:1009-1259):
+    keywords from the question → match rate against the referenced
+    entities' "id description" text; score =
+    min(1, 0.4 + 0.6·match_rate·min(1, n_entities/5)).
+  - graph_coverage (:803-845 + the three component scorers):
+    base 0.3 + 0.7·(0.3·structure + 0.4·relevance + 0.3·connectedness)
+      structure   (:846-868): min(0.6, 0.05·n_e + 0.05·n_r)
+                  + 0.2·described-entity-ratio + 0.2·described-rel-ratio
+      relevance   (:869-888): min(1, 1.2·keyword match rate over the
+                  combined entity+relationship text); 0.5 if no keywords
+      connectedness (:889-...:990-1006): 0.4 + 0.6·min(1,
+                  paths(1..3 hops between referenced ids) / C(n_e, 2))
+
+Deviations (documented): the LLM fallback ladder (score ≤ 0.4 → LLM
+judge) is an LLM boundary and is not reproduced; the reference's
+0.5-credit neighbor-description probe (a per-keyword Cypher query) is
+dropped; referenced relationships are the canonical triples whose BOTH
+endpoints are referenced (the reference passes Neo4j-internal rel ids,
+which have no Spark analogue).
+
+Keyword extraction: the reference uses
+re.findall(r'\\b[\\w一-鿿]{2,}\\b', normalize_answer(q)) then filters
+1 < len < 15. We extract runs of [a-z0-9一-鿿]{2,} from the lowered
+question — identical on text whose word separators are
+non-word characters (our fixtures), and expressible in both Spark and
+ANSI SQL (the driver oracle).
+
+Path counting follows Cypher `-[*1..3]-` semantics: undirected
+traversal, relationships pairwise distinct within a path, intermediate
+nodes unrestricted, both traversal directions counted. Scale note: the
+walk tables are corpus-global joins; at 100 TB this metric would be
+computed per-sample on the retrieved subgraph (as the reference does
+via per-sample Cypher), not corpus-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KEYWORD_PATTERN = "[a-z0-9一-鿿]{2,}"
+
+
+def extract_keywords(col) -> "F.Column":
+    """Duplicate-preserving keyword array (reference keeps duplicates:
+    each occurrence is matched separately)."""
+    return F.filter(
+        F.regexp_extract_all(F.lower(col), F.lit(KEYWORD_PATTERN), 0),
+        lambda k: F.length(k) < 15,
+    )
+
+
+def _match_rate(keywords_col, text_col):
+    n_k = F.size(keywords_col)
+    matched = F.size(
+        F.filter(keywords_col, lambda k: F.col(text_col).contains(k))
+    )
+    return n_k, matched
+
+
+def entity_coverage(samples: DataFrame, entities: DataFrame) -> DataFrame:
+    """samples(sample_id, question, entity_ids array<string>) +
+    entities(entity_id, description) →
+    (sample_id, n_keywords, matched, n_entities, score).
+    """
+    exploded = samples.select(
+        "sample_id", F.explode_outer("entity_ids").alias("entity_id")
+    )
+    etext = (
+        exploded.join(entities.select("entity_id", "description"), "entity_id", "left")
+        .groupBy("sample_id")
+        .agg(
+            F.lower(
+                F.concat_ws(
+                    " ",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(" ", "entity_id", "description")
+                        )
+                    ),
+                )
+            ).alias("entities_text"),
+            F.count("entity_id").alias("n_entities"),
+        )
+    )
+    base = samples.join(etext, "sample_id").withColumn(
+        "keywords", extract_keywords("question")
+    )
+    n_k, matched = _match_rate(F.col("keywords"), "entities_text")
+    match_rate = F.when(n_k > 0, matched / n_k).otherwise(F.lit(0.0))
+    entity_factor = F.least(F.lit(1.0), F.col("n_entities") / 5)
+    score = F.when(
+        (n_k > 0) & (F.col("n_entities") > 0),
+        F.least(F.lit(1.0), 0.4 + 0.6 * match_rate * entity_factor),
+    ).otherwise(F.lit(0.4))
+    return base.select(
+        "sample_id",
+        n_k.alias("n_keywords"),
+        matched.alias("matched"),
+        "n_entities",
+        F.round(score * 10000).cast("int").alias("score_x10000"),
+    )
+
+
+def _sym_edges(triples: DataFrame) -> DataFrame:
+    """Each canonical triple is one relationship; edge_id identifies it
+    for the pairwise-distinct constraint."""
+    e = triples.select(
+        "subj",
+        "obj",
+        F.md5(F.concat_ws("\x1f", "subj", "pred", "obj")).alias("edge_id"),
+    ).where(F.col("subj") != F.col("obj"))
+    return e.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"), "edge_id"
+    ).union(e.select(F.col("obj").alias("src"), F.col("subj").alias("dst"), "edge_id"))
+
+
+def referenced_path_counts(
+    sample_entities: DataFrame, triples: DataFrame
+) -> DataFrame:
+    """(sample_id, entity_id) + triples → (sample_id, path_count) with
+    Cypher -[*1..3]- path semantics between the sample's ids."""
+    sym = _sym_edges(triples)
+    ids = sample_entities.select("sample_id", "entity_id")
+
+    def ends(walk: DataFrame) -> DataFrame:
+        return (
+            walk.join(
+                ids.select("sample_id", F.col("entity_id").alias("src")),
+                "src",
+            )
+            .join(
+                ids.select(
+                    F.col("sample_id").alias("sid2"),
+                    F.col("entity_id").alias("dst2"),
+                ),
+                (F.col("sid2") == F.col("sample_id"))
+                & (F.col("dst2") == F.col("dst")),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("sample_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+    w1 = sym.select("src", "dst", F.array("edge_id").alias("eids"))
+    w2 = (
+        w1.alias("l")
+        .join(sym.alias("r"), F.col("l.dst") == F.col("r.src"))
+        .where(~F.array_contains(F.col("l.eids"), F.col("r.edge_id")))
+        .select(
+            F.col("l.src").alias("src"),
+            F.col("r.dst").alias("dst"),
+            F.array_union(F.col("l.eids"), F.array(F.col("r.edge_id"))).alias("eids"),
+        )
+    )
+    w3 = (
+        w2.alias("l")
+        .join(sym.alias("r"), F.col("l.dst") == F.col("r.src"))
+        .where(~F.array_contains(F.col("l.eids"), F.col("r.edge_id")))
+        .select(
+            F.col("l.src").alias("src"),
+            F.col("r.dst").alias("dst"),
+            F.lit(None).alias("eids"),
+        )
+    )
+    counts = None
+    for walk in (w1.drop("eids"), w2.drop("eids"), w3.drop("eids")):
+        c = ends(walk)
+        counts = c if counts is None else counts.unionByName(c)
+    total = counts.groupBy("sample_id").agg(F.sum("n").alias("path_count"))
+    return (
+        sample_entities.select("sample_id")
+        .distinct()
+        .join(total, "sample_id", "left")
+        .select("sample_id", F.coalesce("path_count", F.lit(0)).alias("path_count"))
+    )
+
+
+def graph_coverage(
+    samples: DataFrame, entities: DataFrame, triples: DataFrame
+) -> DataFrame:
+    """samples(sample_id, question, entity_ids) → per-sample
+    (sample_id, structure, relevance, connectedness, score)."""
+    ref = samples.select("sample_id", F.explode_outer("entity_ids").alias("entity_id"))
+    ref_entities = ref.join(
+        entities.select("entity_id", "description"), "entity_id", "left"
+    )
+    # referenced relationships: canonical triples with BOTH ends referenced
+    rels = (
+        triples.select("subj", "pred", "obj", "description")
+        .join(ref.select("sample_id", F.col("entity_id").alias("subj")), "subj")
+        .join(
+            ref.select(
+                F.col("sample_id").alias("sid2"),
+                F.col("entity_id").alias("obj2"),
+            ),
+            (F.col("sid2") == F.col("sample_id")) & (F.col("obj2") == F.col("obj")),
+        )
+        .select("sample_id", "subj", "pred", "obj", "description")
+    )
+    ent_agg = ref_entities.groupBy("sample_id").agg(
+        F.count("entity_id").alias("n_e"),
+        F.sum(
+            F.when(F.length(F.trim(F.coalesce("description", F.lit("")))) > 0, 1)
+            .otherwise(0)
+        ).alias("n_e_desc"),
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.collect_list(F.concat_ws(" ", "entity_id", "description"))
+            ),
+        ).alias("ent_text"),
+    )
+    rel_agg = rels.groupBy("sample_id").agg(
+        F.count("*").alias("n_r"),
+        F.sum(
+            F.when(F.length(F.trim(F.coalesce("description", F.lit("")))) > 0, 1)
+            .otherwise(0)
+        ).alias("n_r_desc"),
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws(" ", "subj", "pred", "obj", "description")
+                )
+            ),
+        ).alias("rel_text"),
+    )
+    paths = referenced_path_counts(ref.where(F.col("entity_id").isNotNull()), triples)
+
+    base = (
+        samples.join(ent_agg, "sample_id", "left")
+        .join(rel_agg, "sample_id", "left")
+        .join(paths, "sample_id", "left")
+        .na.fill({"n_e": 0, "n_e_desc": 0, "n_r": 0, "n_r_desc": 0, "path_count": 0})
+        .na.fill({"ent_text": "", "rel_text": ""})
+        .withColumn("keywords", extract_keywords("question"))
+        .withColumn(
+            "combined_text",
+            F.lower(F.concat_ws(" ", "ent_text", "rel_text")),
+        )
+    )
+    structure = (
+        F.least(F.lit(0.6), 0.05 * F.col("n_e") + 0.05 * F.col("n_r"))
+        + F.when(F.col("n_e") > 0, 0.2 * F.col("n_e_desc") / F.col("n_e")).otherwise(0.0)
+        + F.when(F.col("n_r") > 0, 0.2 * F.col("n_r_desc") / F.col("n_r")).otherwise(0.0)
+    )
+    n_k, matched = _match_rate(F.col("keywords"), "combined_text")
+    relevance = F.when(n_k > 0, F.least(F.lit(1.0), 1.2 * matched / n_k)).otherwise(
+        F.lit(0.5)
+    )
+    potential = F.col("n_e") * (F.col("n_e") - 1) / 2
+    connected_ratio = F.when(
+        potential > 0, F.least(F.lit(1.0), F.col("path_count") / potential)
+    ).otherwise(F.lit(0.0))
+    connectedness = 0.4 + 0.6 * connected_ratio
+    score = F.least(
+        F.lit(1.0),
+        0.3 + 0.7 * (0.3 * structure + 0.4 * relevance + 0.3 * connectedness),
+    )
+    return base.select(
+        "sample_id",
+        F.round(structure * 10000).cast("int").alias("structure_x10000"),
+        F.round(relevance * 10000).cast("int").alias("relevance_x10000"),
+        F.round(connectedness * 10000).cast("int").alias("connectedness_x10000"),
+        F.round(score * 10000).cast("int").alias("score_x10000"),
+    )

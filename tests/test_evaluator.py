@@ -1,0 +1,170 @@
+"""Evaluator metrics (A11): entity_coverage / graph_coverage vs a
+pure-Python transcription of the reference formulas
+(evaluator/metrics/graph_metrics.py:635-1259)."""
+
+from __future__ import annotations
+
+import re
+from itertools import permutations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_rag_agent_spark.operators.evaluator import (
+    entity_coverage,
+    graph_coverage,
+    referenced_path_counts,
+)
+
+ENTITIES = [
+    ("Acme Corp", "Acme Corp is a Organization"),
+    ("Sony", "Sony is a Organization"),
+    ("Alice Zhang", "Alice Zhang is a Person"),
+    ("Widget X", ""),  # undescribed entity for the structure term
+]
+TRIPLES = [
+    ("Acme Corp", "PARTNERS_WITH", "Sony", "Acme Corp PARTNERS_WITH Sony"),
+    ("Alice Zhang", "WORKS_AT", "Acme Corp", "Alice Zhang WORKS_AT Acme Corp"),
+    ("Sony", "MAKES", "Widget X", ""),
+]
+SAMPLES = [
+    ("s1", "does acme corp partner with sony today", ["Acme Corp", "Sony"]),
+    ("s2", "who is alice zhang", ["Alice Zhang", "Acme Corp", "Sony", "Widget X"]),
+    ("s3", "unrelated question words", []),
+]
+
+
+def _keywords(q):
+    return [
+        k
+        for k in re.findall(r"[a-z0-9一-鿿]{2,}", q.lower())
+        if len(k) < 15
+    ]
+
+
+def _py_entity_coverage(question, entity_ids):
+    desc = dict(ENTITIES)
+    kws = _keywords(question)
+    if not kws or not entity_ids:
+        return 0.4
+    etext = " ".join(
+        sorted(f"{e} {desc.get(e, '')}" for e in entity_ids)
+    ).lower()
+    matched = sum(1 for k in kws if k in etext)
+    return min(1.0, 0.4 + 0.6 * (matched / len(kws)) * min(1.0, len(entity_ids) / 5))
+
+
+def _py_paths(ids):
+    # Cypher -[*1..3]- : undirected, pairwise-distinct relationships,
+    # both traversal directions
+    edges = []
+    for s, p, o, _ in TRIPLES:
+        edges.append((s, o, (s, p, o)))
+        edges.append((o, s, (s, p, o)))
+    count = 0
+    idset = set(ids)
+    for l in (1, 2, 3):
+        for combo in permutations(edges, l):
+            ok = True
+            used = set()
+            for i in range(l):
+                if combo[i][2] in used:
+                    ok = False
+                    break
+                used.add(combo[i][2])
+                if i > 0 and combo[i - 1][1] != combo[i][0]:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            a, b = combo[0][0], combo[-1][1]
+            if a in idset and b in idset and a != b:
+                count += 1
+    return count
+
+
+def _py_graph_coverage(question, entity_ids):
+    desc = dict(ENTITIES)
+    kws = _keywords(question)
+    n_e = len(entity_ids)
+    rels = [
+        t
+        for t in TRIPLES
+        if t[0] in set(entity_ids) and t[2] in set(entity_ids)
+    ]
+    n_r = len(rels)
+    structure = min(0.6, 0.05 * n_e + 0.05 * n_r)
+    if n_e:
+        structure += 0.2 * sum(1 for e in entity_ids if desc.get(e, "").strip()) / n_e
+    if n_r:
+        structure += 0.2 * sum(1 for t in rels if t[3].strip()) / n_r
+    ent_text = " ".join(sorted(f"{e} {desc.get(e, '')}" for e in entity_ids))
+    rel_text = " ".join(sorted(f"{s} {p} {o} {d}" for s, p, o, d in rels))
+    combined = (ent_text + " " + rel_text).lower().strip()
+    if kws:
+        relevance = min(1.0, 1.2 * sum(1 for k in kws if k in combined) / len(kws))
+    else:
+        relevance = 0.5
+    potential = n_e * (n_e - 1) / 2
+    ratio = min(1.0, _py_paths(entity_ids) / potential) if potential > 0 else 0.0
+    connectedness = 0.4 + 0.6 * ratio
+    return (
+        structure,
+        relevance,
+        connectedness,
+        min(1.0, 0.3 + 0.7 * (0.3 * structure + 0.4 * relevance + 0.3 * connectedness)),
+    )
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    entities = spark.createDataFrame(ENTITIES, "entity_id string, description string")
+    triples = spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string, description string"
+    )
+    samples = spark.createDataFrame(
+        SAMPLES, "sample_id string, question string, entity_ids array<string>"
+    )
+    return entities, triples, samples
+
+
+def test_entity_coverage_matches_formula(dfs):
+    entities, _, samples = dfs
+    got = {
+        r["sample_id"]: r["score_x10000"]
+        for r in entity_coverage(samples, entities).collect()
+    }
+    for sid, q, ids in SAMPLES:
+        assert got[sid] == round(_py_entity_coverage(q, ids) * 10000), sid
+
+
+def test_path_counts_match_cypher_semantics(dfs):
+    _, triples, _ = dfs
+    se = [(s, e) for s, q, ids in SAMPLES for e in ids]
+    sample_entities = (
+        triples.sparkSession.createDataFrame(
+            se or [("s0", "none")], "sample_id string, entity_id string"
+        )
+    )
+    got = {
+        r["sample_id"]: r["path_count"]
+        for r in referenced_path_counts(sample_entities, triples).collect()
+    }
+    for sid, _, ids in SAMPLES:
+        if ids:
+            assert got[sid] == _py_paths(ids), sid
+
+
+def test_graph_coverage_matches_formula(dfs):
+    entities, triples, samples = dfs
+    got = {
+        r["sample_id"]: r
+        for r in graph_coverage(samples, entities, triples).collect()
+    }
+    for sid, q, ids in SAMPLES:
+        st, rel, con, sc = _py_graph_coverage(q, ids)
+        row = got[sid]
+        assert row["structure_x10000"] == round(st * 10000), sid
+        assert row["relevance_x10000"] == round(rel * 10000), sid
+        assert row["connectedness_x10000"] == round(con * 10000), sid
+        assert row["score_x10000"] == round(sc * 10000), sid
