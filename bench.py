@@ -76,8 +76,15 @@ def main() -> None:
     # documents-derived KG slice (driver testdata)
     timed("kg_triples_docs", lambda: entrymod._kg_triples(spark, sf_dir).count())
 
-    # relational headliners
+    # the distributed linking chain alone (LSH → CC → judge → map),
+    # all driver fast paths disabled — the 100 TB path, measured
     qs = entrymod.queries()
+    timed(
+        "link_chain_distributed",
+        lambda: qs["entity_canonical_map"](spark, sf_dir).count(),
+    )
+
+    # relational + pipeline-extension headliners
     for name in [
         "mention_counts",
         "topk_per_group",
@@ -85,6 +92,9 @@ def main() -> None:
         "dedup_edges",
         "connected_components",
         "chunk_windows",
+        "chunk_vector_topk",
+        "minhash_pairs",
+        "simhash_pairs",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

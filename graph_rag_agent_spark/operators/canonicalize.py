@@ -68,10 +68,17 @@ def duplicate_candidate_edges(
 
 def candidate_groups(entities_with_wcc: DataFrame) -> DataFrame:
     """(entity_id, group_id) for entities in candidate groups (≥2
-    members); group_id = component label."""
-    edges = duplicate_candidate_edges(entities_with_wcc)
-    comp = connected_components(edges).select(
-        F.col("node").alias("entity_id"), F.col("component").alias("group_id")
+    members); group_id = component label.
+
+    Intermediate results are localCheckpointed: the CC output is
+    re-referenced by its own aggregate, and un-truncated lineage here
+    compounds into join-tree plans whose size statistics blow up the
+    optimizer (see session.py runtime-filter note)."""
+    edges = duplicate_candidate_edges(entities_with_wcc).localCheckpoint()
+    comp = (
+        connected_components(edges)
+        .select(F.col("node").alias("entity_id"), F.col("component").alias("group_id"))
+        .localCheckpoint()
     )
     sizes = comp.groupBy("group_id").count().where(F.col("count") > 1)
     return comp.join(sizes.select("group_id"), "group_id")
@@ -93,8 +100,17 @@ def _judge_partition(pdf: pd.DataFrame) -> pd.DataFrame:
 def merge_groups(groups: DataFrame) -> DataFrame:
     """Judge each candidate group, union overlapping suggestions via
     CC, return (entity_id, merge_root)."""
-    suggestions = groups.groupBy("group_id").applyInPandas(
-        _judge_partition, schema=_SUGGEST_SCHEMA
+    # AQE coalesces the pre-applyInPandas shuffle by BYTES, but this
+    # stage is per-group Python (~1 ms/group overhead): explicitly
+    # spread the groups across all cores
+    partitions = int(
+        groups.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    suggestions = (
+        groups.repartition(partitions, "group_id")
+        .groupBy("group_id")
+        .applyInPandas(_judge_partition, schema=_SUGGEST_SCHEMA)
+        .localCheckpoint()  # referenced by chained-edges AND node set
     )
     # chain edges within each suggestion connect its members; CC then
     # unions suggestions that share an entity (entity_merger.py:233-280)

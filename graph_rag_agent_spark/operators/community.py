@@ -52,15 +52,20 @@ def lpa_level(nodes: DataFrame, edges: DataFrame, max_sweeps: int = MAX_SWEEPS) 
     node adopts its weighted-majority neighbor label (tie → smallest)
     only if that label sorts before its current one — guaranteed
     convergent, no oscillation."""
+    from ..session import materialize
+
     sym = edges.select(
         F.col("a").alias("node"), F.col("b").alias("nbr"), "w"
     ).union(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w"))
-    sym = sym.localCheckpoint()
+    # loop state: materialize (stats reset), not localCheckpoint —
+    # see session.materialize
+    sym = materialize(sym, "lpa-sym")
 
-    labels = (
-        nodes.select(F.col(nodes.columns[0]).alias("node"))
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+    labels = materialize(
+        nodes.select(F.col(nodes.columns[0]).alias("node")).withColumn(
+            "label", F.col("node")
+        ),
+        "lpa-labels",
     )
 
     w_top = Window.partitionBy("node").orderBy(F.desc("vote"), F.asc("nbr_label"))
@@ -86,14 +91,13 @@ def lpa_level(nodes: DataFrame, edges: DataFrame, max_sweeps: int = MAX_SWEEPS) 
             F.col("best_label"),
         ).otherwise(F.col("label"))
         # checkpoint once; change detection reads the materialized flag
-        new_labels = (
-            labels.join(best, "node", "left")
-            .select(
+        new_labels = materialize(
+            labels.join(best, "node", "left").select(
                 "node",
                 new_label.alias("label"),
                 (new_label != F.col("label")).alias("changed"),
-            )
-            .localCheckpoint()
+            ),
+            "lpa-labels",
         )
         changed = new_labels.where("changed").limit(1).count()
         labels = new_labels.select("node", "label")

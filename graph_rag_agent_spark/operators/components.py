@@ -76,10 +76,21 @@ def connected_components(
             list(comp.items()), "node string, component string"
         )
 
-    labels = all_nodes.withColumn("label", F.col("node")).localCheckpoint()
-    e = e.localCheckpoint()
+    from ..session import materialize
 
-    for _ in range(max_iterations):
+    # materialize (NOT localCheckpoint): iterative loop state must
+    # reset plan statistics, or the optimizer's join-size products
+    # grow multiplicatively per round — see session.materialize
+    labels = materialize(all_nodes.withColumn("label", F.col("node")), "cc-labels")
+    e = materialize(e, "cc-edges")
+
+    import os as _os
+    import time as _time
+
+    _debug = bool(_os.environ.get("GRARS_DEBUG"))
+    for _round in range(max_iterations):
+        if _debug:
+            print(f"[cc] round {_round} start {_time.time():.1f}", flush=True)
         nbr_min = (
             e.join(labels.withColumnRenamed("node", "b2"), F.col("b") == F.col("b2"))
             .groupBy("a")
@@ -117,8 +128,8 @@ def connected_components(
                     != F.col("label")
                 ).alias("changed"),
             )
-            .localCheckpoint()
         )
+        new_labels = materialize(new_labels, "cc-labels")
         changed = new_labels.where("changed").limit(1).count()
         labels = new_labels.select("node", "label")
         if changed == 0:

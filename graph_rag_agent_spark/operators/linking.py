@@ -34,14 +34,17 @@ from pyspark.sql import functions as F
 from ..core.linkage import SIMILARITY_CUTOFF, SIMILARITY_TOP_K
 from ..core.stub_embed import DIM, embed_entity
 
-# 12 bands × 12 bits: for intra-cluster pairs (cosine ≈ 0.99 →
-# per-bit agreement ≈ 0.955) the per-pair miss probability is
-# (1 - 0.955¹²)¹² ≈ 3e-5, while random cross pairs collide in a band
-# with p ≈ 2⁻¹² — so candidate volume stays ≈ linear in catalog size.
-# Round-1's 8×4 left only 16 buckets per band, which degenerates to
-# O(n²/16) candidates on a catalog that scales with the corpus.
-LSH_BANDS = 12
-LSH_ROWS = 12  # bits per band
+# 16 bands × 24 bits. The regime that matters is NOT uniform-random
+# vectors: entities sharing a string prefix (EMP-…, a real-world
+# phenomenon for any id-shaped vocabulary) sit at cosine ≈ 0.5-0.65
+# in O(n²) pair volume. Band selectivity must suppress THAT mass:
+# p_bit(cos 0.55) ≈ 0.69 → p_band = 0.69²⁴ ≈ 1e-4 → ≈ 2e-3 per pair
+# over 16 bands, which keeps a 150k-catalog candidate set at a few
+# million pairs (16-bit bands leaked ~50M; round-1's 4-bit bands were
+# O(n²/16)). Same-entity variant groups (cosine ≈ 0.999) still miss
+# with probability (1 - 0.986²⁴)¹⁶ ≈ 2e-9 per pair.
+LSH_BANDS = 16
+LSH_ROWS = 24  # bits per band
 
 
 def entity_catalog(entities_raw: DataFrame, chunks: DataFrame) -> DataFrame:

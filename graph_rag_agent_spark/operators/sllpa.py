@@ -57,14 +57,24 @@ def sllpa_communities(
         rows = [(n, l) for n in sorted(members) for l in members[n]]
         return spark.createDataFrame(rows or [], "node string, label string")
 
-    # symmetric neighbor list: (listener, speaker)
-    sym = e.select(F.col("a").alias("listener"), F.col("b").alias("speaker")).union(
-        e.select(F.col("b").alias("listener"), F.col("a").alias("speaker"))
-    ).localCheckpoint()
+    from ..session import materialize
 
-    memory = nodes.select(
-        "node", F.col("node").alias("label"), F.lit(1).cast("long").alias("cnt")
-    ).localCheckpoint()
+    # symmetric neighbor list: (listener, speaker). Loop state uses
+    # materialize (stats reset), not localCheckpoint — see
+    # session.materialize.
+    sym = materialize(
+        e.select(F.col("a").alias("listener"), F.col("b").alias("speaker")).union(
+            e.select(F.col("b").alias("listener"), F.col("a").alias("speaker"))
+        ),
+        "sllpa-sym",
+    )
+
+    memory = materialize(
+        nodes.select(
+            "node", F.col("node").alias("label"), F.lit(1).cast("long").alias("cnt")
+        ),
+        "sllpa-memory",
+    )
 
     w_speak = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(max_iterations):
@@ -83,11 +93,11 @@ def sllpa_communities(
                 "cnt",
             )
         )
-        memory = (
+        memory = materialize(
             memory.unionByName(heard)
             .groupBy("node", "label")
-            .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint()
+            .agg(F.sum("cnt").alias("cnt")),
+            "sllpa-memory",
         )
 
     totals = memory.groupBy("node").agg(F.sum("cnt").alias("total"))

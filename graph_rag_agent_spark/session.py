@@ -57,6 +57,19 @@ def get_spark(
         # job latency in local mode, standard for shuffle-heavy jobs
         # with dynamic executors on clusters too)
         .config("spark.locality.wait", "0")
+        # runtime bloom-filter injection (InjectRuntimeFilter) walks
+        # plan size statistics per candidate join; on this pipeline's
+        # nested join/union plans the sizeInBytes BigInt products grow
+        # to millions of digits and the OPTIMIZER itself spins for
+        # minutes in BigInteger.multiply (observed via jstack at the
+        # canonicalization stage, 124k-entity catalog). Our joins are
+        # small-key equi joins where a bloom filter buys nothing, so
+        # turn the rule off.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        .config(
+            "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
+            "false",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -66,6 +79,43 @@ def get_spark(
         # the package like spark-submit --py-files would
         spark.sparkContext.addPyFile(make_pyfiles_zip())
     return spark
+
+
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
+def _scratch_dir(spark: SparkSession) -> str:
+    key = spark.sparkContext.applicationId
+    if key not in _SCRATCH_DIRS:
+        _SCRATCH_DIRS[key] = tempfile.mkdtemp(prefix="grars-materialize-")
+    return _SCRATCH_DIRS[key]
+
+
+def materialize(df, tag: str = "state"):
+    """Parquet-roundtrip materialization for ITERATIVE loop state —
+    truncates lineage AND resets plan statistics.
+
+    Why not localCheckpoint: Spark 4's Dataset.checkpoint carries the
+    origin plan's Statistics into the produced LogicalRDD
+    (LogicalRDD.fromDataset → rewriteStatsAndConstraints). A self-join
+    loop therefore compounds sizeInBytes MULTIPLICATIVELY across
+    rounds (×~4/round for the CC round shape), and after a handful of
+    rounds the optimizer's join-size products are BigIntegers with
+    millions of digits — the driver burns minutes inside
+    BigInteger.multiply during planning (observed via jstack at a
+    124k-entity catalog; round wall-times grew 1.7s → 6s → 24s →
+    115s). Reading back from parquet yields file-size-based (real)
+    statistics and a flat plan — the same reason GraphFrames tells
+    users to checkpoint to HDFS in iterative algorithms. On a real
+    cluster this scratch dir sits on the cluster FS; the round cost is
+    one small write+read of the loop state, not a full-lineage replay.
+    """
+    import uuid
+
+    spark = df.sparkSession
+    path = os.path.join(_scratch_dir(spark), f"{tag}-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def make_pyfiles_zip(out_path: str | None = None) -> str:
