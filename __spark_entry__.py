@@ -331,12 +331,16 @@ def _q_chunk_vector_topk(spark, sf_dir):
             for c in _CHARVEC_ALPHABET
         ]
     )
+    # materialize the projections: without the barrier Catalyst defers
+    # the 26 regexp counts into the joined plan and re-evaluates them
+    # once per (chunk, query) PAIR instead of once per row
     chunks_emb = docs.select(
         F.col("doc_id").alias("chunk_key"), charvec.alias("embedding")
-    )
+    ).localCheckpoint()
     queries = (
         docs.where(F.col("doc_id") % 100 == 7)
         .select(F.col("doc_id").alias("query_id"), charvec.alias("qvec"))
+        .localCheckpoint()
     )
     return chunk_topk(
         chunks_emb, queries, k=3, metric="dot", id_col="chunk_key"

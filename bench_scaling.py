@@ -125,7 +125,11 @@ def run_at(cores: int, n_convs: int) -> dict:
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    # 50k conversations ≈ 575k turns → a ~125k-entity catalog, which
+    # pushes the run through the DISTRIBUTED linking chain (LSH → CC →
+    # judge) at every parallelism level — round 1 used 200k convs but
+    # a 50-row catalog, so the scale-critical chain never executed.
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     pairs = [(1, 4), (2, 8), (4, 16), (8, 32)]
     ceiling = hardware_ceiling(pairs)
     print(json.dumps({"hardware_ceiling_efficiency": ceiling}))

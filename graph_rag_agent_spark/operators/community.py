@@ -52,7 +52,7 @@ def lpa_level(nodes: DataFrame, edges: DataFrame, max_sweeps: int = MAX_SWEEPS) 
     node adopts its weighted-majority neighbor label (tie → smallest)
     only if that label sorts before its current one — guaranteed
     convergent, no oscillation."""
-    from ..session import materialize
+    from ..session import loop_checkpoint, materialize
 
     sym = edges.select(
         F.col("a").alias("node"), F.col("b").alias("nbr"), "w"
@@ -91,13 +91,14 @@ def lpa_level(nodes: DataFrame, edges: DataFrame, max_sweeps: int = MAX_SWEEPS) 
             F.col("best_label"),
         ).otherwise(F.col("label"))
         # checkpoint once; change detection reads the materialized flag
-        new_labels = materialize(
+        new_labels = loop_checkpoint(
             labels.join(best, "node", "left").select(
                 "node",
                 new_label.alias("label"),
                 (new_label != F.col("label")).alias("changed"),
             ),
             "lpa-labels",
+            _sweep,
         )
         changed = new_labels.where("changed").limit(1).count()
         labels = new_labels.select("node", "label")

@@ -76,7 +76,7 @@ def connected_components(
             list(comp.items()), "node string, component string"
         )
 
-    from ..session import materialize
+    from ..session import loop_checkpoint, materialize
 
     # materialize (NOT localCheckpoint): iterative loop state must
     # reset plan statistics, or the optimizer's join-size products
@@ -129,7 +129,7 @@ def connected_components(
                 ).alias("changed"),
             )
         )
-        new_labels = materialize(new_labels, "cc-labels")
+        new_labels = loop_checkpoint(new_labels, "cc-labels", _round)
         changed = new_labels.where("changed").limit(1).count()
         labels = new_labels.select("node", "label")
         if changed == 0:

@@ -152,37 +152,41 @@ def _signature_udf(dim: int, bands: int, rows: int):
     return sig
 
 
-def similar_entities_lsh(
-    embedded: DataFrame,
-    top_k: int = SIMILARITY_TOP_K,
-    cutoff: float = SIMILARITY_CUTOFF,
-    bands: int = LSH_BANDS,
-    rows: int = LSH_ROWS,
-    dim: int = DIM,
-) -> DataFrame:
-    """Banded random-hyperplane LSH candidates + exact cosine re-rank.
+# Catalogs up to this size score candidates via a BROADCAST embedding
+# store (one numpy gather + einsum per Arrow batch); larger catalogs
+# fall back to re-joining embeddings onto the candidate pairs. At
+# 150k × 64 doubles the broadcast is ~80 MB — trivially shippable —
+# while the join path shuffles |candidates| × 2 × dim doubles
+# (gigabytes at a few million pairs).
+BROADCAST_SCORE_THRESHOLD = 500_000
 
-    Physical shape (the 100 TB path): the band equi-join carries ONLY
-    (entity_id, band_hash) — embeddings would multiply the shuffle by
-    bands × dim. Candidates are deduped as unordered (src<dst) pairs,
-    embeddings re-joined once per unique pair, cosine computed once
-    and mirrored; norms come precomputed from a single pass over the
-    catalog (embeddings are unit vectors, but dividing by the exact
-    float norm keeps score parity with the exact path/oracle).
-    """
-    sig = _signature_udf(dim, bands, rows)
-    signed = embedded.select(
-        "entity_id", F.explode(sig("embedding")).alias("band_hash")
-    )
-    cand = (
-        signed.alias("l")
-        .join(signed.alias("r"), "band_hash")
-        .where(F.col("l.entity_id") < F.col("r.entity_id"))
-        .select(
-            F.col("l.entity_id").alias("src"), F.col("r.entity_id").alias("dst")
-        )
-        .dropDuplicates(["src", "dst"])
-    )
+
+def _score_candidates_broadcast(cand: DataFrame, embedded: DataFrame) -> DataFrame:
+    import pandas as pd
+
+    spark = cand.sparkSession
+    store = {
+        r["entity_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embedded.select("entity_id", "embedding").collect()
+    }
+    bc = spark.sparkContext.broadcast(store)
+
+    @F.pandas_udf("double")
+    def cos(src: pd.Series, dst: pd.Series) -> pd.Series:
+        m = bc.value
+        a = np.stack([m[s] for s in src]) if len(src) else np.zeros((0, 1))
+        b = np.stack([m[d] for d in dst]) if len(dst) else np.zeros((0, 1))
+        dots = np.einsum("ij,ij->i", a, b)
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        denom = na * nb
+        out = np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom))
+        return pd.Series(out)
+
+    return cand.withColumn("score", cos("src", "dst")).select("src", "dst", "score")
+
+
+def _score_candidates_join(cand: DataFrame, embedded: DataFrame) -> DataFrame:
     emb = embedded.select(
         "entity_id",
         F.col("embedding"),
@@ -190,7 +194,7 @@ def similar_entities_lsh(
             F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("norm"),
     )
-    scored = (
+    return (
         cand.join(
             emb.select(
                 F.col("entity_id").alias("src"),
@@ -222,6 +226,44 @@ def similar_entities_lsh(
         )
         .select("src", "dst", "score")
     )
+
+
+def similar_entities_lsh(
+    embedded: DataFrame,
+    top_k: int = SIMILARITY_TOP_K,
+    cutoff: float = SIMILARITY_CUTOFF,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    dim: int = DIM,
+    broadcast_threshold: int = BROADCAST_SCORE_THRESHOLD,
+) -> DataFrame:
+    """Banded random-hyperplane LSH candidates + exact cosine re-rank.
+
+    Physical shape (the 100 TB path): the band equi-join carries ONLY
+    (entity_id, band_hash) — embeddings would multiply the shuffle by
+    bands × dim. Candidates are deduped as unordered (src<dst) pairs,
+    each pair scored ONCE and mirrored for the directional top-k.
+    Scoring gathers vectors from a broadcast store when the catalog
+    fits (numpy einsum per Arrow batch — no array shuffle at all);
+    giant catalogs re-join embeddings instead.
+    """
+    sig = _signature_udf(dim, bands, rows)
+    signed = embedded.select(
+        "entity_id", F.explode(sig("embedding")).alias("band_hash")
+    )
+    cand = (
+        signed.alias("l")
+        .join(signed.alias("r"), "band_hash")
+        .where(F.col("l.entity_id") < F.col("r.entity_id"))
+        .select(
+            F.col("l.entity_id").alias("src"), F.col("r.entity_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    if embedded.count() <= broadcast_threshold:
+        scored = _score_candidates_broadcast(cand, embedded)
+    else:
+        scored = _score_candidates_join(cand, embedded)
     both = scored.unionByName(
         scored.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "score"

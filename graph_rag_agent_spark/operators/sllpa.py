@@ -57,7 +57,7 @@ def sllpa_communities(
         rows = [(n, l) for n in sorted(members) for l in members[n]]
         return spark.createDataFrame(rows or [], "node string, label string")
 
-    from ..session import materialize
+    from ..session import loop_checkpoint, materialize
 
     # symmetric neighbor list: (listener, speaker). Loop state uses
     # materialize (stats reset), not localCheckpoint — see
@@ -77,7 +77,7 @@ def sllpa_communities(
     )
 
     w_speak = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
         speak = (
             memory.withColumn("rn", F.row_number().over(w_speak))
             .where(F.col("rn") == 1)
@@ -93,11 +93,12 @@ def sllpa_communities(
                 "cnt",
             )
         )
-        memory = materialize(
+        memory = loop_checkpoint(
             memory.unionByName(heard)
             .groupBy("node", "label")
             .agg(F.sum("cnt").alias("cnt")),
             "sllpa-memory",
+            _round,
         )
 
     totals = memory.groupBy("node").agg(F.sum("cnt").alias("total"))

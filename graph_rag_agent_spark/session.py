@@ -118,6 +118,25 @@ def materialize(df, tag: str = "state"):
     return spark.read.parquet(path)
 
 
+LOOP_MATERIALIZE_PERIOD = 4
+
+
+def loop_checkpoint(df, tag: str, round_idx: int, period: int = LOOP_MATERIALIZE_PERIOD):
+    """Per-round loop-state barrier: localCheckpoint most rounds (fast,
+    in-memory), full materialize() every ``period``-th round.
+
+    localCheckpoint inherits plan statistics, which grow ×~4 per loop
+    round (see materialize); resetting every 4th round bounds the
+    inherited stats at ~4³ × the real size — still trivially small
+    BigInts — while paying the parquet roundtrip only once per period.
+    The loop INPUT state must be materialize()d so the bound starts
+    from real file statistics.
+    """
+    if round_idx % period == period - 1:
+        return materialize(df, tag)
+    return df.localCheckpoint()
+
+
 def make_pyfiles_zip(out_path: str | None = None) -> str:
     """Zip this package for spark-submit --py-files / addPyFile.
 
