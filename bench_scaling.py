@@ -40,14 +40,29 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from graph_rag_agent_spark.session import get_spark
 from graph_rag_agent_spark.sources.transcripts import synthesize_transcripts
-from graph_rag_agent_spark.plans.inmem import build_kg_tables
+from graph_rag_agent_spark.operators.chunking import chunk_conversations
+from graph_rag_agent_spark.operators.dedup import chunk_signature_columns
+from graph_rag_agent_spark.operators.extraction import extract_chunks
+from graph_rag_agent_spark.operators.parsing import (
+    entities_raw, mentions_raw, parse_extractions, triples_raw)
+from graph_rag_agent_spark.operators.linking import (
+    entity_catalog, link_entities_driver_path, similar_entities,
+    with_embeddings)
+from graph_rag_agent_spark.operators.components import (
+    connected_components, consecutive_component_ids)
+from graph_rag_agent_spark.operators.canonicalize import (
+    resolve_canonical, rewrite_triples)
 
 cores = {cores}
 n_convs = {n_convs}
+# shuffle_partitions FIXED at 32 across parallelism levels: the north
+# rule runs the SAME spark-submit job at N and 4N executors — the task
+# graph must not change with the cluster size
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores)
+                  shuffle_partitions=32)
 transcripts = synthesize_transcripts(spark, n_convs).localCheckpoint()
 n_turns = transcripts.count()
 # warm the Python worker pool with the REAL pipeline on a tiny
@@ -55,17 +70,45 @@ n_turns = transcripts.count()
 # one-time cluster cost, amortized over hours on a real deployment —
 # they should not be inside the measured window
 warm = synthesize_transcripts(spark, 200).localCheckpoint()
+from graph_rag_agent_spark.plans.inmem import build_kg_tables
 build_kg_tables(warm, similarity_method="auto", with_signatures=True)[
     "triples"
 ].count()
+
+phases = {{}}
 t0 = time.time()
-tables = build_kg_tables(transcripts, similarity_method="auto",
-                         with_signatures=True)
-n_triples = tables["triples"].count()
+chunks = chunk_signature_columns(chunk_conversations(transcripts)).localCheckpoint()
+parsed = parse_extractions(extract_chunks(chunks)).localCheckpoint()
+e_raw, t_raw = entities_raw(parsed), triples_raw(parsed)
+n_parsed = parsed.count()
+phases["corpus"] = round(time.time() - t0, 2)  # data-proportional work
+
+t1 = time.time()
+catalog = entity_catalog(e_raw, chunks)
+linked = link_entities_driver_path(catalog)
+if linked is not None:
+    embedded, similar, wcc, cmap = (linked["embedded"], linked["similar"],
+                                    linked["wcc"], linked["canonical_map"])
+else:
+    embedded = with_embeddings(catalog).localCheckpoint()
+    similar = similar_entities(embedded, method="auto").localCheckpoint()
+    wcc = consecutive_component_ids(
+        connected_components(similar.select("src", "dst"),
+                             nodes=embedded.select("entity_id"))
+    ).select(F.col("node").alias("entity_id"), "wcc").localCheckpoint()
+    cmap = resolve_canonical(wcc).localCheckpoint()
+n_entities = embedded.count()
+phases["link"] = round(time.time() - t1, 2)  # catalog-proportional work
+
+t2 = time.time()
+triples = rewrite_triples(t_raw, cmap)
+n_triples = triples.count()
+phases["rewrite"] = round(time.time() - t2, 2)
 elapsed = time.time() - t0
 spark.stop()
 print("RESULT " + json.dumps({{"cores": cores, "n_turns": n_turns,
-    "n_triples": n_triples, "seconds": round(elapsed, 2),
+    "n_triples": n_triples, "n_entities": n_entities,
+    "seconds": round(elapsed, 2), "phases": phases,
     "turns_per_sec": round(n_turns / elapsed, 1)}}))
 """
 
@@ -167,26 +210,59 @@ def main() -> None:
         "",
         "## Pipeline results",
         "",
-        "| parallelism | wall-clock (s) | throughput (turns/sec) |",
-        "|---|---|---|",
+        "The job is phase-split so the scaling behavior of the",
+        "DATA-proportional work (chunk → signatures → extract → parse —",
+        "the part that grows 10⁶× between this fixture and the 10¹²-turn",
+        "target) is visible next to the catalog-proportional linking",
+        "chain (LSH → CC → judge), whose round-trip loops are",
+        "scheduling-latency-bound at sandbox scale and become",
+        "throughput-bound only at production catalog sizes.",
+        "",
+        "| parallelism | wall-clock (s) | corpus phase (s) | link phase (s) | throughput (turns/sec) |",
+        "|---|---|---|---|---|",
     ]
     for cores in sorted(results):
         r = results[cores]
-        lines.append(f"| local[{cores}] | {r['seconds']} | {r['turns_per_sec']} |")
-    lines += ["", "| window | raw efficiency | normalized to hw ceiling |", "|---|---|---|"]
+        ph = r.get("phases", {})
+        lines.append(
+            f"| local[{cores}] | {r['seconds']} | {ph.get('corpus', '—')} |"
+            f" {ph.get('link', '—')} | {r['turns_per_sec']} |"
+        )
+    lines += [
+        "",
+        "| window | raw efficiency (whole job) | corpus-phase efficiency | normalized to hw ceiling |",
+        "|---|---|---|---|",
+    ]
 
     summary = {}
     for a, b in pairs:
         raw = round((results[b]["turns_per_sec"] / results[a]["turns_per_sec"]) / 4, 3)
+        corpus = None
+        if "phases" in results[a] and "phases" in results[b]:
+            corpus = round(
+                (results[a]["phases"]["corpus"] / results[b]["phases"]["corpus"]) / 4,
+                3,
+            )
         norm = round(raw / ceiling[f"{a}->{b}"], 3) if ceiling[f"{a}->{b}"] else None
-        summary[f"{a}->{b}"] = {"raw": raw, "normalized": norm}
-        lines.append(f"| local[{a}]→local[{b}] | {raw} | {norm} |")
+        summary[f"{a}->{b}"] = {"raw": raw, "corpus": corpus, "normalized": norm}
+        lines.append(f"| local[{a}]→local[{b}] | {raw} | {corpus} | {norm} |")
 
     best = max(summary.values(), key=lambda s: s["raw"])
+    best_c = max(
+        (s for s in summary.values() if s["corpus"] is not None),
+        key=lambda s: s["corpus"],
+        default=None,
+    )
     lines += [
         "",
-        f"**Best N→4N window:** raw {best['raw']}, normalized "
-        f"{best['normalized']} (target ≥ 0.8). Larger windows are"
+        f"**Best N→4N window (whole job):** raw {best['raw']}, normalized "
+        f"{best['normalized']} (target ≥ 0.8)."
+        + (
+            f" **Best corpus-phase window:** {best_c['corpus']}."
+            if best_c
+            else ""
+        )
+        + " Larger windows are"
         " capped by this box's single-JVM/turbo ceiling (see"
         " calibration) — effects a frequency-flat multi-node cluster"
         " does not have.",

@@ -48,6 +48,31 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 
 
+def safe_tokenize(
+    text: str,
+    tokenizer=None,
+    max_text_length: int = MAX_TEXT_LENGTH,
+) -> list[str]:
+    """The reference's pluggable-tokenizer slot with its safety ladder
+    (_safe_tokenize, text_chunker.py:165-183): oversized input and
+    tokenizer exceptions fall back to character-level tokens.
+
+    ``tokenizer`` is any ``str -> list[str]`` callable (the reference
+    plugs HanLP COARSE_ELECTRA_SMALL_ZH, text_chunker.py:25); chunk
+    reconstruction requires ``''.join(tokens) == text`` (the reference
+    relies on the same reconstruction at struct_builder.py:81). None →
+    the deterministic lossless tokenizer (CI default)."""
+    if tokenizer is None:
+        return tokenize(text)
+    try:
+        if len(text) > max_text_length:
+            return list(text)
+        tokens = tokenizer(text)
+        return tokens if tokens else []
+    except Exception:
+        return list(text)
+
+
 def _is_sentence_end(token: str) -> bool:
     # reference text_chunker.py:268-270
     return token in _SENTENCE_ENDERS
@@ -177,16 +202,17 @@ def chunk_text(
     chunk_size: int = CHUNK_SIZE,
     overlap: int = OVERLAP,
     max_text_length: int = MAX_TEXT_LENGTH,
+    tokenizer=None,
 ) -> list[dict]:
     """Chunk one document/conversation text.
 
     Returns per-chunk dicts: text, tokens (count), seg_id,
     token_start/token_end (indices into the segment's token list).
     Mirrors reference chunk_text (text_chunker.py:185-209) plus the
-    short-text path (:195-198).
+    short-text path (:195-198). ``tokenizer`` = safe_tokenize slot.
     """
     if not text or len(text) < chunk_size / 10:
-        tokens = tokenize(text)
+        tokens = safe_tokenize(text, tokenizer, max_text_length)
         if not tokens:
             return []
         return [
@@ -201,7 +227,7 @@ def chunk_text(
 
     chunks: list[dict] = []
     for seg_id, segment in enumerate(preprocess_large_text(text, max_text_length)):
-        tokens = tokenize(segment)
+        tokens = safe_tokenize(segment, tokenizer, max_text_length)
         for start, end in chunk_segment_spans(tokens, chunk_size, overlap):
             chunks.append(
                 {

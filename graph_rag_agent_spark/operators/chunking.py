@@ -43,7 +43,7 @@ from ..core.textchunk import (
     MAX_TEXT_LENGTH,
     chunk_segment_spans,
     preprocess_large_text,
-    tokenize,
+    safe_tokenize,
 )
 
 _SEGMENT_SCHEMA = "conv_id string, seg_id int, seg_text string"
@@ -74,37 +74,47 @@ def _plan_oversized(max_text_length: int = MAX_TEXT_LENGTH):
     return run
 
 
-def _chunk_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = []
-        for conv_id, seg_id, seg_text in zip(
-            pdf["conv_id"], pdf["seg_id"], pdf["seg_text"]
-        ):
-            tokens = tokenize(seg_text)
-            for i, (start, end) in enumerate(chunk_segment_spans(tokens)):
-                rows.append(
-                    (
-                        conv_id,
-                        seg_id,
-                        i,
-                        "".join(tokens[start:end]),
-                        end - start,
-                        start,
-                        end,
+def _chunk_segments_fn(tokenizer=None):
+    """Per-segment window chunker. ``tokenizer`` (str → list[str],
+    joinable back to the text) is captured into the mapInPandas
+    closure — the reference's pluggable-tokenizer seam (HanLP at
+    text_chunker.py:25): a real model loads once per executor worker
+    inside this body (or arrives via sc.broadcast) and CI pins the
+    deterministic lossless tokenizer (None)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, seg_id, seg_text in zip(
+                pdf["conv_id"], pdf["seg_id"], pdf["seg_text"]
+            ):
+                tokens = safe_tokenize(seg_text, tokenizer)
+                for i, (start, end) in enumerate(chunk_segment_spans(tokens)):
+                    rows.append(
+                        (
+                            conv_id,
+                            seg_id,
+                            i,
+                            "".join(tokens[start:end]),
+                            end - start,
+                            start,
+                            end,
+                        )
                     )
-                )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "conv_id",
-                "seg_id",
-                "seg_chunk_index",
-                "text",
-                "tokens",
-                "token_start",
-                "token_end",
-            ],
-        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id",
+                    "seg_id",
+                    "seg_chunk_index",
+                    "text",
+                    "tokens",
+                    "token_start",
+                    "token_end",
+                ],
+            )
+
+    return run
 
 
 _UNIT_SCHEMA = (
@@ -212,7 +222,9 @@ def _pack_units(target: int):
 
 
 def chunk_conversations(
-    transcripts: DataFrame, max_text_length: int = MAX_TEXT_LENGTH
+    transcripts: DataFrame,
+    max_text_length: int = MAX_TEXT_LENGTH,
+    tokenizer=None,
 ) -> DataFrame:
     """transcripts → chunks table (schemas.CHUNKS).
 
@@ -307,7 +319,7 @@ def chunk_conversations(
     segments = normal.unionByName(oversized).unionByName(mega_segments)
 
     base = segments.repartition(partitions, "conv_id", "seg_id").mapInPandas(
-        _chunk_segments, schema=_CHUNK_SCHEMA
+        _chunk_segments_fn(tokenizer), schema=_CHUNK_SCHEMA
     )
 
     w = Window.partitionBy("conv_id").orderBy("seg_id", "seg_chunk_index")
