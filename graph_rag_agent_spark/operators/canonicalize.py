@@ -138,15 +138,82 @@ def canonical_map(merged: DataFrame) -> DataFrame:
     return merged.join(survivors, "merge_root").select("entity_id", "canonical_id")
 
 
+# Components larger than this bypass the per-group pandas resolve
+# (its lev work is O(m²) within a component — fine for the bounded
+# cliques cosine-0.9 produces, quadratic poison for a pathological
+# mega-component) and go through the fully distributed
+# candidate_groups → merge_groups → canonical_map chain instead.
+GROUP_SKEW_THRESHOLD = 1_000
+
+_RESOLVE_SCHEMA = "entity_id string, canonical_id string"
+
+
+def _resolve_component(pdf: pd.DataFrame) -> pd.DataFrame:
+    members = sorted(pdf["entity_id"].tolist())
+    groups = duplicate_candidate_groups(members, dict.fromkeys(members, 0))
+    mapping = resolve_canonical_map(groups)
+    return pd.DataFrame(
+        list(mapping.items()), columns=["entity_id", "canonical_id"]
+    )
+
+
+def resolve_canonical_grouped(
+    entities_with_wcc: DataFrame,
+    skew_threshold: int = GROUP_SKEW_THRESHOLD,
+) -> DataFrame:
+    """Per-component canonicalization: one shuffle + applyInPandas.
+
+    The entire post-WCC chain decomposes by component: candidate
+    edges are blocked on wcc (duplicate_candidate_edges), judge
+    suggestions are subsets of candidate groups, and overlapping-
+    suggestion unions therefore never cross a wcc boundary — so each
+    component can run the exact core spec (duplicate_candidate_groups
+    → judge → union → survivor, core/linkage.py) independently in one
+    Arrow batch. This replaces two distributed CC loops + the judge
+    stage (~dozens of fixed-latency scheduler jobs) with ONE shuffle
+    on wcc; at 100 TB the per-round loop latency is what dominates the
+    linking phase, and components stay bounded (cosine-0.9 cliques of
+    id variants), so this is the right physical plan, not a shortcut.
+
+    Skew guard: components above ``skew_threshold`` members (where the
+    in-group O(m²) lev scan would be quadratic poison) are routed
+    through the fully distributed chain; singleton components are
+    dropped up front (a candidate group needs ≥2 members).
+    """
+    base = entities_with_wcc.select("entity_id", "wcc")
+    sizes = (
+        base.groupBy("wcc").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    )
+    small_wccs = sizes.where(
+        (F.col("n") >= 2) & (F.col("n") <= skew_threshold)
+    ).select("wcc")
+    partitions = int(
+        base.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    small_map = (
+        base.join(F.broadcast(small_wccs), "wcc", "left_semi")
+        .repartition(partitions, "wcc")
+        .groupBy("wcc")
+        .applyInPandas(_resolve_component, schema=_RESOLVE_SCHEMA)
+    )
+    big_wccs = sizes.where(F.col("n") > skew_threshold).select("wcc")
+    if big_wccs.limit(1).count() == 0:
+        return small_map
+    big = base.join(F.broadcast(big_wccs), "wcc", "left_semi")
+    big_map = canonical_map(merge_groups(candidate_groups(big)))
+    return small_map.unionByName(big_map)
+
+
 def resolve_canonical(
     entities_with_wcc: DataFrame, driver_threshold: int = DRIVER_THRESHOLD
 ) -> DataFrame:
     """(entity_id, wcc) → (entity_id, canonical_id) for merged members.
 
     Routes small catalogs through the pure-Python core spec (collect +
-    resolve + createDataFrame); large catalogs through the distributed
-    candidate_groups → merge_groups → canonical_map chain. Both paths
-    are tested equal."""
+    resolve + createDataFrame); large catalogs through
+    resolve_canonical_grouped (per-component applyInPandas, skew-
+    guarded by the distributed candidate_groups → merge_groups →
+    canonical_map chain). All paths are tested equal."""
     if driver_threshold > 0 and entities_with_wcc.count() <= driver_threshold:
         rows = entities_with_wcc.select("entity_id", "wcc").collect()
         wcc = {r["entity_id"]: r["wcc"] for r in rows}
@@ -156,7 +223,7 @@ def resolve_canonical(
         return spark.createDataFrame(
             list(mapping.items()) or [], "entity_id string, canonical_id string"
         )
-    return canonical_map(merge_groups(candidate_groups(entities_with_wcc)))
+    return resolve_canonical_grouped(entities_with_wcc)
 
 
 def _canonize(df: DataFrame, col: str, cmap: DataFrame) -> DataFrame:

@@ -110,6 +110,34 @@ def test_resolve_canonical_paths_equal(embedded_df, oracle_small, spark):
     assert fast == dist == oracle_small.canonical_map
 
 
+def test_resolve_canonical_grouped_skew_guard(embedded_df, oracle_small, spark):
+    """Per-component applyInPandas path == skew-fallback distributed
+    chain == oracle. skew_threshold=1 forces EVERY multi-member
+    component through the big-component branch (candidate_groups →
+    merge_groups → canonical_map), proving the guard routes and that
+    both branches agree."""
+    from graph_rag_agent_spark.operators.canonicalize import (
+        resolve_canonical_grouped,
+    )
+
+    similar = similar_entities_exact(embedded_df)
+    comp = connected_components(
+        similar.select("src", "dst"), nodes=embedded_df.select("entity_id")
+    )
+    wcc = consecutive_component_ids(comp).select(
+        F.col("node").alias("entity_id"), "wcc"
+    ).localCheckpoint()
+    grouped = {
+        r["entity_id"]: r["canonical_id"]
+        for r in resolve_canonical_grouped(wcc).collect()
+    }
+    all_big = {
+        r["entity_id"]: r["canonical_id"]
+        for r in resolve_canonical_grouped(wcc, skew_threshold=1).collect()
+    }
+    assert grouped == all_big == oracle_small.canonical_map
+
+
 def test_wcc_ids_match_oracle(embedded_df, oracle_small, spark):
     similar = similar_entities_exact(embedded_df)
     comp = connected_components(
