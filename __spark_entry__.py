@@ -438,6 +438,104 @@ def _q_entity_coverage(spark, sf_dir):
     return entity_coverage(samples, entities)
 
 
+def _answer_samples(spark, sf_dir):
+    """Deterministic answer-evaluation samples from documents: the
+    golden answer is the XOR-neighbor document (doc_id ^ 1), with
+    pinned overrides exercising the exact-match branch (doc_id % 7),
+    the high-similarity branch (doc_id % 5) and the markdown-cleaning
+    path (### header on doc_id % 3)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nb = docs.select(
+        F.col("doc_id").bitwiseXOR(F.lit(1)).alias("doc_id"),
+        F.col("text").alias("nb_text"),
+    )
+    return (
+        docs.join(nb, "doc_id", "left")
+        .select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+                "sample_id"
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("### Summary\n\n"), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("system_answer"),
+            F.when(F.col("doc_id") % 7 == 0, F.col("text"))
+            .when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" extra appended words")),
+            )
+            .otherwise(F.coalesce("nb_text", "text"))
+            .alias("golden_answer"),
+        )
+    )
+
+
+def _q_answer_em_f1(spark, sf_dir):
+    """Answer metric family A11 (reference evaluator/metrics/
+    answer_metrics.py: ExactMatch rule path :33-41,123-158 + F1Score
+    rule path :199-240): markdown cleaning, normalize_answer, content
+    similarity, stopword-filtered token F1 — deterministic rule
+    scores, LLM fallback ladder not reproduced. The oracle recomputes
+    cleaning + normalization + set arithmetic in SQL."""
+    from graph_rag_agent_spark.operators.evaluator import (
+        answer_f1_scores,
+        exact_match_scores,
+    )
+
+    samples = _answer_samples(spark, sf_dir)
+    return exact_match_scores(samples).join(answer_f1_scores(samples), "sample_id")
+
+
+def _q_retrieval_precision(spark, sf_dir):
+    """Retrieval metric family A11 (reference evaluator/metrics/
+    retrieval_metrics.py:54-130 rule path): direct substring matches
+    vs first-number matches over retrieved/referenced entity lists,
+    base 0.3 + 0.7·matched/n_ref scoring. Samples are deterministic
+    token lists from documents (even docs reference their own tokens
+    plus a numeric id matched via the number path; odd docs reference
+    the XOR-neighbor's tokens)."""
+    from graph_rag_agent_spark.operators.evaluator import (
+        retrieval_precision_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.slice(
+        F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) >= 4),
+        1,
+        5,
+    )
+    base = docs.select("doc_id", toks.alias("toks"))
+    nb = base.select(
+        F.col("doc_id").bitwiseXOR(F.lit(1)).alias("doc_id"),
+        F.col("toks").alias("nb_toks"),
+    )
+    num = (F.col("doc_id") % 97).cast("string")
+    samples = (
+        base.join(nb, "doc_id", "left")
+        .select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+                "sample_id"
+            ),
+            F.concat(
+                F.col("toks"),
+                F.array(F.concat(F.lit("ticket "), num, F.lit(" state"))),
+            ).alias("retrieved"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.slice("toks", 1, 2),
+                    F.array(F.concat(F.lit("id-"), num)),
+                ),
+            )
+            .otherwise(F.slice(F.coalesce("nb_toks", "toks"), 1, 3))
+            .alias("referenced"),
+        )
+    )
+    return retrieval_precision_scores(samples)
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Binary-column feature plumbing: synthesize opaque binary assets
     (JVM expressions), run the Arrow-batched decode stub over the
@@ -490,12 +588,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_canonical_map": _q_entity_canonical_map,
         "chunk_vector_topk": _q_chunk_vector_topk,
         "entity_coverage": _q_entity_coverage,
+        "answer_em_f1": _q_answer_em_f1,
+        "retrieval_precision": _q_retrieval_precision,
         "minhash_pairs": _q_minhash_pairs,  # rows-only (blake2 hashes)
         "simhash_pairs": _q_simhash_pairs,  # rows-only
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design)
         "multimodal_features": _q_multimodal_features,  # rows-only
         "kg_triples": _kg_triples,  # rows-only (stub-extraction based)
     }
+
+
+def _answer_metrics_oracle() -> str:
+    """DuckDB replica of exact_match_scores + answer_f1_scores over the
+    _answer_samples construction: markdown cleaning, normalize_answer
+    (lower → punct strip → ASCII-\\b article removal → whitespace fix),
+    content-similarity EM and stopword-filtered token F1. Expression
+    order mirrors the Spark build exactly so float results are
+    bit-identical."""
+    from graph_rag_agent_spark.operators.evaluator import (
+        ARTICLES_PATTERN,
+        F1_STOPWORDS,
+        punct_class,
+    )
+
+    pc = punct_class().replace("'", "''")
+    stop = "[" + ", ".join(f"'{s}'" for s in F1_STOPWORDS) + "]"
+
+    def norm(expr: str) -> str:
+        return (
+            rf"trim(regexp_replace(regexp_replace(regexp_replace("
+            rf"lower({expr}), '{pc}', '', 'g'), "
+            rf"'{ARTICLES_PATTERN}', ' ', 'g'), '\s+', ' ', 'g'))"
+        )
+
+    cleaned = (
+        r"trim(regexp_replace(regexp_replace(system_answer, "
+        r"'(?m)^###.*\n+', '', 'g'), '\n\s*\n', chr(10), 'g'))"
+    )
+    return f"""
+        WITH nb AS (SELECT xor(doc_id, 1) AS doc_id, text AS nb_text FROM documents),
+        s AS (
+            SELECT 'doc-' || CAST(d.doc_id AS VARCHAR) AS sample_id,
+                   CASE WHEN d.doc_id % 3 = 0
+                        THEN '### Summary' || chr(10) || chr(10) || d.text
+                        ELSE d.text END AS system_answer,
+                   CASE WHEN d.doc_id % 7 = 0 THEN d.text
+                        WHEN d.doc_id % 5 = 0 THEN d.text || ' extra appended words'
+                        ELSE coalesce(nb.nb_text, d.text) END AS golden_answer
+            FROM documents d LEFT JOIN nb ON nb.doc_id = d.doc_id
+        ),
+        n AS (
+            SELECT sample_id, {norm(cleaned)} AS pn, {norm('golden_answer')} AS gn
+            FROM s
+        ),
+        toks AS (
+            SELECT sample_id, pn, gn,
+                   list_distinct(list_filter(string_split(pn, ' '),
+                       t -> length(t) > 0)) AS p_set,
+                   list_distinct(list_filter(string_split(gn, ' '),
+                       t -> length(t) > 0)) AS g_set,
+                   list_filter(string_split(pn, ' '),
+                       t -> length(t) > 1 AND NOT list_contains({stop}, t)) AS p_f1,
+                   list_filter(string_split(gn, ' '),
+                       t -> length(t) > 1 AND NOT list_contains({stop}, t)) AS g_f1
+            FROM n
+        ),
+        scored AS (
+            SELECT sample_id,
+                   CASE WHEN pn = gn THEN 1.0
+                        WHEN len(p_set) = 0 OR len(g_set) = 0 THEN 0.0
+                        ELSE 0.4 * CAST(len(list_intersect(p_set, g_set)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(p_set, g_set)))
+                           + 0.3 * CAST(len(list_intersect(p_set, g_set)) AS DOUBLE)
+                                 / len(p_set)
+                           + 0.3 * CAST(len(list_intersect(p_set, g_set)) AS DOUBLE)
+                                 / len(g_set)
+                   END AS em,
+                   CASE WHEN len(p_f1) = 0 AND len(g_f1) = 0 THEN 1.0
+                        WHEN len(p_f1) = 0 OR len(g_f1) = 0 THEN 0.0
+                        WHEN CAST(len(list_intersect(list_distinct(p_f1),
+                                      list_distinct(g_f1))) AS DOUBLE) / len(p_f1)
+                             + CAST(len(list_intersect(list_distinct(p_f1),
+                                        list_distinct(g_f1))) AS DOUBLE) / len(g_f1)
+                             > 0
+                        THEN 2 * (CAST(len(list_intersect(list_distinct(p_f1),
+                                           list_distinct(g_f1))) AS DOUBLE) / len(p_f1))
+                               * (CAST(len(list_intersect(list_distinct(p_f1),
+                                           list_distinct(g_f1))) AS DOUBLE) / len(g_f1))
+                               / (CAST(len(list_intersect(list_distinct(p_f1),
+                                            list_distinct(g_f1))) AS DOUBLE) / len(p_f1)
+                                  + CAST(len(list_intersect(list_distinct(p_f1),
+                                             list_distinct(g_f1))) AS DOUBLE) / len(g_f1))
+                        ELSE 0.0
+                   END AS f1
+            FROM toks
+        )
+        SELECT sample_id,
+               CAST(floor(em * 10000 + 0.5) AS INTEGER) AS em_x10000,
+               CAST(floor(f1 * 10000 + 0.5) AS INTEGER) AS f1_x10000
+        FROM scored
+    """
 
 
 def _kg_triples_oracle() -> str:
@@ -1070,6 +1262,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM bands a JOIN bands b USING (band)
                 WHERE a.doc_id < b.doc_id
             ) WHERE hamming <= 6
+        """,
+        "answer_em_f1": _answer_metrics_oracle(),
+        "retrieval_precision": """
+            WITH base AS (
+                SELECT doc_id,
+                       (list_filter(string_split(lower(text), ' '),
+                                    t -> length(t) >= 4))[1:5] AS toks
+                FROM documents
+            ),
+            nb AS (SELECT xor(doc_id, 1) AS doc_id, toks AS nb_toks FROM base),
+            s AS (
+                SELECT 'doc-' || CAST(b.doc_id AS VARCHAR) AS sample_id,
+                       list_concat(b.toks,
+                           ['ticket ' || CAST(b.doc_id % 97 AS VARCHAR) || ' state'])
+                           AS retr,
+                       CASE WHEN b.doc_id % 2 = 0
+                            THEN list_concat(b.toks[1:2],
+                                     ['id-' || CAST(b.doc_id % 97 AS VARCHAR)])
+                            ELSE (coalesce(nb.nb_toks, b.toks))[1:3]
+                       END AS ref
+                FROM base b LEFT JOIN nb ON nb.doc_id = b.doc_id
+            ),
+            m AS (
+                SELECT sample_id, len(retr) AS n_retr, len(ref) AS n_ref,
+                       greatest(
+                           len(list_filter(ref, r ->
+                               len(list_filter(retr, t -> contains(t, r))) > 0)),
+                           len(list_filter(ref, r ->
+                               length(regexp_extract(r, '[0-9]+', 0)) > 0
+                               AND len(list_filter(retr, t ->
+                                   contains(t, regexp_extract(r, '[0-9]+', 0)))) > 0))
+                       ) AS matched
+                FROM s
+            )
+            SELECT sample_id,
+                   CAST(n_retr AS INTEGER) AS n_retrieved,
+                   CAST(n_ref AS INTEGER) AS n_referenced,
+                   CAST(CASE WHEN n_retr = 0 OR n_ref = 0 THEN 0 ELSE matched END
+                        AS INTEGER) AS matched,
+                   CAST(floor(
+                       CASE WHEN n_retr = 0 OR n_ref = 0 THEN 0.3
+                            WHEN matched > 0 THEN greatest(0.3,
+                                0.3 + 0.7 * CAST(matched AS DOUBLE) / n_ref)
+                            ELSE 0.3 END * 10000 + 0.5) AS INTEGER) AS score_x10000
+            FROM m
         """,
         "multimodal_features": """
             WITH a AS (

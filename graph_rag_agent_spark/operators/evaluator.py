@@ -39,10 +39,186 @@ via per-sample Cypher), not corpus-wide.
 
 from __future__ import annotations
 
+import string
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 KEYWORD_PATTERN = "[a-z0-9一-鿿]{2,}"
+
+# ---------------------------------------------------------------------------
+# Answer / retrieval metric family (evaluator/metrics/answer_metrics.py,
+# retrieval_metrics.py) — the deterministic rule paths. The LLM fallback
+# ladders (em/f1/precision all retry via an LLM judge) are LLM boundaries
+# and are not reproduced, exactly as with the merge judge: the rule score
+# is what the reference computes when config has no LLM.
+# ---------------------------------------------------------------------------
+
+# normalize_answer (evaluator/utils/text_utils.py:5-29): lower →
+# remove punctuation (ASCII string.punctuation + CJK set) → remove
+# articles → whitespace fix. The article \b is ASCII in both Java
+# regex and RE2 (documented deviation from Python's unicode \b: the
+# CJK articles 一个/一种/这个/那个 only strip when number/letter-
+# delimited, which matches both engines the gate compares).
+PUNCT_CHARS = string.punctuation + "，。！？《》【】“”‘’：；（）、"
+ARTICLES_PATTERN = r"\b(a|an|the|一个|一种|这个|那个)\b"
+
+
+def punct_class() -> str:
+    """Regex character class matching PUNCT_CHARS, valid in Java regex
+    and RE2 (shared by the Spark expression and the DuckDB oracle)."""
+    body = "".join(
+        "\\" + c if c in r"\^]-[" else c for c in PUNCT_CHARS
+    )
+    return "[" + body + "]"
+
+
+def normalize_answer_expr(col) -> "F.Column":
+    x = F.lower(col)
+    x = F.regexp_replace(x, punct_class(), "")
+    x = F.regexp_replace(x, ARTICLES_PATTERN, " ")
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+# markdown cleanup applied to the system answer before scoring
+# (answer_metrics.py:62-65,189-192): drop ### header lines, collapse
+# blank lines. Greedy .* is equivalent to the reference's lazy .*?
+# here because . cannot cross the \n that terminates the match.
+def clean_pred_expr(col) -> "F.Column":
+    x = F.regexp_replace(col, r"(?m)^###.*\n+", "")
+    x = F.regexp_replace(x, r"\n\s*\n", "\n")
+    return F.trim(x)
+
+
+def _ws_tokens(col) -> "F.Column":
+    return F.filter(F.split(col, " "), lambda t: F.length(t) > 0)
+
+
+def exact_match_scores(samples: DataFrame) -> DataFrame:
+    """samples(sample_id, system_answer, golden_answer) →
+    (sample_id, em_x10000).
+
+    Reference rule path (answer_metrics.py:33-41,72-112,123-158):
+    score 1.0 on normalized equality, else the content-similarity
+    blend 0.4·jaccard + 0.3·pred-coverage + 0.3·golden-coverage over
+    whitespace tokens (0.0 if either side has no tokens)."""
+    pn = normalize_answer_expr(clean_pred_expr(F.col("system_answer")))
+    gn = normalize_answer_expr(F.col("golden_answer"))
+    base = samples.select(
+        "sample_id",
+        F.array_distinct(_ws_tokens(pn)).alias("p_set"),
+        F.array_distinct(_ws_tokens(gn)).alias("g_set"),
+        (pn == gn).alias("eq"),
+    )
+    common = F.size(F.array_intersect("p_set", "g_set")).cast("double")
+    union = F.size(F.array_union("p_set", "g_set"))
+    sim = (
+        0.4 * common / union
+        + 0.3 * common / F.size("p_set")
+        + 0.3 * common / F.size("g_set")
+    )
+    score = (
+        F.when(F.col("eq"), F.lit(1.0))
+        .when((F.size("p_set") == 0) | (F.size("g_set") == 0), F.lit(0.0))
+        .otherwise(sim)
+    )
+    return base.select(
+        "sample_id",
+        F.floor(score * 10000 + F.lit(0.5)).cast("int").alias("em_x10000"),
+    )
+
+
+# F1 token filter (answer_metrics.py:209-212): drop single-character
+# tokens and the fixed CJK stopword set. Tokenization note: the
+# reference runs jieba over the normalized text; this engine's
+# deterministic tokenizer seam is whitespace splitting (same contract
+# as the HanLP slot in core/textchunk — identical on space-delimited
+# text, CJK runs stay single tokens).
+F1_STOPWORDS = ["的", "了", "和", "在", "是", "为", "以", "与", "或", "且"]
+
+
+def answer_f1_scores(samples: DataFrame) -> DataFrame:
+    """samples(sample_id, system_answer, golden_answer) →
+    (sample_id, f1_x10000) per answer_metrics.py:199-240: set-common
+    over list-length precision/recall, empty-side rules."""
+    pn = normalize_answer_expr(clean_pred_expr(F.col("system_answer")))
+    gn = normalize_answer_expr(F.col("golden_answer"))
+    stop = F.array(*[F.lit(s) for s in F1_STOPWORDS])
+
+    def toks(col):
+        return F.filter(
+            _ws_tokens(col),
+            lambda t: (F.length(t) > 1) & ~F.array_contains(stop, t),
+        )
+
+    base = samples.select(
+        "sample_id", toks(pn).alias("p"), toks(gn).alias("g")
+    )
+    common = F.size(
+        F.array_intersect(F.array_distinct("p"), F.array_distinct("g"))
+    ).cast("double")
+    precision = common / F.size("p")
+    recall = common / F.size("g")
+    f1 = F.when(
+        precision + recall > 0, 2 * precision * recall / (precision + recall)
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.when((F.size("p") == 0) & (F.size("g") == 0), F.lit(1.0))
+        .when((F.size("p") == 0) | (F.size("g") == 0), F.lit(0.0))
+        .otherwise(f1)
+    )
+    return base.select(
+        "sample_id",
+        F.floor(score * 10000 + F.lit(0.5)).cast("int").alias("f1_x10000"),
+    )
+
+
+def retrieval_precision_scores(samples: DataFrame) -> DataFrame:
+    """samples(sample_id, retrieved array<string>, referenced
+    array<string>) → (sample_id, n_retrieved, n_referenced, matched,
+    score_x10000) per retrieval_metrics.py:54-130: base 0.3 when
+    either side is empty; else matched = max(direct substring
+    matches, first-number matches) and score = 0.3 + 0.7·matched/n_ref."""
+    retr = F.transform(F.col("retrieved"), F.lower)
+    ref = F.transform(F.col("referenced"), F.lower)
+    base = samples.select(
+        "sample_id", retr.alias("retr"), ref.alias("ref")
+    )
+    direct = F.size(
+        F.filter(
+            F.col("ref"),
+            lambda r: F.exists(F.col("retr"), lambda t: t.contains(r)),
+        )
+    )
+    num_of = lambda r: F.regexp_extract(r, "[0-9]+", 0)  # noqa: E731
+    nummatch = F.size(
+        F.filter(
+            F.col("ref"),
+            lambda r: (F.length(num_of(r)) > 0)
+            & F.exists(F.col("retr"), lambda t: t.contains(num_of(r))),
+        )
+    )
+    matched = F.greatest(direct, nummatch)
+    n_ref = F.size("ref")
+    score = F.when(
+        (F.size("retr") == 0) | (n_ref == 0), F.lit(0.3)
+    ).otherwise(
+        F.when(
+            matched > 0,
+            F.greatest(
+                F.lit(0.3), 0.3 + 0.7 * matched.cast("double") / n_ref
+            ),
+        ).otherwise(F.lit(0.3))
+    )
+    return base.select(
+        "sample_id",
+        F.size("retr").alias("n_retrieved"),
+        n_ref.alias("n_referenced"),
+        F.when((F.size("retr") == 0) | (n_ref == 0), F.lit(0))
+        .otherwise(matched)
+        .alias("matched"),
+        F.floor(score * 10000 + F.lit(0.5)).cast("int").alias("score_x10000"),
+    )
 
 
 def extract_keywords(col) -> "F.Column":

@@ -132,22 +132,19 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
 def _signature_udf(dim: int, bands: int, rows: int):
     planes = _hyperplanes(dim, bands * rows)
 
+    # big-endian bit weights within a band + the (band << 32) tag,
+    # so the whole (n, bands*rows) bit matrix packs into band hashes
+    # with one reshape + matmul — no per-row Python
+    weights = (1 << np.arange(rows - 1, -1, -1)).astype(np.int64)
+    band_tags = (np.arange(bands, dtype=np.int64) << 32)
+
     @F.pandas_udf("array<long>")
     def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for emb in it:
             mat = np.stack(emb.to_numpy())  # (n, dim)
             bits = (mat @ planes.T) >= 0  # (n, bands*rows)
-            out = []
-            for row_bits in bits:
-                hashes = []
-                for b in range(bands):
-                    chunk = row_bits[b * rows : (b + 1) * rows]
-                    h = 0
-                    for bit in chunk:
-                        h = (h << 1) | int(bit)
-                    hashes.append((b << 32) | h)
-                out.append(hashes)
-            yield pd.Series(out)
+            hashes = bits.reshape(len(mat), bands, rows) @ weights + band_tags
+            yield pd.Series(list(hashes))
 
     return sig
 
@@ -165,21 +162,27 @@ def _score_candidates_broadcast(cand: DataFrame, embedded: DataFrame) -> DataFra
     import pandas as pd
 
     spark = cand.sparkSession
-    store = {
-        r["entity_id"]: np.asarray(r["embedding"], dtype=np.float64)
-        for r in embedded.select("entity_id", "embedding").collect()
-    }
-    bc = spark.sparkContext.broadcast(store)
+    rows = embedded.select("entity_id", "embedding").collect()
+    # one contiguous matrix + id→row-index map: pickles as a single
+    # binary blob (vs. 100k+ small arrays), and lets the scorer gather
+    # whole Arrow batches with fancy indexing instead of per-row stacks
+    index = {r["entity_id"]: i for i, r in enumerate(rows)}
+    mat = (
+        np.array([r["embedding"] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 1))
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    bc = spark.sparkContext.broadcast((index, mat, norms))
 
     @F.pandas_udf("double")
     def cos(src: pd.Series, dst: pd.Series) -> pd.Series:
-        m = bc.value
-        a = np.stack([m[s] for s in src]) if len(src) else np.zeros((0, 1))
-        b = np.stack([m[d] for d in dst]) if len(dst) else np.zeros((0, 1))
+        index, mat, norms = bc.value
+        ii = src.map(index).to_numpy(dtype=np.int64)
+        jj = dst.map(index).to_numpy(dtype=np.int64)
+        a, b = mat[ii], mat[jj]
         dots = np.einsum("ij,ij->i", a, b)
-        na = np.linalg.norm(a, axis=1)
-        nb = np.linalg.norm(b, axis=1)
-        denom = na * nb
+        denom = norms[ii] * norms[jj]
         out = np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom))
         return pd.Series(out)
 

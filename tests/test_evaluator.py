@@ -155,6 +155,145 @@ def test_path_counts_match_cypher_semantics(dfs):
             assert got[sid] == _py_paths(ids), sid
 
 
+ANSWER_SAMPLES = [
+    # (sample_id, system_answer, golden_answer)
+    ("a1", "### Summary\n\nThe cat sat on the mat!", "cat sat on mat"),  # em via clean+normalize
+    ("a2", "alpha beta gamma delta", "alpha beta gamma delta"),
+    ("a3", "alpha beta gamma delta epsilon", "alpha beta zeta"),  # partial
+    ("a4", "", "something"),  # empty pred
+    ("a5", "the a an", ""),  # both normalize to empty
+    ("a6", "订单 编号 12345 已经 发货", "订单 编号 12345 没有 发货"),  # CJK tokens
+    ("a7", "### h1\n### h2\n\nbody text here\n\n\nmore body", "body text here more body"),
+]
+
+RETR_SAMPLES = [
+    # (sample_id, retrieved, referenced)
+    ("r1", ["Acme Corp office", "Sony HQ"], ["acme corp", "sony"]),  # direct
+    ("r2", ["ticket 123 open", "order 55"], ["TKT-123", "ORD-55"]),  # numeric
+    ("r3", ["alpha", "beta"], ["gamma"]),  # no match
+    ("r4", [], ["x"]),  # empty retrieved
+    ("r5", ["x"], []),  # empty referenced
+    ("r6", ["EMP-00123 profile"], ["emp-00123", "unknown", "EMP-99"]),  # mixed
+]
+
+
+def _norm_answer(s):
+    from graph_rag_agent_spark.operators.evaluator import PUNCT_CHARS
+
+    s = s.lower()
+    s = "".join(ch for ch in s if ch not in PUNCT_CHARS)
+    # ASCII \b (documented engine deviation from Python's unicode \b)
+    s = re.sub(r"\b(a|an|the|一个|一种|这个|那个)\b", " ", s, flags=re.ASCII)
+    return " ".join(s.split())
+
+
+def _clean_pred(p):
+    p = re.sub(r"^###.*\n+", "", p, flags=re.MULTILINE)
+    p = re.sub(r"\n\s*\n", "\n", p)
+    return p.strip()
+
+
+def _x10000(v):
+    import math
+
+    return int(math.floor(v * 10000 + 0.5))
+
+
+def _py_em(pred, golden):
+    pn, gn = _norm_answer(_clean_pred(pred)), _norm_answer(golden)
+    if pn == gn:
+        return 1.0
+    p_list, g_list = pn.split(), gn.split()
+    if not p_list or not g_list:
+        return 0.0
+    ps, gs = set(p_list), set(g_list)
+    common = ps & gs
+    return (
+        0.4 * len(common) / len(ps | gs)
+        + 0.3 * len(common) / len(ps)
+        + 0.3 * len(common) / len(gs)
+    )
+
+
+_F1_STOP = {"的", "了", "和", "在", "是", "为", "以", "与", "或", "且"}
+
+
+def _py_f1(pred, golden):
+    pn, gn = _norm_answer(_clean_pred(pred)), _norm_answer(golden)
+    p = [t for t in pn.split() if len(t) > 1 and t not in _F1_STOP]
+    g = [t for t in gn.split() if len(t) > 1 and t not in _F1_STOP]
+    if not p and not g:
+        return 1.0
+    if not p or not g:
+        return 0.0
+    common = set(p) & set(g)
+    precision, recall = len(common) / len(p), len(common) / len(g)
+    if precision + recall == 0:
+        return 0.0
+    return 2 * precision * recall / (precision + recall)
+
+
+def _py_retr_precision(retrieved, referenced):
+    retr = [s.lower() for s in retrieved]
+    ref = [s.lower() for s in referenced]
+    if not retr or not ref:
+        return 0, 0.3
+    direct = sum(1 for r in ref if any(r in t for t in retr))
+    nums = 0
+    for r in ref:
+        m = re.search(r"[0-9]+", r)
+        if m and any(m.group() in t for t in retr):
+            nums += 1
+    matched = max(direct, nums)
+    if matched > 0:
+        return matched, max(0.3, 0.3 + 0.7 * matched / len(ref))
+    return 0, 0.3
+
+
+def test_exact_match_scores_match_formula(spark):
+    from graph_rag_agent_spark.operators.evaluator import exact_match_scores
+
+    df = spark.createDataFrame(
+        ANSWER_SAMPLES, "sample_id string, system_answer string, golden_answer string"
+    )
+    got = {r["sample_id"]: r["em_x10000"] for r in exact_match_scores(df).collect()}
+    for sid, p, g in ANSWER_SAMPLES:
+        assert got[sid] == _x10000(_py_em(p, g)), sid
+    assert got["a1"] == 10000  # markdown cleaning + article/punct removal
+    assert got["a4"] == 0
+
+
+def test_answer_f1_scores_match_formula(spark):
+    from graph_rag_agent_spark.operators.evaluator import answer_f1_scores
+
+    df = spark.createDataFrame(
+        ANSWER_SAMPLES, "sample_id string, system_answer string, golden_answer string"
+    )
+    got = {r["sample_id"]: r["f1_x10000"] for r in answer_f1_scores(df).collect()}
+    for sid, p, g in ANSWER_SAMPLES:
+        assert got[sid] == _x10000(_py_f1(p, g)), sid
+    assert got["a2"] == 10000
+    assert got["a5"] == 10000  # both token-empty → 1.0
+
+
+def test_retrieval_precision_matches_formula(spark):
+    from graph_rag_agent_spark.operators.evaluator import (
+        retrieval_precision_scores,
+    )
+
+    df = spark.createDataFrame(
+        RETR_SAMPLES,
+        "sample_id string, retrieved array<string>, referenced array<string>",
+    )
+    got = {r["sample_id"]: r for r in retrieval_precision_scores(df).collect()}
+    for sid, retr, ref in RETR_SAMPLES:
+        m, score = _py_retr_precision(retr, ref)
+        assert got[sid]["matched"] == m, sid
+        assert got[sid]["score_x10000"] == _x10000(score), sid
+    assert got["r1"]["score_x10000"] == 10000
+    assert got["r4"]["score_x10000"] == 3000
+
+
 def test_graph_coverage_matches_formula(dfs):
     entities, triples, samples = dfs
     got = {
