@@ -13,11 +13,24 @@ to the component's minimum node id, which is exactly the oracle's
 component label (core/linkage.connected_components), so the two are
 directly comparable.
 
+After CONTRACT_AFTER rounds the graph is CONTRACTED: edges are
+rewritten to distinct (label(src), label(dst)) pairs and the solver
+recurses on that label graph, composing the result back through the
+current labels. Min-propagation strictly reduces the distinct-label
+count while any cross-label edge remains, so each level shrinks
+geometrically; small contracted graphs terminate in the driver
+fast path. Correctness rests on the invariant label(x) ≤ x with
+labels drawn from the component's node ids: the component's minimum
+node m always keeps label(m) = m, so the contracted component's min
+label IS the global min node id (oracle-equality tested).
+
 Scale notes: each round is two shuffles (neighbor-min groupBy + label
 self-join) on the edge list; lineage is truncated with localCheckpoint
 every round so 10²-round graphs don't blow up the plan. High-degree
 hubs are handled by the groupBy (partial aggregation) rather than a
-join fan-out.
+join fan-out. Contraction bounds the round count: long-diameter
+tails don't pay the per-round scheduling floor on the full edge
+list, only on the geometrically shrinking label graph.
 """
 
 from __future__ import annotations
@@ -41,6 +54,18 @@ DRIVER_THRESHOLD = 100_000
 EDGE_DRIVER_THRESHOLD = 2_000_000
 
 
+# Rounds of full-edge-list propagation before contraction becomes
+# eligible, and the shrink ratio that actually triggers it: contract
+# only when the distinct-label count has dropped to ≤ CONTRACT_RATIO
+# of the node count, so each recursion level is guaranteed
+# geometrically smaller. Clique-ish similarity graphs hit the ratio
+# immediately (components collapse to one label in 1-2 rounds);
+# adversarial long-path graphs never do and simply keep the plain
+# convergent loop.
+CONTRACT_AFTER = 2
+CONTRACT_RATIO = 0.6
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -49,6 +74,7 @@ def connected_components(
     max_iterations: int = MAX_ITERATIONS,
     driver_threshold: int = DRIVER_THRESHOLD,
     edge_driver_threshold: int = EDGE_DRIVER_THRESHOLD,
+    contract_after: int = CONTRACT_AFTER,
 ) -> DataFrame:
     """edges(src, dst) [+ optional nodes(node)] → (node, component)
     where component = min node id (string order) in the component."""
@@ -130,10 +156,60 @@ def connected_components(
             )
         )
         new_labels = loop_checkpoint(new_labels, "cc-labels", _round)
-        changed = new_labels.where("changed").limit(1).count()
+        contract_eligible = contract_after and _round + 1 >= contract_after
+        if contract_eligible:
+            stats = new_labels.agg(
+                F.max(F.col("changed").cast("int")).alias("any_changed"),
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.countDistinct("label").alias("n_labels"),
+            ).collect()[0]
+            changed = stats["any_changed"] or 0
+            shrunk = stats["n_labels"] <= CONTRACT_RATIO * stats["n_nodes"]
+        else:
+            changed = new_labels.where("changed").limit(1).count()
+            shrunk = False
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+        if contract_eligible and shrunk:
+            # contract: recurse on the distinct label graph, compose back
+            lbl = labels
+            c_edges = (
+                e.join(
+                    lbl.select(
+                        F.col("node").alias("a"), F.col("label").alias("la")
+                    ),
+                    "a",
+                )
+                .join(
+                    lbl.select(
+                        F.col("node").alias("b"), F.col("label").alias("lb")
+                    ),
+                    "b",
+                )
+                .where(F.col("la") != F.col("lb"))
+                .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+                .distinct()
+            )
+            c_comp = connected_components(
+                c_edges,
+                nodes=lbl.select("label").distinct(),
+                # full budget per level: each level is ≤ CONTRACT_RATIO
+                # the size of its parent, so recursion terminates
+                # regardless of the per-level round count
+                max_iterations=max_iterations,
+                driver_threshold=driver_threshold,
+                edge_driver_threshold=edge_driver_threshold,
+                contract_after=contract_after,
+            )
+            return (
+                lbl.join(
+                    c_comp.withColumnRenamed("node", "label"), "label", "left"
+                )
+                .select(
+                    "node", F.coalesce("component", "label").alias("component")
+                )
+            )
 
     return labels.withColumnRenamed("label", "component")
 
