@@ -282,6 +282,223 @@ def entity_coverage(samples: DataFrame, entities: DataFrame) -> DataFrame:
     )
 
 
+# keywords for the community/answer metric family
+# (graph_metrics.py:35-36: re.findall(r'\b[\w一-鿿]{2,}\b',
+# normalize_answer(q)) then 1 < len < 15) — normalize_answer strips
+# punctuation (incl. _) first, so the run pattern below is equivalent
+def _norm_keywords(col) -> "F.Column":
+    return F.filter(
+        F.regexp_extract_all(
+            normalize_answer_expr(col), F.lit(KEYWORD_PATTERN), 0
+        ),
+        lambda k: F.length(k) < 15,
+    )
+
+
+def community_relevance(
+    samples: DataFrame,
+    mentions: DataFrame,
+    membership: DataFrame,
+    communities: DataFrame,
+    top_naive: int = 3,
+    top_other: int = 5,
+    top_fallback: int = 10,
+) -> DataFrame:
+    """samples(sample_id, question, agent_type, chunk_ids
+    array<string>, entity_ids array<string>) → (sample_id,
+    n_keywords, matched, score_x10000).
+
+    Reference rule path (graph_metrics.py:6-196):
+      naive agent: chunks → MENTIONS → entities → their communities
+      (top 3) → summary+full_content text; score 0.3 + 0.4·match_rate,
+      else min(0.4, 0.3 + 0.1·n_chunks/3).
+      other agents: top-5 community text (entity_ids present) or
+      top-10 summaries (fallback); graph base 0.4 / ×1.2, hybrid
+      0.35 / ×1.1, else 0.3; score = min(1, base + 0.5·match_rate).
+    Neo4j's unordered LIMIT is pinned to community_id order; the LLM
+    fallback ladder is not reproduced (LLM boundary)."""
+    from pyspark.sql import Window
+
+    base = samples.withColumn("keywords", _norm_keywords("question"))
+
+    # naive path: per-sample community text via chunk mentions
+    naive_ids = (
+        base.where(F.col("agent_type") == "naive")
+        .select("sample_id", F.explode_outer("chunk_ids").alias("chunk_id"))
+        .join(mentions.select("chunk_id", "entity_id"), "chunk_id")
+        .join(membership.select("entity_id", "community_id"), "entity_id")
+        .select("sample_id", "community_id")
+        .distinct()
+    )
+    w = Window.partitionBy("sample_id").orderBy("community_id")
+    naive_text = (
+        naive_ids.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_naive)
+        .join(
+            communities.select("community_id", "summary", "full_content"),
+            "community_id",
+        )
+        .groupBy("sample_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "community_id",
+                                F.array(
+                                    F.coalesce("summary", F.lit("")),
+                                    F.coalesce("full_content", F.lit("")),
+                                ).alias("texts"),
+                            )
+                        )
+                    ).getField("texts")
+                ),
+            ).alias("community_info")
+        )
+    )
+
+    # non-naive paths share corpus-global community text (the
+    # reference queries ignore the sample's ids): top-5 with members
+    # (summary + full_content) vs top-10 summary-only fallback
+    w_all = Window.orderBy("community_id")
+    ranked = communities.withColumn("rn", F.row_number().over(w_all))
+    info5 = ranked.where(F.col("rn") <= top_other).agg(
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "community_id",
+                            F.array(
+                                F.coalesce("summary", F.lit("")),
+                                F.coalesce("full_content", F.lit("")),
+                            ).alias("texts"),
+                        )
+                    )
+                ).getField("texts")
+            ),
+        ).alias("info5")
+    )
+    with_summary = communities.where(
+        F.length(F.coalesce("summary", F.lit(""))) > 0
+    )
+    info10 = (
+        with_summary.withColumn("rn", F.row_number().over(w_all))
+        .where(F.col("rn") <= top_fallback)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(F.collect_list(F.coalesce("summary", F.lit("")))),
+            ).alias("info10")
+        )
+    )
+
+    joined = (
+        base.join(naive_text, "sample_id", "left")
+        .crossJoin(F.broadcast(info5))
+        .crossJoin(F.broadcast(info10))
+    )
+    info = F.when(
+        F.col("agent_type") == "naive", F.coalesce("community_info", F.lit(""))
+    ).otherwise(
+        F.when(
+            F.size(F.coalesce(F.col("entity_ids"), F.array())) > 0,
+            F.coalesce("info5", F.lit("")),
+        ).otherwise(F.coalesce("info10", F.lit("")))
+    )
+    n_k = F.size("keywords")
+    matched = F.size(
+        F.filter(
+            F.col("keywords"), lambda k: F.lower(F.col("__info")).contains(F.lower(k))
+        )
+    )
+    match_rate = F.when(n_k > 0, matched.cast("double") / n_k).otherwise(F.lit(0.0))
+    n_chunks = F.size(F.coalesce(F.col("chunk_ids"), F.array()))
+    has_info = (F.length(F.trim(F.col("__info"))) > 0) & (n_k > 0)
+    mult = (
+        F.when(F.col("agent_type") == "graph", F.lit(1.2))
+        .when(F.col("agent_type") == "hybrid", F.lit(1.1))
+        .otherwise(F.lit(1.0))
+    )
+    agent_base = (
+        F.when(F.col("agent_type") == "graph", F.lit(0.4))
+        .when(F.col("agent_type") == "hybrid", F.lit(0.35))
+        .otherwise(F.lit(0.3))
+    )
+    naive_score = F.when(has_info, 0.3 + 0.4 * match_rate).otherwise(
+        F.least(F.lit(0.4), 0.3 + 0.1 * n_chunks.cast("double") / 3)
+    )
+    other_score = F.when(
+        has_info, F.least(F.lit(1.0), agent_base + 0.5 * (match_rate * mult))
+    ).otherwise(agent_base)
+    score = F.when(F.col("agent_type") == "naive", naive_score).otherwise(
+        other_score
+    )
+    return (
+        joined.withColumn("__info", info)
+        .select(
+            "sample_id",
+            n_k.alias("n_keywords"),
+            matched.alias("matched"),
+            F.floor(score * 10000 + F.lit(0.5)).cast("int").alias("score_x10000"),
+        )
+    )
+
+
+def subgraph_quality(samples: DataFrame, sample_rels: DataFrame) -> DataFrame:
+    """samples(sample_id, agent_type, entity_ids array<string>) +
+    sample_rels(sample_id, subj, pred, obj) → (sample_id, n_entities,
+    n_rels, score_x10000) per graph_metrics.py:242-378:
+      no entities, no rels → 0.3
+      entities only → 0.3 + min(0.2, 0.01·n_e)
+      else quality = 0.5·density(n_r / C(n_e,2)) +
+                     0.5·connectivity(|rel endpoints| / n_e),
+           ×1.05 capped at 1.0 for the graph agent, floored at 0.3.
+    Our referenced relationships arrive as resolved triples, so the
+    reference's unparseable-rel-id branch (:315-330) cannot occur."""
+    ends = sample_rels.select("sample_id", F.col("subj").alias("e")).union(
+        sample_rels.select("sample_id", F.col("obj").alias("e"))
+    )
+    rel_agg = sample_rels.groupBy("sample_id").agg(F.count(F.lit(1)).alias("n_r"))
+    end_agg = ends.groupBy("sample_id").agg(
+        F.countDistinct("e").alias("n_endpoints")
+    )
+    base = (
+        samples.join(rel_agg, "sample_id", "left")
+        .join(end_agg, "sample_id", "left")
+        .na.fill({"n_r": 0, "n_endpoints": 0})
+        .withColumn("n_e", F.size(F.coalesce(F.col("entity_ids"), F.array())))
+    )
+    max_edges = F.when(
+        F.col("n_e") > 1, F.col("n_e") * (F.col("n_e") - 1) / 2
+    ).otherwise(F.lit(1.0))
+    density = F.when(max_edges > 0, F.col("n_r") / max_edges).otherwise(F.lit(0.0))
+    connectivity = F.when(
+        F.col("n_e") > 0, F.col("n_endpoints") / F.col("n_e")
+    ).otherwise(F.lit(0.0))
+    quality = density * 0.5 + connectivity * 0.5
+    boosted = F.when(
+        F.col("agent_type") == "graph", F.least(F.lit(1.0), quality * 1.05)
+    ).otherwise(quality)
+    score = (
+        F.when((F.col("n_e") == 0) & (F.col("n_r") == 0), F.lit(0.3))
+        .when(
+            (F.col("n_e") > 0) & (F.col("n_r") == 0),
+            0.3 + F.least(F.lit(0.2), 0.01 * F.col("n_e")),
+        )
+        .otherwise(F.greatest(F.lit(0.3), boosted))
+    )
+    return base.select(
+        "sample_id",
+        F.col("n_e").alias("n_entities"),
+        F.col("n_r").alias("n_rels"),
+        F.floor(score * 10000 + F.lit(0.5)).cast("int").alias("score_x10000"),
+    )
+
+
 def _sym_edges(triples: DataFrame) -> DataFrame:
     """Each canonical triple is one relationship; edge_id identifies it
     for the pairwise-distinct constraint."""

@@ -307,3 +307,125 @@ def test_graph_coverage_matches_formula(dfs):
         assert row["relevance_x10000"] == round(rel * 10000), sid
         assert row["connectedness_x10000"] == round(con * 10000), sid
         assert row["score_x10000"] == round(sc * 10000), sid
+
+
+# --- community_relevance / subgraph_quality (graph_metrics.py:6-378) ---
+
+MENTIONS = [("ch1", "Acme Corp"), ("ch1", "Sony"), ("ch2", "Alice Zhang")]
+MEMBERSHIP = [("Acme Corp", "c-0"), ("Sony", "c-0"), ("Alice Zhang", "c-1")]
+COMMUNITIES = [
+    ("c-0", "acme corp partners with sony", "full: partnership details"),
+    ("c-1", "alice zhang works at acme", "full: employment history"),
+    ("c-2", "unrelated widgets cluster", ""),
+]
+CR_SAMPLES = [
+    # (sample_id, question, agent_type, chunk_ids, entity_ids)
+    ("n1", "does acme corp partner with sony", "naive", ["ch1"], []),
+    ("n2", "unmatched words zzz qqq", "naive", [], []),  # no chunks → count path
+    ("g1", "acme corp and sony partnership", "graph", [], ["Acme Corp"]),
+    ("h1", "alice zhang employment", "hybrid", [], ["Alice Zhang"]),
+    ("o1", "anything at all here", "local", [], []),  # fallback info10
+]
+
+
+def _py_community_relevance(question, agent_type, chunk_ids, entity_ids):
+    kws = [
+        k for k in re.findall(r"[a-z0-9一-鿿]{2,}", _norm_answer(question)) if len(k) < 15
+    ]
+    comm = {c: (s, f) for c, s, f in COMMUNITIES}
+    if agent_type == "naive":
+        ents = {e for ch, e in MENTIONS if ch in set(chunk_ids)}
+        cids = sorted({c for e, c in MEMBERSHIP if e in ents})[:3]
+        info = " ".join(x for c in cids for x in comm[c])
+        if info.strip() and kws:
+            matched = sum(1 for k in kws if k in info.lower())
+            return 0.3 + 0.4 * matched / len(kws)
+        return min(0.4, 0.3 + 0.1 * len(chunk_ids) / 3)
+    if entity_ids:
+        cids = sorted(comm)[:5]
+        info = " ".join(x for c in cids for x in comm[c])
+    else:
+        cids = sorted(c for c in comm if comm[c][0])[:10]
+        info = " ".join(comm[c][0] for c in cids)
+    base = {"graph": 0.4, "hybrid": 0.35}.get(agent_type, 0.3)
+    mult = {"graph": 1.2, "hybrid": 1.1}.get(agent_type, 1.0)
+    if info.strip() and kws:
+        matched = sum(1 for k in kws if k in info.lower())
+        return min(1.0, base + 0.5 * (matched / len(kws) * mult))
+    return base
+
+
+def test_community_relevance_matches_formula(spark):
+    from graph_rag_agent_spark.operators.evaluator import community_relevance
+
+    samples = spark.createDataFrame(
+        CR_SAMPLES,
+        "sample_id string, question string, agent_type string, "
+        "chunk_ids array<string>, entity_ids array<string>",
+    )
+    mentions = spark.createDataFrame(MENTIONS, "chunk_id string, entity_id string")
+    membership = spark.createDataFrame(
+        MEMBERSHIP, "entity_id string, community_id string"
+    )
+    communities = spark.createDataFrame(
+        COMMUNITIES, "community_id string, summary string, full_content string"
+    )
+    got = {
+        r["sample_id"]: r["score_x10000"]
+        for r in community_relevance(
+            samples, mentions, membership, communities
+        ).collect()
+    }
+    for sid, q, at, ch, en in CR_SAMPLES:
+        assert got[sid] == _x10000(_py_community_relevance(q, at, ch, en)), sid
+    # naive with matching community text must beat the no-info floor
+    assert got["n1"] > 4000
+
+
+SQ_SAMPLES = [
+    # (sample_id, agent_type, entity_ids)
+    ("s1", "graph", ["A", "B", "C"]),
+    ("s2", "local", ["A", "B"]),
+    ("s3", "local", ["A"]),  # entities only
+    ("s4", "local", []),  # nothing
+]
+SQ_RELS = [
+    ("s1", "A", "KNOWS", "B"),
+    ("s1", "B", "KNOWS", "C"),
+    ("s2", "A", "KNOWS", "B"),
+]
+
+
+def _py_subgraph_quality(agent_type, entity_ids, rels):
+    n_e, n_r = len(entity_ids), len(rels)
+    if n_e == 0 and n_r == 0:
+        return 0.3
+    if n_e > 0 and n_r == 0:
+        return 0.3 + min(0.2, 0.01 * n_e)
+    max_edges = n_e * (n_e - 1) / 2 if n_e > 1 else 1
+    density = n_r / max_edges if max_edges > 0 else 0
+    endpoints = {s for s, _, o in rels} | {o for _, _, o in rels}
+    connectivity = len(endpoints) / n_e if n_e > 0 else 0
+    q = 0.5 * density + 0.5 * connectivity
+    if agent_type == "graph":
+        q = min(1.0, q * 1.05)
+    return max(0.3, q)
+
+
+def test_subgraph_quality_matches_formula(spark):
+    from graph_rag_agent_spark.operators.evaluator import subgraph_quality
+
+    samples = spark.createDataFrame(
+        SQ_SAMPLES, "sample_id string, agent_type string, entity_ids array<string>"
+    )
+    rels = spark.createDataFrame(
+        SQ_RELS, "sample_id string, subj string, pred string, obj string"
+    )
+    got = {
+        r["sample_id"]: r["score_x10000"]
+        for r in subgraph_quality(samples, rels).collect()
+    }
+    for sid, at, en in SQ_SAMPLES:
+        srels = [(s, p, o) for x, s, p, o in SQ_RELS if x == sid]
+        assert got[sid] == _x10000(_py_subgraph_quality(at, en, srels)), sid
+    assert got["s4"] == 3000
