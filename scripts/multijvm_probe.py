@@ -95,16 +95,19 @@ def main() -> None:
         print(json.dumps(results[n_exec]), flush=True)
     eff = (results[4]["turns_per_sec"] / results[1]["turns_per_sec"]) / 4
     corpus_eff = (results[1]["phases"]["corpus"] / results[4]["phases"]["corpus"]) / 4
-    print(
-        json.dumps(
-            {
-                "metric": "multijvm_scaling_1_to_4_executors",
-                "raw": round(eff, 3),
-                "corpus_phase": round(corpus_eff, 3),
-                "unit": "ratio",
-            }
-        )
-    )
+    summary = {
+        "metric": "multijvm_scaling_1_to_4_executors",
+        "raw": round(eff, 3),
+        "corpus_phase": round(corpus_eff, 3),
+        "unit": "ratio",
+        "runs": {str(k): v for k, v in results.items()},
+    }
+    print(json.dumps(summary))
+    # persist for bench_scaling.py's BASELINE.md renderer
+    out = os.path.join(REPO, "BENCH", "multijvm.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":
