@@ -282,6 +282,63 @@ def entity_coverage(samples: DataFrame, entities: DataFrame) -> DataFrame:
     )
 
 
+def reasoning_scores(samples: DataFrame) -> DataFrame:
+    """Deep-search metric family, deterministic rule paths
+    (evaluator/metrics/deep_search_metrics.py — ReasoningCoherence
+    :5-126 and ReasoningDepth :170-290, no-LLM branches): extract the
+    <think>…</think> block from the system answer; score its
+    structure (numbered search queries, paragraph count, **Final
+    Information** sections). 0.6 default when no thinking block is
+    present; the LLM re-scoring path is an LLM boundary.
+
+    samples(sample_id, system_answer) →
+    (sample_id, n_queries, n_paragraphs, n_info,
+     coherence_x10000, depth_x10000)."""
+    thinking = F.trim(
+        F.regexp_extract("system_answer", r"(?s)<think>(.*?)</think>", 1)
+    )
+    base = samples.select("sample_id", thinking.alias("thinking"))
+    has = F.length("thinking") > 0
+    n_q = F.size(
+        F.regexp_extract_all("thinking", F.lit(r">\s*\d+\.\s*(.*?)\n"), 0)
+    )
+    n_para = F.size(F.split("thinking", r"\n\n+"))
+    n_info = F.size(
+        F.regexp_extract_all(
+            "thinking",
+            F.lit(r"(?s)\*\*Final Information\*\*(.*?)(?=\n\n|\z)"),
+            0,
+        )
+    )
+    coherence = F.when(
+        has,
+        F.least(
+            F.lit(1.0),
+            0.6
+            + 0.1 * F.least(F.lit(3), n_q)
+            + F.when(n_para > 3, F.lit(0.1)).otherwise(F.lit(0.0)),
+        ),
+    ).otherwise(F.lit(0.6))
+    depth = F.when(
+        has,
+        0.6
+        + F.least(F.lit(0.2), 0.05 * n_q)
+        + F.least(F.lit(0.1), 0.02 * n_para)
+        + F.least(F.lit(0.1), 0.05 * n_info),
+    ).otherwise(F.lit(0.6))
+    zero = F.lit(0)
+    return base.select(
+        "sample_id",
+        F.when(has, n_q).otherwise(zero).alias("n_queries"),
+        F.when(has, n_para).otherwise(zero).alias("n_paragraphs"),
+        F.when(has, n_info).otherwise(zero).alias("n_info"),
+        F.floor(coherence * 10000 + F.lit(0.5)).cast("int").alias(
+            "coherence_x10000"
+        ),
+        F.floor(depth * 10000 + F.lit(0.5)).cast("int").alias("depth_x10000"),
+    )
+
+
 # keywords for the community/answer metric family
 # (graph_metrics.py:35-36: re.findall(r'\b[\w一-鿿]{2,}\b',
 # normalize_answer(q)) then 1 < len < 15) — normalize_answer strips

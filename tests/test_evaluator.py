@@ -412,6 +412,57 @@ def _py_subgraph_quality(agent_type, entity_ids, rels):
     return max(0.3, q)
 
 
+RS_SAMPLES = [
+    ("t1", "plain answer, no thinking block"),
+    (
+        "t2",
+        "<think>first I search\n> 1. query one\n> 2. query two\n\n"
+        "analysis paragraph\n\n**Final Information** found facts\n\n"
+        "more reasoning\n\nconclusion</think>\nThe answer is X.",
+    ),
+    (
+        "t3",
+        "<think>> 1. a\n> 2. b\n> 3. c\n> 4. d\n\npara</think>ans",
+    ),
+    ("t4", "<think>single paragraph only</think>done"),
+]
+
+
+def _py_reasoning(answer):
+    m = re.search(r"<think>(.*?)</think>", answer, re.DOTALL)
+    if not m:
+        return 0.6, 0.6
+    thinking = m.group(1).strip()
+    n_q = len(re.findall(r">\s*\d+\.\s*(.*?)\n", thinking))
+    n_para = len(re.split(r"\n\n+", thinking))
+    n_info = len(
+        re.findall(r"\*\*Final Information\*\*(.*?)(?=\n\n|\Z)", thinking, re.DOTALL)
+    )
+    coherence = min(
+        1.0, 0.6 + 0.1 * min(3, n_q) + (0.1 if n_para > 3 else 0.0)
+    )
+    depth = (
+        0.6
+        + min(0.2, 0.05 * n_q)
+        + min(0.1, 0.02 * n_para)
+        + min(0.1, 0.05 * n_info)
+    )
+    return coherence, depth
+
+
+def test_reasoning_scores_match_formula(spark):
+    from graph_rag_agent_spark.operators.evaluator import reasoning_scores
+
+    df = spark.createDataFrame(RS_SAMPLES, "sample_id string, system_answer string")
+    got = {r["sample_id"]: r for r in reasoning_scores(df).collect()}
+    for sid, ans in RS_SAMPLES:
+        c, d = _py_reasoning(ans)
+        assert got[sid]["coherence_x10000"] == _x10000(c), sid
+        assert got[sid]["depth_x10000"] == _x10000(d), sid
+    assert got["t1"]["coherence_x10000"] == 6000
+    assert got["t2"]["n_info"] == 1
+
+
 def test_subgraph_quality_matches_formula(spark):
     from graph_rag_agent_spark.operators.evaluator import subgraph_quality
 
