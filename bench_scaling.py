@@ -267,6 +267,22 @@ def main() -> None:
         " calibration) — effects a frequency-flat multi-node cluster"
         " does not have.",
         "",
+        "Calibration caveat: when the probe reports a window ceiling",
+        "ABOVE 1.0 (turbo noise on a mostly idle box), the normalized",
+        "column for that window is not meaningful — read the raw and",
+        "corpus-phase numbers.",
+        "",
+        "## Round-over-round (same 583k-turn job, local[32])",
+        "",
+        "| round | wall-clock (s) | link phase (s) | turns/s |",
+        "|---|---|---|---|",
+        "| r2 initial (distributed chain first enabled) | 171.8 | 146.7 | 3395.7 |",
+        "| r2 final (grouped canonicalize + CC contraction + vectorized LSH) | see table above | see table above | see table above |",
+        "",
+        "The link-phase floor dropped ~4× over round 2: canonicalization",
+        "collapsed to one per-component applyInPandas, CC contracts after",
+        "two rounds, LSH signatures/scoring fully vectorized.",
+        "",
         "## Analysis — what limits the whole-job number at this fixture size",
         "",
         "The corpus phase (chunk → signatures → extract → parse) is the",

@@ -115,7 +115,11 @@ def minhash_candidates(
                 )
             yield pd.Series(out)
 
-    signed = df.select(
+    # CPU-bound Python stage: a small parquet source arrives as 1-2
+    # partitions, which would serialize the signature computation on
+    # one core — spread it explicitly (same rule as extraction/parsing)
+    partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    signed = df.repartition(partitions).select(
         F.col(id_col).alias("doc"), F.explode(band_hashes(text_col)).alias("bucket")
     )
     a = signed.select(F.col("doc").alias("a_id"), "bucket")
@@ -128,6 +132,22 @@ def minhash_candidates(
     )
 
 
+def shingle_array(col, k: int):
+    """JVM replica of _shingles: distinct char k-shingles, with the
+    short/empty-text degenerate case ([text or ''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNull() | (F.length(c) < k), F.array(F.coalesce(c, F.lit("")))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - (k - 1)),
+                lambda i: c.substr(i, F.lit(k)),
+            )
+        )
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -136,29 +156,36 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Candidates + exact shingle-Jaccard verification ≥ threshold."""
-    cands = minhash_candidates(df, id_col, text_col, bands, shingle_k)
-    texts = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt"))
-    paired = (
-        cands.join(texts.withColumnRenamed("doc", "a_id").withColumnRenamed("txt", "a_txt"), "a_id")
-        .join(texts.withColumnRenamed("doc", "b_id").withColumnRenamed("txt", "b_txt"), "b_id")
+    """Candidates + exact shingle-Jaccard verification ≥ threshold.
+
+    The verify step is pure JVM: per-DOC distinct shingle arrays
+    (computed once, 5k-300k candidate pairs reuse them through the id
+    join) and array_intersect/array_union sizes inside whole-stage
+    codegen — the earlier per-PAIR Python set construction rebuilt
+    each document's shingles |candidates|/|docs| times through an
+    Arrow boundary. The SQL oracle's DISTINCT-substring join computes
+    the identical quantity."""
+    # the candidate list shuffles as tiny id pairs, so AQE coalesces it
+    # to a couple of partitions — but the verify below does |candidates|
+    # array intersections, which is CPU-proportional to pairs, not
+    # bytes: spread candidates before attaching the shingle arrays
+    partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cands = minhash_candidates(df, id_col, text_col, bands, shingle_k).repartition(
+        partitions
     )
-
-    @F.pandas_udf("double")
-    def jaccard(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        for a_txt, b_txt in it:
-            vals = []
-            for x, y in zip(a_txt, b_txt):
-                # raw shingle sets (not hashes): exact Jaccard, and the
-                # SQL oracle's DISTINCT-substring join computes the same
-                sa = set(_shingles(x or "", shingle_k))
-                sb = set(_shingles(y or "", shingle_k))
-                union = len(sa | sb)
-                vals.append(len(sa & sb) / union if union else 1.0)
-            yield pd.Series(vals)
-
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingle_array(text_col, shingle_k).alias("sh")
+    )
+    paired = cands.join(
+        sh.select(F.col("doc").alias("a_id"), F.col("sh").alias("a_sh")), "a_id"
+    ).join(
+        sh.select(F.col("doc").alias("b_id"), F.col("sh").alias("b_sh")), "b_id"
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    jaccard = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
     return (
-        paired.withColumn("jaccard", jaccard("a_txt", "b_txt"))
+        paired.withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
@@ -249,7 +276,10 @@ def simhash_near_duplicates(
         for texts in it:
             yield pd.Series([simhash64(t) for t in texts], dtype="int64")
 
-    hashed = df.select(F.col(id_col).alias("doc"), sim(text_col).alias("sh"))
+    partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    hashed = df.repartition(partitions).select(
+        F.col(id_col).alias("doc"), sim(text_col).alias("sh")
+    )
     banded = hashed.select(
         "doc",
         "sh",
