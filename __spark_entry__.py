@@ -536,6 +536,99 @@ def _q_retrieval_precision(spark, sf_dir):
     return retrieval_precision_scores(samples)
 
 
+def _q_retrieval_utilization(spark, sf_dir):
+    """Retrieval-utilization metric A11 (reference evaluator/metrics/
+    retrieval_metrics.py:174-315 rule path): the retrieval_precision
+    matching core plus the partial-token fallback — when no direct or
+    numeric match exists, a referenced whitespace token longer than 3
+    chars found in the joined retrieved text scores 0.4, else 0.3.
+    Sample synthesis forces every branch: doc_id%4==1 → partial
+    (unmatched 'zzqx' prefix + a genuinely retrieved token),
+    doc_id%4==3 → no match (short tokens only), even docs → the
+    matched>0 path via self tokens + a numeric id."""
+    from graph_rag_agent_spark.operators.evaluator import (
+        retrieval_utilization_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.slice(
+        F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) >= 4),
+        1,
+        5,
+    )
+    base = docs.select("doc_id", toks.alias("toks"))
+    num = (F.col("doc_id") % 97).cast("string")
+    tok1 = F.coalesce(F.element_at("toks", 1), F.lit("statefulword"))
+    samples = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+            "sample_id"
+        ),
+        F.concat(
+            F.col("toks"),
+            F.array(F.concat(F.lit("ticket "), num, F.lit(" state"))),
+        ).alias("retrieved"),
+        F.when(F.col("doc_id") % 4 == 1, F.array(F.concat(F.lit("zzqx "), tok1)))
+        .when(F.col("doc_id") % 4 == 3, F.array(F.lit("zz qq xx")))
+        .otherwise(
+            F.concat(
+                F.slice("toks", 1, 2), F.array(F.concat(F.lit("id-"), num))
+            )
+        )
+        .alias("referenced"),
+    )
+    return retrieval_utilization_scores(samples)
+
+
+def _q_deep_search_utilization(spark, sf_dir):
+    """Deep-search metric family A11 (reference evaluator/metrics/
+    deep_search_metrics.py: IterativeImprovement :344-511 and
+    KnowledgeGraphUtilization :523-648, rule paths): think-block
+    iteration counting (0.5 + min(0.3, 0.1·n)) and graph-mention
+    scoring (0.2 + mention/line bonuses). Samples synthesize every
+    branch from documents: doc_id%3==0 gets a <think> block with
+    doc_id%5 iteration lines (0 lines → the no-thinking default),
+    doc_id%2==0 adds a 核心相关实体 line, doc_id%7==0 a 相关知识社区
+    line; the natural text supplies answer-level entity/relation
+    mentions."""
+    from graph_rag_agent_spark.operators.evaluator import (
+        iterative_improvement_scores,
+        kg_utilization_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.col("text")
+    body = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(body, F.lit("\n核心相关实体: EMP-00001")),
+    ).otherwise(body)
+    body = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(body, F.lit("\n相关知识社区: C3")),
+    ).otherwise(body)
+    iter_block = F.repeat(
+        F.lit("> 1. explore entities\n"), (F.col("doc_id") % 5).cast("int")
+    )
+    answer = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("<think>"), iter_block, F.lit("</think>"), body),
+    ).otherwise(body)
+    samples = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+            "sample_id"
+        ),
+        answer.alias("system_answer"),
+    )
+    it = iterative_improvement_scores(samples).withColumnRenamed(
+        "score_x10000", "iter_x10000"
+    )
+    kg = kg_utilization_scores(samples).withColumnRenamed(
+        "score_x10000", "kg_x10000"
+    )
+    return it.join(kg, "sample_id").select(
+        "sample_id", "n_iterations", "iter_x10000", "n_mentions", "kg_x10000"
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Binary-column feature plumbing: synthesize opaque binary assets
     (JVM expressions), run the Arrow-batched decode stub over the
@@ -590,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_coverage": _q_entity_coverage,
         "answer_em_f1": _q_answer_em_f1,
         "retrieval_precision": _q_retrieval_precision,
+        "retrieval_utilization": _q_retrieval_utilization,
+        "deep_search_utilization": _q_deep_search_utilization,
         "minhash_pairs": _q_minhash_pairs,  # full SQL LSH replay oracle
         "simhash_pairs": _q_simhash_pairs,  # full SQL LSH replay oracle
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design; carries per-row recall flags)
@@ -1306,6 +1401,120 @@ def oracle_sql() -> dict[str, str]:
                             WHEN matched > 0 THEN greatest(0.3,
                                 0.3 + 0.7 * CAST(matched AS DOUBLE) / n_ref)
                             ELSE 0.3 END * 10000 + 0.5) AS INTEGER) AS score_x10000
+            FROM m
+        """,
+        "retrieval_utilization": """
+            WITH base AS (
+                SELECT doc_id,
+                       (list_filter(string_split(lower(text), ' '),
+                                    t -> length(t) >= 4))[1:5] AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS sample_id,
+                       list_concat(toks,
+                           ['ticket ' || CAST(doc_id % 97 AS VARCHAR) || ' state'])
+                           AS retr,
+                       CASE WHEN doc_id % 4 = 1
+                            THEN ['zzqx ' || coalesce(toks[1], 'statefulword')]
+                            WHEN doc_id % 4 = 3
+                            THEN ['zz qq xx']
+                            ELSE list_concat(toks[1:2],
+                                     ['id-' || CAST(doc_id % 97 AS VARCHAR)])
+                       END AS ref
+                FROM base
+            ),
+            m AS (
+                SELECT sample_id, len(retr) AS n_retr, len(ref) AS n_ref,
+                       greatest(
+                           len(list_filter(ref, r ->
+                               len(list_filter(retr, t -> contains(t, r))) > 0)),
+                           len(list_filter(ref, r ->
+                               length(regexp_extract(r, '[0-9]+', 0)) > 0
+                               AND len(list_filter(retr, t ->
+                                   contains(t, regexp_extract(r, '[0-9]+', 0)))) > 0))
+                       ) AS matched,
+                       len(list_filter(ref, r ->
+                           len(list_filter(
+                               list_filter(string_split_regex(r, '\\s+'),
+                                           t -> length(t) > 3),
+                               t -> contains(array_to_string(retr, ' '), t))) > 0
+                       )) > 0 AS partial
+                FROM s
+            )
+            SELECT sample_id,
+                   CAST(n_retr AS INTEGER) AS n_retrieved,
+                   CAST(n_ref AS INTEGER) AS n_referenced,
+                   CAST(CASE WHEN n_retr = 0 OR n_ref = 0 THEN 0 ELSE matched END
+                        AS INTEGER) AS matched,
+                   CAST(floor(
+                       CASE WHEN n_retr = 0 OR n_ref = 0 THEN 0.3
+                            WHEN matched > 0 THEN greatest(0.3,
+                                0.3 + 0.7 * CAST(matched AS DOUBLE) / n_ref)
+                            WHEN partial THEN 0.4
+                            ELSE 0.3 END * 10000 + 0.5) AS INTEGER) AS score_x10000
+            FROM m
+        """,
+        "deep_search_utilization": """
+            WITH body AS (
+                SELECT doc_id, text
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || '核心相关实体: EMP-00001'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN chr(10) || '相关知识社区: C3'
+                               ELSE '' END AS b
+                FROM documents
+            ),
+            s AS (
+                SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS sample_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '<think>'
+                                 || repeat('> 1. explore entities' || chr(10),
+                                           CAST(doc_id % 5 AS INTEGER))
+                                 || '</think>' || b
+                            ELSE b END AS answer
+                FROM body
+            ),
+            t AS (
+                SELECT sample_id, answer,
+                       trim(regexp_extract(answer,
+                           '(?s)<think>(.*?)</think>', 1)) AS thinking
+                FROM s
+            ),
+            m AS (
+                SELECT sample_id,
+                       length(thinking) > 0 AS has,
+                       len(regexp_extract_all(thinking,
+                           '>\\s*\\d+\\.\\s*(.*?)' || chr(10))) AS n_iter,
+                       len(regexp_extract_all(thinking,
+                           '(?i)知识图谱|实体|关系|社区')) AS n_think,
+                       len(regexp_extract_all(answer, '(?i)实体|entity'))
+                       + len(regexp_extract_all(answer, '(?i)关系|relation'))
+                           AS n_ans,
+                       regexp_matches(answer, '(?i)核心相关实体[：:]') AS has_e,
+                       regexp_matches(answer, '(?i)相关知识社区[：:]') AS has_c
+                FROM t
+            )
+            SELECT sample_id,
+                   CAST(CASE WHEN has THEN n_iter ELSE 0 END AS INTEGER)
+                       AS n_iterations,
+                   CAST(floor((CASE WHEN has
+                       THEN 0.5 + least(CAST(0.3 AS DOUBLE),
+                                        0.1 * CAST(n_iter AS DOUBLE))
+                       ELSE 0.5 END) * 10000 + 0.5) AS INTEGER) AS iter_x10000,
+                   CAST(CASE WHEN has THEN n_think ELSE n_ans END AS INTEGER)
+                       AS n_mentions,
+                   CAST(floor((CASE WHEN has
+                       THEN 0.2 + least(CAST(0.3 AS DOUBLE),
+                                        0.03 * CAST(n_think AS DOUBLE))
+                            + ((CASE WHEN has_e THEN 0.25 ELSE 0.0 END)
+                               + (CASE WHEN has_c THEN 0.25 ELSE 0.0 END))
+                       ELSE (0.2 + ((CASE WHEN has_e THEN 0.25 ELSE 0.0 END)
+                                    + (CASE WHEN has_c THEN 0.25 ELSE 0.0 END)))
+                            + least(CAST(0.3 AS DOUBLE),
+                                    0.05 * CAST(n_ans AS DOUBLE))
+                       END) * 10000 + 0.5) AS INTEGER) AS kg_x10000
             FROM m
         """,
         "multimodal_features": """

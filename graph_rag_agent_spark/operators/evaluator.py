@@ -719,3 +719,337 @@ def graph_coverage(
         F.round(connectedness * 10000).cast("int").alias("connectedness_x10000"),
         F.round(score * 10000).cast("int").alias("score_x10000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining metric family — retrieval_utilization / retrieval_latency /
+# chunk_utilization (evaluator/metrics/retrieval_metrics.py:174-560),
+# relationship_utilization (graph_metrics.py:1302-1699),
+# iterative_improvement / knowledge_graph_utilization
+# (deep_search_metrics.py:335-680). Deterministic rule paths only; each
+# metric's LLM fallback ladder (score below threshold → LLM judge,
+# take max) is an LLM boundary and is not reproduced.
+# ---------------------------------------------------------------------------
+
+
+def retrieval_utilization_scores(samples: DataFrame) -> DataFrame:
+    """samples(sample_id, retrieved array<string>, referenced
+    array<string>) → (sample_id, n_retrieved, n_referenced, matched,
+    score_x10000).
+
+    Rule path (retrieval_metrics.py:185-315): base 0.3 when either
+    list is empty; matched = max(direct substring matches,
+    first-number matches); matched>0 → max(0.3, 0.3+0.7·matched/n_ref);
+    matched=0 → 0.4 if any referenced whitespace token longer than 3
+    chars appears in the space-joined retrieved text, else 0.3."""
+    retr = F.transform(F.col("retrieved"), F.lower)
+    ref = F.transform(F.col("referenced"), F.lower)
+    base = samples.select("sample_id", retr.alias("retr"), ref.alias("ref"))
+    direct = F.size(
+        F.filter(
+            F.col("ref"),
+            lambda r: F.exists(F.col("retr"), lambda t: t.contains(r)),
+        )
+    )
+    num_of = lambda r: F.regexp_extract(r, "[0-9]+", 0)  # noqa: E731
+    nummatch = F.size(
+        F.filter(
+            F.col("ref"),
+            lambda r: (F.length(num_of(r)) > 0)
+            & F.exists(F.col("retr"), lambda t: t.contains(num_of(r))),
+        )
+    )
+    matched = F.greatest(direct, nummatch)
+    n_ref = F.size("ref")
+    combined = F.concat_ws(" ", F.col("retr"))
+    # ref token (whitespace split, len>3) appearing in the joined text
+    partial = F.exists(
+        F.col("ref"),
+        lambda r: F.exists(
+            F.filter(F.split(r, r"\s+"), lambda t: F.length(t) > 3),
+            lambda t: combined.contains(t),
+        ),
+    )
+    score = (
+        F.when((F.size("retr") == 0) | (n_ref == 0), F.lit(0.3))
+        .when(
+            matched > 0,
+            F.greatest(F.lit(0.3), 0.3 + 0.7 * matched.cast("double") / n_ref),
+        )
+        .when(partial, F.lit(0.4))
+        .otherwise(F.lit(0.3))
+    )
+    return base.select(
+        "sample_id",
+        F.size("retr").alias("n_retrieved"),
+        n_ref.alias("n_referenced"),
+        F.when((F.size("retr") == 0) | (n_ref == 0), F.lit(0))
+        .otherwise(matched)
+        .alias("matched"),
+        F.floor(score * 10000 + F.lit(0.5)).cast("int").alias("score_x10000"),
+    )
+
+
+def retrieval_latency_scores(samples: DataFrame) -> DataFrame:
+    """samples(sample_id, retrieval_time double seconds) →
+    (sample_id, latency_x10000). The reference metric
+    (retrieval_metrics.py:359-401) is the raw per-sample retrieval
+    time; averaging is the caller's fold."""
+    return samples.select(
+        "sample_id",
+        F.floor(F.col("retrieval_time").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("latency_x10000"),
+    )
+
+
+def clean_answer_expr(col) -> "F.Column":
+    """clean_references + clean_thinking_process
+    (evaluator/preprocessing/text_cleaner.py:3-42): strip the
+    ###/####-headed 引用数据 JSON block (#### tried only when the ###
+    pattern made no change), rstrip, strip <think> blocks, collapse
+    3+ newlines, trim."""
+    p3 = r"###\s*引用数据[\s\S]*?\{\s*['\"]data['\"][\s\S]*?\}\s*"
+    p4 = r"#### 引用数据[\s\S]*?\{\s*['\"]data['\"][\s\S]*?\}\s*"
+    c3 = F.regexp_replace(col, p3, "")
+    x = F.rtrim(F.when(c3 == col, F.regexp_replace(col, p4, "")).otherwise(c3))
+    x = F.regexp_replace(x, r"<think>[\s\S]*?</think>\s*", "")
+    return F.trim(F.regexp_replace(x, r"\n{3,}", "\n\n"))
+
+
+# key phrases: the reference extracts \b[\w一-鿿]{4,}\b runs from the
+# chunk text (retrieval_metrics.py:506). Python's unicode \w covers the
+# CJK range already; maximal runs of the class of length ≥ 4 are the
+# exact match set, expressed as a plain run pattern (valid in Java
+# regex and DuckDB RE2, where \w is ASCII).
+CHUNK_PHRASE_PATTERN = "[a-z0-9_一-鿿]{4,}"
+
+
+def chunk_utilization_scores(samples: DataFrame, chunks: DataFrame) -> DataFrame:
+    """samples(sample_id, system_answer, chunk_ids array<string>) +
+    chunks(chunk_id, text) → (sample_id, n_chunks, n_with_text,
+    score_x10000).
+
+    Rule path (retrieval_metrics.py:413-560): referenced chunks with
+    retrievable non-empty text each contribute the fraction of their
+    distinct key phrases found (case-insensitive substring) in the
+    cleaned answer; the score is the mean contribution over those
+    chunks. No chunk ids, or none resolving to text → 0.3."""
+    cleaned = F.lower(clean_answer_expr(F.col("system_answer")))
+    exploded = samples.select(
+        "sample_id",
+        cleaned.alias("answer_lc"),
+        F.explode_outer("chunk_ids").alias("chunk_id"),
+    ).join(chunks.select("chunk_id", "text"), "chunk_id", "left")
+    phrases = F.array_distinct(
+        F.regexp_extract_all(F.lower("text"), F.lit(CHUNK_PHRASE_PATTERN), 0)
+    )
+    has_text = F.col("text").isNotNull() & (F.length("text") > 0)
+    n_p = F.size(phrases)
+    n_m = F.size(F.filter(phrases, lambda p: F.col("answer_lc").contains(p)))
+    ratio = F.when(
+        has_text & (n_p > 0), n_m.cast("double") / n_p
+    ).otherwise(F.lit(0.0))
+    agg = exploded.groupBy("sample_id").agg(
+        F.count("chunk_id").alias("n_chunks"),
+        F.sum(has_text.cast("int")).alias("n_with_text"),
+        F.sum(ratio).alias("total"),
+    )
+    score = F.when(
+        (F.col("n_chunks") > 0) & (F.col("n_with_text") > 0),
+        F.col("total") / F.col("n_with_text"),
+    ).otherwise(F.lit(0.3))
+    return agg.select(
+        "sample_id",
+        "n_chunks",
+        "n_with_text",
+        F.floor(score * 10000 + F.lit(0.5)).cast("int").alias("score_x10000"),
+    )
+
+
+def relationship_utilization_scores(
+    samples: DataFrame, triples: DataFrame, max_rels: int = 50
+) -> DataFrame:
+    """samples(sample_id, rel_ids array<string>, entity_ids
+    array<string>) + canonical triples(subj, pred, obj, description
+    [, weight]) → (sample_id, score_x10000).
+
+    Rule path (graph_metrics.py:1311-1453): the reference samples the
+    SAME ≤50 arbitrary graph relationships for every sample (an
+    unordered `MATCH ()-[r]->() LIMIT 500` then first 50,
+    :1500-1557) — pinned here to (subj, pred, obj) order — and blends
+    base 0.3 + 0.7·(0.3·quantity + 0.4·quality + 0.3·relevance).
+    Branches: both reference lists empty → 0.3; no numeric rel id
+    (the fetch gate, :1510-1519) with rel ids present →
+    min(0.4, 0.3+0.02·n_rel_ids); rel ids absent but entities present
+    → implicit-relationship score 0.3 + 0.4·min(1, 1.2·min(1,
+    paths/C(n,2))) over 1..3-hop paths (:1559-1588)."""
+    cols = ["subj", "pred", "obj", "description"] + (
+        ["weight"] if "weight" in triples.columns else []
+    )
+    sample_rels = (
+        triples.select(*cols).orderBy("subj", "pred", "obj").limit(max_rels)
+    )
+    has_w = "weight" in triples.columns
+    valid = (
+        F.length(F.coalesce(F.col("subj"), F.lit(""))) > 0
+    ) & (
+        F.col("subj") != "unknown"
+    ) & (
+        F.length(F.coalesce(F.col("obj"), F.lit(""))) > 0
+    ) & (F.col("obj") != "unknown")
+    described = (
+        F.length(F.trim(F.coalesce("description", F.lit(""))))
+        > 0
+    ) | (F.length(F.trim(F.coalesce("pred", F.lit("")))) > 0)
+    g_aggs = [
+        F.count("*").alias("rel_count"),
+        F.sum(described.cast("int")).alias("n_desc"),
+        F.countDistinct(
+            F.when(F.length(F.trim("pred")) > 0, F.col("pred"))
+        ).alias("n_types"),
+        F.sum(valid.cast("int")).alias("n_valid"),
+        F.collect_set("subj").alias("srcs"),
+        F.collect_set("obj").alias("dsts"),
+    ]
+    if has_w:
+        g_aggs.append(F.avg(F.col("weight").cast("double")).alias("avg_w"))
+    g = sample_rels.agg(*g_aggs)
+    quantity = F.least(F.lit(1.0), 0.1 * F.col("rel_count"))
+    desc_ratio = F.col("n_desc") / F.col("rel_count")
+    diversity = F.least(F.lit(1.0), F.col("n_types") / 5)
+    validity = F.col("n_valid") / F.col("rel_count")
+    if has_w:
+        wscore = F.least(F.lit(1.0), F.coalesce(F.col("avg_w"), F.lit(0.0)) / 10.0)
+        quality = (
+            0.3 * desc_ratio + 0.3 * diversity + 0.2 * validity + 0.2 * wscore
+        )
+    else:
+        quality = 0.4 * desc_ratio + 0.3 * diversity + 0.3 * validity
+    g = g.select(
+        quantity.alias("quantity"),
+        F.when(F.col("rel_count") > 0, quality).otherwise(F.lit(0.0)).alias(
+            "quality"
+        ),
+        F.array_union("srcs", "dsts").alias("rel_entities"),
+        (F.col("rel_count") > 0).alias("has_rel_info"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    paths = referenced_path_counts(
+        samples.select(
+            "sample_id", F.explode_outer("entity_ids").alias("entity_id")
+        ).where(F.col("entity_id").isNotNull()),
+        triples,
+    )
+    base = (
+        samples.crossJoin(broadcast(g))
+        .join(paths, "sample_id", "left")
+        .na.fill({"path_count": 0})
+    )
+    n_rel = F.size(F.coalesce("rel_ids", F.array()))
+    n_ent = F.size(F.coalesce("entity_ids", F.array()))
+    has_numeric = F.exists(
+        F.coalesce("rel_ids", F.array()),
+        lambda r: r.rlike(r"^-?[0-9]+$"),
+    )
+    fetched = F.col("has_rel_info") & has_numeric
+    ent_set = F.array_distinct(F.coalesce("entity_ids", F.array()))
+    overlap = F.size(F.array_intersect(ent_set, F.col("rel_entities")))
+    # relevance denominator is the DISTINCT id set (graph_metrics.py:1690-1696)
+    relevance = F.when(
+        F.size(ent_set) > 0,
+        F.least(F.lit(1.0), 1.2 * overlap.cast("double") / F.size(ent_set)),
+    ).otherwise(F.lit(0.0))
+    potential = n_ent * (n_ent - 1) / 2
+    implicit = F.when(
+        potential > 0,
+        F.least(
+            F.lit(1.0),
+            1.2
+            * F.least(F.lit(1.0), F.col("path_count").cast("double") / potential),
+        ),
+    ).otherwise(F.lit(0.0))
+    blend = F.least(
+        F.lit(1.0),
+        0.3
+        + 0.7
+        * (0.3 * F.col("quantity") + 0.4 * F.col("quality") + 0.3 * relevance),
+    )
+    score = (
+        F.when((n_rel == 0) & (n_ent == 0), F.lit(0.3))
+        .when(
+            ~fetched & (n_rel > 0),
+            F.least(F.lit(0.4), 0.3 + 0.02 * n_rel),
+        )
+        .when(~fetched, 0.3 + 0.4 * implicit)
+        .otherwise(blend)
+    )
+    return base.select(
+        "sample_id",
+        F.floor(score * 10000 + F.lit(0.5)).cast("int").alias("score_x10000"),
+    )
+
+
+def iterative_improvement_scores(samples: DataFrame) -> DataFrame:
+    """samples(sample_id, system_answer) → (sample_id, n_iterations,
+    score_x10000). Rule path (deep_search_metrics.py:344-511): extract
+    the <think> block; iterations are '> N. query' lines; score 0.5 +
+    min(0.3, 0.1·n_iterations) when a thinking block exists, else
+    0.5 (the LLM comparison of first/last queries is an LLM
+    boundary)."""
+    thinking = F.trim(
+        F.regexp_extract("system_answer", r"(?s)<think>(.*?)</think>", 1)
+    )
+    base = samples.select("sample_id", thinking.alias("thinking"))
+    has = F.length("thinking") > 0
+    n_iter = F.size(
+        F.regexp_extract_all("thinking", F.lit(r">\s*\d+\.\s*(.*?)\n"), 0)
+    )
+    score = F.when(
+        has, 0.5 + F.least(F.lit(0.3), 0.1 * n_iter)
+    ).otherwise(F.lit(0.5))
+    return base.select(
+        "sample_id",
+        F.when(has, n_iter).otherwise(F.lit(0)).alias("n_iterations"),
+        F.floor(score * 10000 + F.lit(0.5)).cast("int").alias("score_x10000"),
+    )
+
+
+def kg_utilization_scores(samples: DataFrame) -> DataFrame:
+    """samples(sample_id, system_answer) → (sample_id, n_mentions,
+    score_x10000). Rule path (deep_search_metrics.py:523-648):
+    with a <think> block — 0.2 + min(0.3, 0.03·mentions of
+    知识图谱|实体|关系|社区 in the thinking) + 0.25·has 核心相关实体:
+    line + 0.25·has 相关知识社区: line; without — 0.2 + the two 0.25
+    bonuses + min(0.3, 0.05·(count(实体|entity) +
+    count(关系|relation) in the answer))."""
+    thinking = F.trim(
+        F.regexp_extract("system_answer", r"(?s)<think>(.*?)</think>", 1)
+    )
+    base = samples.select(
+        "sample_id",
+        F.col("system_answer").alias("answer"),
+        thinking.alias("thinking"),
+    )
+    has = F.length("thinking") > 0
+    has_entity_line = F.col("answer").rlike("(?i)核心相关实体[：:]")
+    has_comm_line = F.col("answer").rlike("(?i)相关知识社区[：:]")
+    n_think = F.size(
+        F.regexp_extract_all("thinking", F.lit("(?i)知识图谱|实体|关系|社区"), 0)
+    )
+    n_ans = F.size(
+        F.regexp_extract_all("answer", F.lit("(?i)实体|entity"), 0)
+    ) + F.size(F.regexp_extract_all("answer", F.lit("(?i)关系|relation"), 0))
+    bonus = (
+        F.when(has_entity_line, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(has_comm_line, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    score = F.when(
+        has, 0.2 + F.least(F.lit(0.3), 0.03 * n_think) + bonus
+    ).otherwise(0.2 + bonus + F.least(F.lit(0.3), 0.05 * n_ans))
+    return base.select(
+        "sample_id",
+        F.when(has, n_think).otherwise(n_ans).alias("n_mentions"),
+        F.floor(score * 10000 + F.lit(0.5)).cast("int").alias("score_x10000"),
+    )

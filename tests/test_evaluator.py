@@ -480,3 +480,266 @@ def test_subgraph_quality_matches_formula(spark):
         srels = [(s, p, o) for x, s, p, o in SQ_RELS if x == sid]
         assert got[sid] == _x10000(_py_subgraph_quality(at, en, srels)), sid
     assert got["s4"] == 3000
+
+
+# ---------------------------------------------------------------------------
+# retrieval_utilization / chunk_utilization / relationship_utilization /
+# iterative_improvement / kg_utilization — vs pure-Python transcriptions
+# of the reference rule paths (retrieval_metrics.py:174-560,
+# graph_metrics.py:1302-1699, deep_search_metrics.py:335-680).
+# ---------------------------------------------------------------------------
+
+RU_SAMPLES = [
+    ("u1", ["acme corp office", "sony hq"], ["acme corp", "sony"]),
+    ("u2", ["entity e-42 record", "other"], ["id-42"]),  # number path
+    ("u3", ["longword context here"], ["missing longword token"]),  # partial 0.4
+    ("u4", ["aaa bbb"], ["zzz yyy xxx"]),  # short tokens only -> 0.3
+    ("u5", [], ["x"]),
+    ("u6", ["x"], []),
+]
+
+
+def _py_retr_utilization(retrieved, referenced):
+    retr = [s.lower() for s in retrieved]
+    ref = [s.lower() for s in referenced]
+    if not retr or not ref:
+        return 0.3
+    direct = sum(1 for r in ref if any(r in t for t in retr))
+    nums = 0
+    for r in ref:
+        m = re.search(r"\d+", r)
+        if m and any(m.group() in t for t in retr):
+            nums += 1
+    matched = max(direct, nums)
+    if matched > 0:
+        return max(0.3, 0.3 + 0.7 * matched / len(ref))
+    combined = " ".join(retr)
+    for r in ref:
+        if any(tok in combined for tok in r.split() if len(tok) > 3):
+            return 0.4
+    return 0.3
+
+
+def test_retrieval_utilization_matches_formula(spark):
+    from graph_rag_agent_spark.operators.evaluator import (
+        retrieval_utilization_scores,
+    )
+
+    df = spark.createDataFrame(
+        RU_SAMPLES,
+        "sample_id string, retrieved array<string>, referenced array<string>",
+    )
+    got = {
+        r["sample_id"]: r["score_x10000"]
+        for r in retrieval_utilization_scores(df).collect()
+    }
+    for sid, retr, ref in RU_SAMPLES:
+        assert got[sid] == _x10000(_py_retr_utilization(retr, ref)), sid
+    assert got["u3"] == 4000
+    assert got["u4"] == 3000
+
+
+CHUNKS = [
+    ("c1", "alpha beta gamma deltaword epsilon"),
+    ("c2", "totally unrelated phrases nothing shared"),
+    ("c3", ""),
+]
+CU_SAMPLES = [
+    # full overlap with c1's >=4-char phrases
+    ("k1", "alpha beta gamma deltaword epsilon appear here", ["c1"]),
+    # half overlap + one empty-text chunk (skipped from denominator)
+    ("k2", "alpha beta unrelated", ["c1", "c2", "c3"]),
+    ("k3", "answer with no referenced chunks", []),
+    ("k4", "only missing ids", ["nope"]),
+    # thinking block stripped before matching
+    ("k5", "<think>alpha beta gamma deltaword epsilon</think>none", ["c1"]),
+]
+
+
+def _py_chunk_util(answer, chunk_ids):
+    texts = dict(CHUNKS)
+    a = re.sub(
+        r"###\s*引用数据[\s\S]*?\{\s*['\"]data['\"][\s\S]*?\}\s*", "", answer
+    )
+    if a == answer:
+        a = re.sub(
+            r"#### 引用数据[\s\S]*?\{\s*['\"]data['\"][\s\S]*?\}\s*", "", answer
+        )
+    a = a.rstrip()
+    a = re.sub(r"<think>[\s\S]*?</think>\s*", "", a)
+    a = re.sub(r"\n{3,}", "\n\n", a).strip().lower()
+    if not chunk_ids:
+        return 0.3
+    total, n = 0.0, 0
+    for cid in chunk_ids:
+        text = texts.get(cid, "")
+        if not text:
+            continue
+        n += 1
+        phrases = set(re.findall(r"[a-z0-9_一-鿿]{4,}", text.lower()))
+        if phrases:
+            total += sum(1 for p in phrases if p in a) / len(phrases)
+    return total / n if n else 0.3
+
+
+def test_chunk_utilization_matches_formula(spark):
+    from graph_rag_agent_spark.operators.evaluator import (
+        chunk_utilization_scores,
+    )
+
+    samples = spark.createDataFrame(
+        CU_SAMPLES,
+        "sample_id string, system_answer string, chunk_ids array<string>",
+    )
+    chunks = spark.createDataFrame(CHUNKS, "chunk_id string, text string")
+    got = {
+        r["sample_id"]: r["score_x10000"]
+        for r in chunk_utilization_scores(samples, chunks).collect()
+    }
+    for sid, ans, ids in CU_SAMPLES:
+        assert got[sid] == _x10000(_py_chunk_util(ans, ids)), sid
+    assert got["k1"] == 10000
+    assert got["k5"] == 0  # think block stripped before matching → 0/5 phrases
+
+
+REL_SAMPLES = [
+    ("v1", ["123"], ["Acme Corp", "Sony"]),  # numeric id -> full blend
+    ("v2", ["rel-abc", "rel-def"], ["Acme Corp"]),  # id-based 0.34
+    ("v3", [], ["Acme Corp", "Sony"]),  # implicit path branch
+    ("v4", [], []),  # base 0.3
+    ("v5", ["7"], []),  # blend with zero relevance
+]
+
+
+def _py_rel_utilization(rel_ids, entity_ids):
+    rels = sorted(TRIPLES)[:50]
+    if not rel_ids and not entity_ids:
+        return 0.3
+    fetched = any(re.fullmatch(r"-?\d+", r) for r in rel_ids) and rels
+    if not fetched and rel_ids:
+        return min(0.4, 0.3 + 0.02 * len(rel_ids))
+    if not fetched:
+        n = len(entity_ids)
+        potential = n * (n - 1) / 2
+        paths = _py_paths(entity_ids)
+        implicit = (
+            min(1.0, 1.2 * min(1.0, paths / potential)) if potential > 0 else 0.0
+        )
+        return 0.3 + 0.4 * implicit
+    quantity = min(1.0, 0.1 * len(rels))
+    desc = sum(1 for s, p, o, d in rels if (d and d.strip()) or (p and p.strip()))
+    types = {p for s, p, o, d in rels if p and p.strip()}
+    valid = sum(
+        1 for s, p, o, d in rels if s and s != "unknown" and o and o != "unknown"
+    )
+    quality = (
+        0.4 * desc / len(rels)
+        + 0.3 * min(1.0, len(types) / 5)
+        + 0.3 * valid / len(rels)
+    )
+    rel_entities = {s for s, p, o, d in rels} | {o for s, p, o, d in rels}
+    ent_set = set(entity_ids)
+    relevance = (
+        min(1.0, 1.2 * len(rel_entities & ent_set) / len(ent_set))
+        if ent_set
+        else 0.0
+    )
+    return min(
+        1.0, 0.3 + 0.7 * (0.3 * quantity + 0.4 * quality + 0.3 * relevance)
+    )
+
+
+def test_relationship_utilization_matches_formula(dfs):
+    from graph_rag_agent_spark.operators.evaluator import (
+        relationship_utilization_scores,
+    )
+
+    _, triples, _ = dfs
+    samples = triples.sparkSession.createDataFrame(
+        REL_SAMPLES,
+        "sample_id string, rel_ids array<string>, entity_ids array<string>",
+    )
+    got = {
+        r["sample_id"]: r["score_x10000"]
+        for r in relationship_utilization_scores(samples, triples).collect()
+    }
+    for sid, rids, eids in REL_SAMPLES:
+        assert got[sid] == _x10000(_py_rel_utilization(rids, eids)), sid
+    assert got["v4"] == 3000
+    assert got["v2"] == 3400
+
+
+DS_SAMPLES = [
+    ("d1", "<think>> 1. first query\n> 2. refined query\ntext</think>answer"),
+    ("d2", "plain answer, no thinking"),
+    ("d3", "<think>no numbered queries here</think>done"),
+    (
+        "d4",
+        "<think>> 1. a\n> 2. b\n> 3. c\n> 4. d\n</think>核心相关实体: Acme\n相关知识社区: C7\n",
+    ),
+    ("d5", "答案提到实体 and entity relations 关系 here"),
+]
+
+
+def _py_iter_improvement(answer):
+    m = re.search(r"<think>(.*?)</think>", answer, re.DOTALL)
+    if not m:
+        return 0.5
+    thinking = m.group(1).strip()
+    n = len(re.findall(r">\s*(\d+)\.\s*(.*?)\n", thinking))
+    score = 0.5
+    if n >= 1:
+        score += min(0.3, 0.1 * n)
+    return score
+
+
+def _py_kg_utilization(answer):
+    m = re.search(r"<think>(.*?)</think>", answer, re.DOTALL)
+    has_e = bool(re.search(r"核心相关实体[：:]", answer, re.IGNORECASE))
+    has_c = bool(re.search(r"相关知识社区[：:]", answer, re.IGNORECASE))
+    bonus = (0.25 if has_e else 0.0) + (0.25 if has_c else 0.0)
+    if m and m.group(1).strip():
+        n = len(re.findall(r"知识图谱|实体|关系|社区", m.group(1).strip(), re.IGNORECASE))
+        return 0.2 + min(0.3, 0.03 * n) + bonus
+    n = len(re.findall(r"实体|entity", answer, re.IGNORECASE)) + len(
+        re.findall(r"关系|relation", answer, re.IGNORECASE)
+    )
+    return 0.2 + bonus + min(0.3, 0.05 * n)
+
+
+def test_deep_search_utilization_matches_formula(spark):
+    from graph_rag_agent_spark.operators.evaluator import (
+        iterative_improvement_scores,
+        kg_utilization_scores,
+    )
+
+    df = spark.createDataFrame(DS_SAMPLES, "sample_id string, system_answer string")
+    it = {
+        r["sample_id"]: r["score_x10000"]
+        for r in iterative_improvement_scores(df).collect()
+    }
+    kg = {
+        r["sample_id"]: r["score_x10000"]
+        for r in kg_utilization_scores(df).collect()
+    }
+    for sid, ans in DS_SAMPLES:
+        assert it[sid] == _x10000(_py_iter_improvement(ans)), sid
+        assert kg[sid] == _x10000(_py_kg_utilization(ans)), sid
+    assert it["d1"] == 7000
+    assert it["d2"] == 5000
+    assert kg["d4"] > kg["d3"]
+
+
+def test_retrieval_latency_passthrough(spark):
+    from graph_rag_agent_spark.operators.evaluator import (
+        retrieval_latency_scores,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", 0.25), ("s2", 1.5)], "sample_id string, retrieval_time double"
+    )
+    got = {
+        r["sample_id"]: r["latency_x10000"]
+        for r in retrieval_latency_scores(df).collect()
+    }
+    assert got == {"s1": 2500, "s2": 15000}
