@@ -72,6 +72,14 @@ class BuildConfig:
     max_levels: int = 3
     extractor: object = None  # None → deterministic stub
     fail_after_bucket: int | None = None  # test hook: simulate a crash
+    # >0 → per-conversation tables (transcripts/chunks/extractions/
+    # parsed) are stored bucket-partitioned by conv_id so an
+    # incremental cycle can MERGE only the delta-touched partitions
+    # (plans/merge.py) instead of rewriting whole tables. At 100 TB
+    # this is the difference between delta-proportional and
+    # corpus-proportional incremental I/O; Iceberg's bucket transform
+    # is the managed equivalent.
+    bucket_convs: int = 0
 
 
 @dataclass
@@ -92,10 +100,25 @@ class _Warehouse:
         return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+        from .merge import BUCKET_COL
 
-    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> DataFrame:
-        df.write.mode(mode).parquet(self.path(name))
+        df = self.spark.read.parquet(self.path(name))
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        group_key: str | None = None,
+        num_buckets: int = 0,
+    ) -> DataFrame:
+        if group_key and num_buckets > 0:
+            from .merge import write_bucketed
+
+            write_bucketed(df, self.path(name), group_key, num_buckets)
+        else:
+            df.write.mode(mode).parquet(self.path(name))
         return self.read(name)
 
     def append_lineage(self, stage: str, partition_id: int, rows: int, t0: float):
@@ -129,12 +152,19 @@ class _Warehouse:
         return {r["partition_id"] for r in rows}
 
 
-def _stage(wh: _Warehouse, name: str, resume: bool, compute) -> DataFrame:
+def _stage(
+    wh: _Warehouse,
+    name: str,
+    resume: bool,
+    compute,
+    group_key: str | None = None,
+    num_buckets: int = 0,
+) -> DataFrame:
     """Materialize-or-reuse one stage; lineage row on compute."""
     if resume and wh.exists(name):
         return wh.read(name)
     t0 = time.time()
-    df = wh.write(compute(), name)
+    df = wh.write(compute(), name, group_key=group_key, num_buckets=num_buckets)
     wh.append_lineage(name, -1, df.count(), t0)
     return df
 
@@ -187,7 +217,12 @@ def _extraction_stage(
     final = chunks.select("chunk_id", "conv_id").join(
         wh.read("extraction_cache").dropDuplicates(["chunk_id"]), "chunk_id"
     ).select("chunk_id", "conv_id", "result")
-    return wh.write(final, name)
+    return wh.write(
+        final,
+        name,
+        group_key="conv_id" if cfg.bucket_convs else None,
+        num_buckets=cfg.bucket_convs,
+    )
 
 
 def build_all(
@@ -198,7 +233,15 @@ def build_all(
     res = BuildResult()
     t_start = time.time()
 
-    transcripts = _stage(wh, "transcripts", cfg.resume, lambda: transcripts)
+    bk = cfg.bucket_convs
+    transcripts = _stage(
+        wh,
+        "transcripts",
+        cfg.resume,
+        lambda: transcripts,
+        group_key="conv_id" if bk else None,
+        num_buckets=bk,
+    )
     res.tables["transcripts"] = transcripts
 
     registry = _stage(
@@ -206,14 +249,26 @@ def build_all(
     )
     res.tables["registry"] = registry
 
-    chunks = _stage(wh, "chunks", cfg.resume, lambda: chunk_conversations(transcripts))
+    chunks = _stage(
+        wh,
+        "chunks",
+        cfg.resume,
+        lambda: chunk_conversations(transcripts),
+        group_key="conv_id" if bk else None,
+        num_buckets=bk,
+    )
     res.tables["chunks"] = chunks
 
     extractions = _extraction_stage(wh, chunks, cfg)
     res.tables["extractions"] = extractions
 
     parsed = _stage(
-        wh, "parsed", cfg.resume, lambda: parse_extractions(extractions)
+        wh,
+        "parsed",
+        cfg.resume,
+        lambda: parse_extractions(extractions),
+        group_key="conv_id" if bk else None,
+        num_buckets=bk,
     )
     e_raw = _stage(wh, "entities_raw", cfg.resume, lambda: entities_raw(parsed))
     t_raw = _stage(wh, "triples_raw", cfg.resume, lambda: triples_raw(parsed))

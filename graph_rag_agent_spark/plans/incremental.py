@@ -253,8 +253,32 @@ def incremental_update(
         membership, entities, triples, mentions
     ).localCheckpoint()
 
-    # --- overwrite warehouse tables (everything above is eagerly
-    # checkpointed, so reading-while-overwriting is safe) -------------
+    # --- persist: per-conversation tables MERGE only the delta-touched
+    # bucket partitions when the warehouse stores them bucketed
+    # (BuildConfig.bucket_convs > 0 at build time — plans/merge.py);
+    # otherwise full overwrite. Global tables are global recomputes and
+    # always overwrite. Everything above is eagerly checkpointed, so
+    # reading-while-overwriting is safe. ------------------------------
+    from .merge import table_bucket_spec, upsert_groups
+
+    merged_writes: dict[str, DataFrame] = {}
+    per_conv_deltas = {
+        "transcripts": changed_transcripts.localCheckpoint(),
+        "chunks": new_chunks,
+        "extractions": new_extractions.select(*old_extractions.columns),
+        "parsed": parsed_new.select(*old_parsed.columns),
+    }
+    for name, delta in per_conv_deltas.items():
+        spec = table_bucket_spec(wh.path(name))
+        if spec is not None and spec.get("key") == "conv_id":
+            info = upsert_groups(
+                spark, wh.path(name), delta, stale, "conv_id", None
+            )
+            wh.append_lineage(
+                f"incr_merge_{name}", len(info["touched_buckets"]), -1, _time.time()
+            )
+            merged_writes[name] = wh.read(name)
+
     tables = {
         "transcripts": transcripts,
         "registry": new_registry,
@@ -276,7 +300,14 @@ def incremental_update(
         "communities": communities,
         "chunk_embeddings": chunk_embeddings,
     }
-    out = {name: wh.write(df, name) for name, df in tables.items()}
+    out = {
+        name: (
+            merged_writes[name]
+            if name in merged_writes
+            else wh.write(df, name)
+        )
+        for name, df in tables.items()
+    }
     out["cascade_deleted_entities"] = cascade
     out["changes_added"] = changes["added"]
     out["changes_modified"] = changes["modified"]
