@@ -56,6 +56,18 @@ def main() -> None:
     transcripts = synthesize_transcripts(spark, n_convs).localCheckpoint()
     n_turns = transcripts.count()
 
+    # warm the Python workers with the real pipeline on a tiny sample
+    # (pandas/numpy/package imports cost ~14 CPU-s per worker on first
+    # touch — a warm cluster, not process cold-start, is the steady
+    # state the numbers are meant to predict)
+    warm = synthesize_transcripts(spark, 24).localCheckpoint()
+    build_kg_tables(
+        warm,
+        similarity_method="auto",
+        with_communities=True,
+        with_signatures=True,
+    )["triples"].count()
+
     def kg_build():
         tables = build_kg_tables(
             transcripts,
