@@ -310,6 +310,47 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup tier 4 —
+    operators/dedup.embedding_cosine_near_duplicates). The synthetic
+    embeddings table has no natural cos>=0.9 pair (max pairwise cosine
+    0.51), so the catalog is the table plus deterministically
+    perturbed duplicate vectors (integer-space perturbation of every
+    vec_id%10==3 row); the detector must recover those pairs.
+    Quantization (floor(x*1000)), planting, argmax blocking and the
+    integer-exact cosine>=0.9 test are all replayed by the SQL oracle
+    — no float comparison anywhere, so the pair set hash-matches.
+    """
+    from graph_rag_agent_spark.operators.dedup import (
+        embedding_cosine_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ).alias("v"),
+    )
+    # rename before re-aliasing: Spark 4 lateral-column-alias resolution
+    # would otherwise bind vec_id inside the lambda to the NEW id
+    planted = (
+        base.where(F.col("vec_id") % 10 == 3)
+        .select(F.col("vec_id").alias("orig_id"), "v")
+        .select(
+            (F.col("orig_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "v", lambda x, i: x + (F.col("orig_id") + 31 * i) % 7 - 3
+            ).alias("v"),
+        )
+    )
+    catalog = base.unionByName(planted)
+    return embedding_cosine_near_duplicates(
+        catalog, "vec_id", "v", threshold_num=81, threshold_den=100,
+        pre_quantized=True,
+    )
+
+
 _CHARVEC_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 
 
@@ -688,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,  # full SQL LSH replay oracle
         "simhash_pairs": _q_simhash_pairs,  # full SQL LSH replay oracle
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design; carries per-row recall flags)
+        "embedding_near_dup": _q_embedding_near_dup,  # full SQL replay oracle
         "multimodal_features": _q_multimodal_features,  # full SQL oracle
         "kg_triples": _kg_triples,  # full SQL end-to-end pipeline oracle
     }
@@ -1534,6 +1576,40 @@ def oracle_sql() -> dict[str, str]:
                            f"ascii(substr(s, {2*j+1}, 1))" for j in range(16)
                        ) + """)) AS feature_fingerprint
             FROM a
+        """,
+        "embedding_near_dup": """
+            WITH q AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                       ) AS v
+                FROM embeddings
+            ), planted AS (
+                SELECT vec_id + 1000000 AS new_id,
+                       list_transform(range(0, 64),
+                           i -> v[i + 1] + (vec_id + 31 * i) % 7 - 3
+                       ) AS v
+                FROM q WHERE vec_id % 10 = 3
+            ), cat AS (
+                SELECT vec_id, v FROM q
+                UNION ALL
+                SELECT new_id AS vec_id, v FROM planted
+            ), m AS (
+                SELECT vec_id, v,
+                       CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+                           AS n2,
+                       CAST(list_indexof(v, list_max(v)) AS INTEGER) AS block
+                FROM cat
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.block AS block,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+                       a.n2 AS na2, b.n2 AS nb2
+                FROM m a JOIN m b
+                  ON a.block = b.block AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, block, dot, na2, nb2 FROM pairs
+            WHERE dot > 0 AND 100 * dot * dot >= 81 * na2 * nb2
         """,
         # minhash_pairs / simhash_pairs / ann_ivf / multimodal_features:
         # see their query docstrings for oracle status.

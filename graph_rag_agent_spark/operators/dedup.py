@@ -337,3 +337,83 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("char_jaccard") >= threshold)
     )
+
+
+def embedding_cosine_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold_num: int = 81,
+    threshold_den: int = 100,
+    scale: int = 1000,
+    pre_quantized: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fourth dedup tier
+    (module docstring), fully JVM-side and exactly replayable in SQL.
+
+    Vectors are quantized to integers (``floor(x * scale)`` — exact for
+    float32 inputs widened to double, so Spark and DuckDB agree
+    bit-for-bit), then the cosine threshold test is done in *integer*
+    arithmetic: ``cos(a,b) >= t`` (with ``t^2 = threshold_num /
+    threshold_den`` and ``dot > 0``) iff
+
+        threshold_den * dot(a,b)^2 >= threshold_num * |a|^2 * |b|^2
+
+    For unit-norm inputs at scale=1000 every term stays far inside
+    int64, so there is no float comparison anywhere — the returned
+    pair SET is deterministic across engines.
+
+    Blocking: same-argmax-dimension (first position of the max
+    quantized component). Near-identical vectors share their dominant
+    dimension, and the block key is a pure expression both engines
+    replay. At corpus scale the blocking slot composes with the
+    hyperplane-LSH band join used for entity linking
+    (operators/knn.ann_lsh — band equi-join + exact re-rank) instead
+    of argmax; argmax blocking is the deterministic-oracle probe, and
+    is quadratic only within a block.
+
+    Returns (id_a, id_b, block, dot, na2, nb2) — all exact integers.
+    """
+    if pre_quantized:
+        v = F.col(vec_col).cast("array<long>")
+    else:
+        v = F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+        )
+    lit0 = F.lit(0).cast("long")
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    base = base.select(
+        "_id",
+        "_v",
+        F.aggregate(
+            F.transform("_v", lambda x: x * x), lit0, lambda acc, x: acc + x
+        ).alias("_n2"),
+        F.array_position("_v", F.array_max("_v")).cast("int").alias("_block"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n2").alias("na2"),
+        F.col("_block").alias("block"),
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n2").alias("nb2"),
+        F.col("_block").alias("block"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), lit0, lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "block", dot.alias("dot"), "na2", "nb2")
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.lit(threshold_den) * F.col("dot") * F.col("dot")
+                >= F.lit(threshold_num) * F.col("na2") * F.col("nb2")
+            )
+        )
+    )

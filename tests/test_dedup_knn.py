@@ -133,3 +133,52 @@ def test_ann_ivf_recall(embeddings):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+class TestEmbeddingNearDup:
+    def test_matches_numpy_brute_force_within_blocks(self, spark):
+        """Operator pair set == numpy brute-force over same-argmax-block
+        pairs with the identical integer threshold test."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(40, 16))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        # plant near-dups: rows 30..39 are tiny perturbations of 0..9
+        vecs[30:] = vecs[:10] + rng.normal(scale=0.01, size=(10, 16))
+        vecs[30:] /= np.linalg.norm(vecs[30:], axis=1, keepdims=True)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.embedding_cosine_near_duplicates(
+                df, "vec_id", "embedding"
+            ).collect()
+        }
+        q = np.floor(vecs * 1000).astype(np.int64)
+        n2 = (q * q).sum(axis=1)
+        block = q.argmax(axis=1)
+        want = set()
+        for a in range(40):
+            for b in range(a + 1, 40):
+                if block[a] != block[b]:
+                    continue
+                dot = int((q[a] * q[b]).sum())
+                if dot > 0 and 100 * dot * dot >= 81 * int(n2[a]) * int(n2[b]):
+                    want.add((a, b))
+        assert got == want
+        # the planted perturbation pairs that share an argmax must be found
+        planted = {(i, i + 30) for i in range(10) if block[i] == block[i + 30]}
+        assert planted and planted <= got
+
+    def test_driver_query_recovers_planted_pairs(self, spark):
+        import __spark_entry__ as em
+
+        out = em.queries()["embedding_near_dup"](spark, SF_DIR).collect()
+        assert out
+        # every pair links a base row to its planted sibling (+1_000_000)
+        for r in out:
+            assert r.id_b == r.id_a + 1_000_000
+            assert r.id_a % 10 == 3
+            # integer-exact threshold really holds
+            assert 100 * r.dot * r.dot >= 81 * r.na2 * r.nb2
