@@ -310,6 +310,65 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_merge_upsert(spark, sf_dir):
+    """Iceberg-shaped MERGE INTO lifecycle (plans/merge.py — the lake
+    equivalent of the reference's per-batch Cypher MERGE upserts,
+    graph/core/* + incremental_graph_builder.py): create a bucket-
+    partitioned customer table, MERGE a deterministic delta
+    (updates: every c_custkey%7==0 gets +100 balance and an UPDATED
+    segment; inserts: every %11==0 key re-enters as key+1e6), then
+    MERGE-delete every %13==0 key. Copy-on-write at bucket-partition
+    granularity; the oracle replays the final state as set algebra
+    (source ∪ target∖source-keys, minus deleted keys). Balance is
+    projected to floor(x*100) bigint so no float is hashed.
+    """
+    import tempfile
+
+    from graph_rag_agent_spark.plans.merge import (
+        merge_into,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="merge_upsert_") + "/customer_tbl"
+    write_bucketed(cust, path, "c_custkey", num_buckets=16)
+
+    updates = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    inserts = (
+        cust.where(F.col("c_custkey") % 11 == 0)
+        .select(F.col("c_custkey").alias("k"), "c_nationkey")
+        .select(
+            (F.col("k") + 1_000_000).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("k").cast("string")).alias("c_name"),
+            "c_nationkey",
+            F.lit(50.0).alias("c_acctbal"),
+            F.lit("INSERTED").alias("c_mktsegment"),
+        )
+    )
+    merge_into(
+        spark, path, updates.unionByName(inserts), "c_custkey", num_buckets=16
+    )
+    deletes = cust.where(F.col("c_custkey") % 13 == 0).select("c_custkey")
+    merge_into(
+        spark, path, deletes, "c_custkey", num_buckets=16,
+        when_matched="delete",
+    )
+    return read_bucketed(spark, path).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_x100"),
+        "c_mktsegment",
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup tier 4 —
     operators/dedup.embedding_cosine_near_duplicates). The synthetic
@@ -730,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,  # full SQL LSH replay oracle
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design; carries per-row recall flags)
         "embedding_near_dup": _q_embedding_near_dup,  # full SQL replay oracle
+        "merge_upsert": _q_merge_upsert,  # full SQL set-algebra oracle
         "multimodal_features": _q_multimodal_features,  # full SQL oracle
         "kg_triples": _kg_triples,  # full SQL end-to-end pipeline oracle
     }
@@ -1576,6 +1636,36 @@ def oracle_sql() -> dict[str, str]:
                            f"ascii(substr(s, {2*j+1}, 1))" for j in range(16)
                        ) + """)) AS feature_fingerprint
             FROM a
+        """,
+        "merge_upsert": """
+            WITH upd AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       c_acctbal + 100 AS c_acctbal,
+                       'UPDATED' AS c_mktsegment
+                FROM customer WHERE c_custkey % 7 = 0
+            ), ins AS (
+                SELECT k + 1000000 AS c_custkey,
+                       'new-' || CAST(k AS VARCHAR) AS c_name,
+                       c_nationkey,
+                       CAST(50.0 AS DOUBLE) AS c_acctbal,
+                       'INSERTED' AS c_mktsegment
+                FROM (SELECT c_custkey AS k, c_nationkey FROM customer
+                      WHERE c_custkey % 11 = 0)
+            ), src AS (
+                SELECT * FROM upd UNION ALL SELECT * FROM ins
+            ), after_merge AS (
+                SELECT * FROM src
+                UNION ALL
+                SELECT * FROM customer
+                WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+            )
+            SELECT c_custkey, c_name, c_nationkey,
+                   CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_x100,
+                   c_mktsegment
+            FROM after_merge
+            WHERE c_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0
+            )
         """,
         "embedding_near_dup": """
             WITH q AS (
