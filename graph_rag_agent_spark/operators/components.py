@@ -59,10 +59,11 @@ EDGE_DRIVER_THRESHOLD = 2_000_000
 # only when the distinct-label count has dropped to ≤ CONTRACT_RATIO
 # of the node count, so each recursion level is guaranteed
 # geometrically smaller. Clique-ish similarity graphs hit the ratio
-# immediately (components collapse to one label in 1-2 rounds);
-# adversarial long-path graphs never do and simply keep the plain
-# convergent loop.
-CONTRACT_AFTER = 2
+# immediately (components collapse to one label in 1-2 rounds), so
+# contraction fires after the FIRST round and the remaining rounds
+# run on the shrunken label graph; adversarial long-path graphs never
+# hit the ratio and simply keep the plain convergent loop.
+CONTRACT_AFTER = 1
 CONTRACT_RATIO = 0.6
 
 
@@ -94,21 +95,32 @@ def connected_components(
 
     n_nodes = all_nodes.count() if driver_threshold > 0 else driver_threshold + 1
     if n_nodes <= driver_threshold and e.count() <= edge_driver_threshold:
-        node_list = [r["node"] for r in all_nodes.collect()]
-        edge_list = [(r["a"], r["b"]) for r in e.collect()]
-        comp = _py_cc(node_list, edge_list)
-        spark = edges.sparkSession
-        return spark.createDataFrame(
-            list(comp.items()), "node string, component string"
+        import pandas as pd
+
+        # Arrow both ways: toPandas beats the row-based collect and
+        # createDataFrame(pandas) beats a driver-side tuple list by
+        # several× at the 10⁵-row scale this path handles
+        npdf = all_nodes.toPandas()
+        epdf = e.toPandas()
+        comp = _py_cc(
+            npdf["node"].tolist(), list(zip(epdf["a"], epdf["b"]))
         )
+        spark = edges.sparkSession
+        out = pd.DataFrame(
+            {"node": list(comp.keys()), "component": list(comp.values())}
+        )
+        return spark.createDataFrame(out, "node string, component string")
 
     from ..session import loop_checkpoint, materialize
 
-    # materialize (NOT localCheckpoint): iterative loop state must
-    # reset plan statistics, or the optimizer's join-size products
-    # grow multiplicatively per round — see session.materialize
+    # materialize (NOT localCheckpoint) the LOOP-CARRIED state:
+    # iterative loop state must reset plan statistics, or the
+    # optimizer's join-size products grow multiplicatively per round —
+    # see session.materialize. The edge list is STATIC across rounds
+    # (its inherited stats are applied once, never compounded), so the
+    # cheaper in-memory localCheckpoint suffices for it.
     labels = materialize(all_nodes.withColumn("label", F.col("node")), "cc-labels")
-    e = materialize(e, "cc-edges")
+    e = e.localCheckpoint()
 
     import os as _os
     import time as _time

@@ -74,7 +74,15 @@ def with_embeddings(catalog: DataFrame) -> DataFrame:
                 [embed_entity(e, d) for e, d in zip(entity_id, description)]
             )
 
-    return catalog.withColumn("embedding", embed_udf("entity_id", "description"))
+    # the catalog arrives off a window-filter shuffle that AQE
+    # coalesces by BYTES (~1 partition per ~64 MB) — re-spread so this
+    # CPU-bound Python stage uses the whole cluster, not 1-2 cores
+    n_part = int(
+        catalog.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return catalog.repartition(n_part).withColumn(
+        "embedding", embed_udf("entity_id", "description")
+    )
 
 
 def _cosine_expr(a: str, b: str):
@@ -162,30 +170,37 @@ def _score_candidates_broadcast(cand: DataFrame, embedded: DataFrame) -> DataFra
     import pandas as pd
 
     spark = cand.sparkSession
-    rows = embedded.select("entity_id", "embedding").collect()
-    # one contiguous matrix + id→row-index map: pickles as a single
-    # binary blob (vs. 100k+ small arrays), and lets the scorer gather
-    # whole Arrow batches with fancy indexing instead of per-row stacks
-    index = {r["entity_id"]: i for i, r in enumerate(rows)}
+    # Arrow transfer + one contiguous matrix + a pd.Index for the
+    # id→row lookup: get_indexer is a vectorized C-level hash probe
+    # (a python dict .map over millions of candidate ids was the
+    # scorer's hottest line), and the whole store pickles as two blobs
+    pdf = embedded.select("entity_id", "embedding").toPandas()
+    ids = pd.Index(pdf["entity_id"])
     mat = (
-        np.array([r["embedding"] for r in rows], dtype=np.float64)
-        if rows
+        np.array(pdf["embedding"].to_list(), dtype=np.float64)
+        if len(pdf)
         else np.zeros((0, 1))
     )
     norms = np.linalg.norm(mat, axis=1)
-    bc = spark.sparkContext.broadcast((index, mat, norms))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
 
     @F.pandas_udf("double")
     def cos(src: pd.Series, dst: pd.Series) -> pd.Series:
-        index, mat, norms = bc.value
-        ii = src.map(index).to_numpy(dtype=np.int64)
-        jj = dst.map(index).to_numpy(dtype=np.int64)
+        ids, mat, norms = bc.value
+        ii = ids.get_indexer(src)
+        jj = ids.get_indexer(dst)
         a, b = mat[ii], mat[jj]
         dots = np.einsum("ij,ij->i", a, b)
         denom = norms[ii] * norms[jj]
         out = np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom))
         return pd.Series(out)
 
+    # AQE coalesces the upstream candidate dedup by BYTES (~76 MB for
+    # 2M pairs → 2-3 partitions), which would run this CPU-bound
+    # Python stage on 2-3 cores at ANY cluster size — a parallelism-
+    # independent floor. Re-spread to the configured partition count.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cand = cand.repartition(n_part)
     return cand.withColumn("score", cos("src", "dst")).select("src", "dst", "score")
 
 

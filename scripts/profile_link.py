@@ -30,7 +30,7 @@ from graph_rag_agent_spark.sources.transcripts import synthesize_transcripts
 
 def main():
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    spark = get_spark(app_name="profile-link", master="local[32]", shuffle_partitions=32)
+    spark = get_spark(app_name="profile-link", master=f"local[{int(sys.argv[2]) if len(sys.argv) > 2 else 32}]", shuffle_partitions=32)
     t = synthesize_transcripts(spark, n_convs).localCheckpoint()
     chunks = chunk_conversations(t).localCheckpoint()
     parsed = parse_extractions(extract_chunks(chunks)).localCheckpoint()
