@@ -139,3 +139,127 @@ def test_streaming_ingest_dedups_replays(spark, tmp_path_factory):
     written = spark.read.parquet(out)
     assert written.count() == len(rows)
     assert written.dropDuplicates(["conv_id", "turn_idx"]).count() == len(rows)
+
+
+def _turns(conv_id, n, t0_min, step_min=1):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    return [
+        (
+            conv_id,
+            i,
+            "user" if i % 2 == 0 else "assistant",
+            f"turn {i} of {conv_id}",
+            None,
+            base + dt.timedelta(minutes=t0_min + i * step_min),
+        )
+        for i in range(n)
+    ]
+
+
+def test_sessionize_stateful_gap_and_early_emit(spark, tmp_path_factory):
+    """Event-time-timeout sessionization: a quiet conversation closes
+    when the watermark passes its last turn + gap; a mega-conversation
+    emits closed=false partials every max_turns without waiting."""
+    from graph_rag_agent_spark.streaming.sessionize import sessionize_stateful
+
+    src = str(tmp_path_factory.mktemp("sess_src"))
+    out = str(tmp_path_factory.mktemp("sess_out"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schemas.TRANSCRIPTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sess = sessionize_stateful(
+            stream, gap_ms=30 * 60 * 1000, max_turns=10, watermark="10 minutes"
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: conv-a (5 quiet turns), conv-mega (25 turns → 2 partials).
+    # coalesce(1): one file per append so maxFilesPerTrigger=1 delivers
+    # the whole batch in one micro-batch — multi-file appends would be
+    # processed in arbitrary order, and the watermark advancing past a
+    # later-processed file's rows silently drops them as late data.
+    rows = _turns("conv-a", 5, t0_min=0) + _turns("conv-mega", 25, t0_min=0)
+    spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    partials = spark.read.parquet(out).where("NOT closed").collect()
+    assert {(r.conv_id, r.n_turns) for r in partials} == {
+        ("conv-mega", 25)
+    } or len(partials) == 2  # one row per crossed max_turns boundary
+
+    # batch 2: conv-b three hours later → watermark passes a+mega's
+    # gap; their closed=true rows fire on the post-advance batch
+    spark.createDataFrame(
+        _turns("conv-b", 3, t0_min=180), schema=schemas.TRANSCRIPTS
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    closed = {
+        r.conv_id: r
+        for r in spark.read.parquet(out).where("closed").collect()
+    }
+    assert set(closed) == {"conv-a", "conv-mega"}
+    assert closed["conv-a"].n_turns == 5
+    assert closed["conv-mega"].n_turns == 25
+    assert closed["conv-a"].total_chars == sum(
+        len(f"turn {i} of conv-a") for i in range(5)
+    )
+    # conv-b is still open (watermark has not passed its gap)
+    assert "conv-b" not in closed
+
+
+def test_conversation_sessions_builtin(spark, tmp_path_factory):
+    """Built-in session_window path: same close-on-gap semantics, pure
+    JVM (no Python boundary in the plan)."""
+    from graph_rag_agent_spark.streaming.sessionize import conversation_sessions
+
+    src = str(tmp_path_factory.mktemp("bsess_src"))
+    out = str(tmp_path_factory.mktemp("bsess_out"))
+    ckpt = str(tmp_path_factory.mktemp("bsess_ckpt"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schemas.TRANSCRIPTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sess = conversation_sessions(stream, gap="30 minutes", watermark="10 minutes")
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    rows = _turns("conv-a", 5, t0_min=0)
+    spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    spark.createDataFrame(
+        _turns("conv-b", 3, t0_min=180), schema=schemas.TRANSCRIPTS
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {r.conv_id: r for r in spark.read.parquet(out).collect()}
+    assert "conv-a" in got and got["conv-a"].n_turns == 5
+    assert "conv-b" not in got
