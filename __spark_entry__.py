@@ -758,6 +758,65 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_llm_judge(spark, sf_dir):
+    """LLM-judge metric family A11 (reference evaluator/metrics/
+    llm_metrics.py: ResponseCoherence :7-110, FactualConsistency
+    :113-232, ComprehensiveAnswerMetric :233-328, LLMGraphRagEvaluator
+    :329-520): the deterministic feature extraction behind each prompt
+    (paragraph/header/sentence structure, bullet-stripped key-fact
+    lines, the trailing-引用数据-block cleaner) plus the stub-judge
+    rubric in ×10000 integer arithmetic. Sample synthesis from
+    documents forces every branch: doc_id%2==0 appends sentences
+    (n_sentences path), %5==0 prepends bullet lines (key-fact
+    stripping), %3==0 adds a markdown header (has_headers +
+    paragraph count), %4==0 appends a 引用数据 JSON block (cleaner +
+    directness length change)."""
+    from graph_rag_agent_spark.operators.evaluator import llm_judge_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks6 = F.slice(
+        F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) >= 4),
+        1,
+        6,
+    )
+    question = F.concat(F.concat_ws(" ", toks6), F.lit("?"))
+    body = F.col("text")
+    body = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            body,
+            F.lit(
+                ". First extra sentence here. Second one! Third? Fourth. Fifth."
+            ),
+        ),
+    ).otherwise(body)
+    body = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(
+                "- leading bullet fact with enough characters\n"
+                "* another starred fact line here\n"
+            ),
+            body,
+        ),
+    ).otherwise(body)
+    body = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("### Summary\n\n"), body)
+    ).otherwise(body)
+    answer = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(body, F.lit("\n\n### 引用数据\n{'data': [1, 2]}")),
+    ).otherwise(body)
+    samples = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+            "sample_id"
+        ),
+        question.alias("question"),
+        answer.alias("system_answer"),
+    )
+    return llm_judge_scores(samples)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_derivation": _q_turns_derivation,
@@ -785,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_precision": _q_retrieval_precision,
         "retrieval_utilization": _q_retrieval_utilization,
         "deep_search_utilization": _q_deep_search_utilization,
+        "llm_judge": _q_llm_judge,
         "minhash_pairs": _q_minhash_pairs,  # full SQL LSH replay oracle
         "simhash_pairs": _q_simhash_pairs,  # full SQL LSH replay oracle
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design; carries per-row recall flags)
@@ -1617,6 +1677,100 @@ def oracle_sql() -> dict[str, str]:
                             + least(CAST(0.3 AS DOUBLE),
                                     0.05 * CAST(n_ans AS DOUBLE))
                        END) * 10000 + 0.5) AS INTEGER) AS kg_x10000
+            FROM m
+        """,
+        "llm_judge": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       (list_filter(string_split(lower(text), ' '),
+                                    t -> length(t) >= 4))[1:6] AS t6
+                FROM documents
+            ),
+            s AS (
+                SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS sample_id,
+                       array_to_string(t6, ' ') || '?' AS question,
+                       (CASE WHEN doc_id % 3 = 0
+                             THEN '### Summary' || chr(10) || chr(10)
+                             ELSE '' END)
+                       || (CASE WHEN doc_id % 5 = 0
+                               THEN '- leading bullet fact with enough characters'
+                                    || chr(10)
+                                    || '* another starred fact line here'
+                                    || chr(10)
+                               ELSE '' END)
+                       || text
+                       || (CASE WHEN doc_id % 2 = 0
+                               THEN '. First extra sentence here. Second one! Third? Fourth. Fifth.'
+                               ELSE '' END)
+                       || (CASE WHEN doc_id % 4 = 0
+                               THEN chr(10) || chr(10) || '### 引用数据'
+                                    || chr(10) || '{''data'': [1, 2]}'
+                               ELSE '' END) AS ans
+                FROM toks
+            ),
+            f AS (
+                SELECT sample_id, ans,
+                       regexp_replace(regexp_replace(ans,
+                           '#{1,4}\\s*引用数据[\\s\\S]*?(\\{[\\s\\S]*?\\})\\s*$',
+                           ''), '\\s+$', '') AS cleaned,
+                       len(string_split(ans, chr(10) || chr(10))) AS n_para,
+                       regexp_matches(ans, '#{1,3}\\s+\\w+') AS hdr,
+                       len(regexp_extract_all(ans, '[.!?。！？]\\s*')) AS n_sent,
+                       len(list_filter(
+                           list_transform(
+                               list_filter(string_split(ans, chr(10)),
+                                   l -> trim(l) <> ''
+                                        AND NOT starts_with(l, '#')),
+                               l -> regexp_replace(
+                                       regexp_replace(l, '^[-* ]+', ''),
+                                       '[-* ]+$', '')),
+                           s2 -> length(s2) > 10)) AS n_facts,
+                       list_distinct(list_filter(
+                           string_split(lower(question), ' '),
+                           t -> length(t) >= 4)) AS q_toks
+                FROM s
+            ),
+            m AS (
+                SELECT sample_id, n_para, hdr, n_sent, n_facts,
+                       length(ans) AS ans_len,
+                       length(cleaned) AS clean_len,
+                       len(q_toks) AS n_q,
+                       len(list_filter(q_toks,
+                           t -> contains(lower(cleaned), t))) AS matched,
+                       CASE WHEN hdr THEN 1 ELSE 0 END AS h
+                FROM f
+            )
+            SELECT sample_id,
+                   CAST(n_para AS INTEGER) AS n_paragraphs,
+                   CAST(h AS INTEGER) AS has_headers,
+                   CAST(n_sent AS INTEGER) AS n_sentences,
+                   CAST(n_facts AS INTEGER) AS n_key_facts,
+                   CAST(least(10000, 5000 + 2000 * h
+                       + CASE WHEN n_para >= 3 THEN 1500 ELSE 0 END
+                       + CASE WHEN n_sent >= 5 THEN 1500 ELSE 0 END)
+                       AS INTEGER) AS coherence_x10000,
+                   CAST(least(10000, 6000 + 500 * least(n_facts, 8))
+                       AS INTEGER) AS consistency_x10000,
+                   CAST(least(10000, 5000 + least(3000, ans_len * 5)
+                       + 1000 * h) AS INTEGER) AS comprehensiveness_x10000,
+                   CAST(CASE WHEN n_q > 0
+                        THEN 3000 + floor(matched * 7000 / n_q)
+                        ELSE 5000 END AS INTEGER) AS relativeness_x10000,
+                   CAST(least(10000, 4000 + 500 * least(n_sent, 10)
+                       + 1000 * h) AS INTEGER) AS empowerment_x10000,
+                   CAST(greatest(2000, 10000 - least(8000, clean_len * 2))
+                       AS INTEGER) AS directness_x10000,
+                   CAST(floor((
+                       30 * least(10000, 5000 + least(3000, ans_len * 5)
+                                         + 1000 * h)
+                       + 25 * (CASE WHEN n_q > 0
+                               THEN 3000 + floor(matched * 7000 / n_q)
+                               ELSE 5000 END)
+                       + 25 * least(10000, 4000 + 500 * least(n_sent, 10)
+                                           + 1000 * h)
+                       + 20 * greatest(2000, 10000 - least(8000,
+                                                           clean_len * 2))
+                       ) / 100) AS INTEGER) AS llm_total_x10000
             FROM m
         """,
         "multimodal_features": """

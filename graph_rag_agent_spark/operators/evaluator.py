@@ -1053,3 +1053,139 @@ def kg_utilization_scores(samples: DataFrame) -> DataFrame:
         F.when(has, n_think).otherwise(n_ans).alias("n_mentions"),
         F.floor(score * 10000 + F.lit(0.5)).cast("int").alias("score_x10000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-judge metric family (evaluator/metrics/llm_metrics.py) — the last
+# four reference metrics: ResponseCoherence (:7-110), FactualConsistency
+# (:113-232), ComprehensiveAnswerMetric (:233-328), LLMGraphRagEvaluator
+# (:329-520). All four score via llm.invoke in the reference (the no-LLM
+# branch returns 0.0); what IS deterministic there — and reproduced here
+# column-for-column — is the feature extraction each prompt is built
+# from: paragraph/header/sentence structure (:52-57), key-fact line
+# extraction (:164-172), the 引用数据-block cleaner (:471-482), and the
+# score-parse + clamp ladder (re.search first number, clamp to [0,1],
+# banded defaults 0.5/0.6). The judge itself is the same pluggable stub
+# boundary as the merge judge (L4): a deterministic rubric over the
+# extracted features, in pure ×10000 integer arithmetic so the driver's
+# DuckDB oracle replays it bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def _clean_llm_references_expr(col) -> "F.Column":
+    """LLMGraphRagEvaluator._clean_references (llm_metrics.py:471-482):
+    strip a trailing #-headed 引用数据 JSON block, then rstrip. (The
+    reference's second pattern only fires when the first made no
+    change and is a strict subset of it, so one replace suffices.)
+    Python's rstrip() strips ALL trailing whitespace incl. newlines;
+    rtrim() trims spaces only, hence the regex rtrim."""
+    pat = r"#{1,4}\s*引用数据[\s\S]*?(\{[\s\S]*?\})\s*$"
+    return F.regexp_replace(F.regexp_replace(col, pat, ""), r"\s+$", "")
+
+
+def _key_facts_expr(col) -> "F.Column":
+    """FactualConsistency key-fact extraction (llm_metrics.py:164-172):
+    per line — skip blank and '#'-prefixed lines, strip leading/
+    trailing '-'/'*'/' ' bullets, keep facts longer than 10 chars."""
+    kept = F.filter(
+        F.split(col, "\n"),
+        lambda l: (F.trim(l) != "") & (~l.startswith("#")),
+    )
+    stripped = F.transform(
+        kept,
+        lambda l: F.regexp_replace(
+            F.regexp_replace(l, "^[-* ]+", ""), "[-* ]+$", ""
+        ),
+    )
+    return F.filter(stripped, lambda s: F.length(s) > 10)
+
+
+def llm_judge_scores(samples: DataFrame) -> DataFrame:
+    """samples(sample_id, question, system_answer) →
+    (sample_id, n_paragraphs, has_headers, n_sentences, n_key_facts,
+     coherence_x10000, consistency_x10000, comprehensiveness_x10000,
+     relativeness_x10000, empowerment_x10000, directness_x10000,
+     llm_total_x10000).
+
+    Features (deterministic in the reference, llm_metrics.py):
+      n_paragraphs  — answer.split('\\n\\n')            (:52)
+      has_headers   — re.search(r'#{1,3}\\s+\\w+')      (:53; \\w is
+                      ASCII in Java regex and RE2 — the fixtures'
+                      headers are ASCII, documented deviation from
+                      Python's unicode \\w)
+      n_sentences   — re.findall(r'[.!?。！？]\\s*')     (:54)
+      n_key_facts   — bullet-stripped lines > 10 chars (:164-172)
+    Stub-judge rubric (the LLM boundary; deterministic bands mirroring
+    the reference prompts' scoring anchors, all integer ×10000):
+      coherence        = .5 base (parse-failure default, :88) + .2
+                         headers + .15 (≥3 paragraphs) + .15 (≥5
+                         sentences), capped at 1
+      consistency      = .6 base (:216) + .05·min(n_key_facts, 8)
+      comprehensiveness= .5 base (:305) + min(.3, len/2000) + .1 headers
+      LLMGraphRagEvaluator aspects over the 引用数据-cleaned answer:
+        relativeness   = .3 + .7·(question-token hit rate); .5 when the
+                         question yields no ≥4-char tokens
+        empowerment    = .4 + .05·min(n_sentences, 10) + .1 headers
+        directness     = max(.2, 1 − 2·len(cleaned)/10000)
+        llm_total      = .3·comp + .25·rel + .25·emp + .2·dir  (:337-341)
+    """
+    ans = F.col("system_answer")
+    cleaned = _clean_llm_references_expr(ans)
+    n_para = F.size(F.split(ans, "\n\n"))
+    headers = ans.rlike(r"#{1,3}\s+\w+")
+    n_sent = F.size(F.regexp_extract_all(ans, F.lit(r"[.!?。！？]\s*"), 0))
+    n_facts = F.size(_key_facts_expr(ans))
+    q_toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower("question"), " "), lambda t: F.length(t) >= 4
+        )
+    )
+    n_q = F.size(q_toks)
+    low_clean = F.lower(cleaned)
+    matched = F.size(F.filter(q_toks, lambda t: low_clean.contains(t)))
+    ans_len = F.length(ans)
+    clean_len = F.length(cleaned)
+
+    h = F.when(headers, F.lit(1)).otherwise(F.lit(0))
+    coherence = F.least(
+        F.lit(10000),
+        F.lit(5000)
+        + 2000 * h
+        + F.when(n_para >= 3, F.lit(1500)).otherwise(F.lit(0))
+        + F.when(n_sent >= 5, F.lit(1500)).otherwise(F.lit(0)),
+    )
+    consistency = F.least(
+        F.lit(10000), F.lit(6000) + 500 * F.least(n_facts, F.lit(8))
+    )
+    comp = F.least(
+        F.lit(10000),
+        F.lit(5000) + F.least(F.lit(3000), ans_len * 5) + 1000 * h,
+    )
+    rel = F.when(
+        n_q > 0,
+        F.lit(3000) + F.floor(matched * 7000 / n_q).cast("int"),
+    ).otherwise(F.lit(5000))
+    emp = F.least(
+        F.lit(10000),
+        F.lit(4000) + 500 * F.least(n_sent, F.lit(10)) + 1000 * h,
+    )
+    direct = F.greatest(
+        F.lit(2000), F.lit(10000) - F.least(F.lit(8000), clean_len * 2)
+    )
+    total = F.floor(
+        (30 * comp + 25 * rel + 25 * emp + 20 * direct) / 100
+    ).cast("int")
+    return samples.select(
+        "sample_id",
+        n_para.alias("n_paragraphs"),
+        h.alias("has_headers"),
+        n_sent.alias("n_sentences"),
+        n_facts.alias("n_key_facts"),
+        coherence.cast("int").alias("coherence_x10000"),
+        consistency.cast("int").alias("consistency_x10000"),
+        comp.cast("int").alias("comprehensiveness_x10000"),
+        rel.cast("int").alias("relativeness_x10000"),
+        emp.cast("int").alias("empowerment_x10000"),
+        direct.cast("int").alias("directness_x10000"),
+        total.alias("llm_total_x10000"),
+    )

@@ -743,3 +743,88 @@ def test_retrieval_latency_passthrough(spark):
         for r in retrieval_latency_scores(df).collect()
     }
     assert got == {"s1": 2500, "s2": 15000}
+
+
+def _py_llm_judge(question: str, answer: str) -> dict:
+    """Pure-Python transcription of the llm_metrics feature extraction
+    (reference llm_metrics.py:52-57,164-172,471-482) + the stub-judge
+    rubric, for oracle equality against llm_judge_scores."""
+    cleaned = re.sub(
+        r"#{1,4}\s*引用数据[\s\S]*?(\{[\s\S]*?\})\s*$", "", answer
+    ).rstrip()
+    n_para = len(answer.split("\n\n"))
+    hdr = 1 if re.search(r"#{1,3}\s+[A-Za-z0-9_]", answer) else 0
+    n_sent = len(re.findall(r"[.!?。！？]\s*", answer))
+    facts = []
+    for line in answer.split("\n"):
+        if line.strip() and not line.startswith("#"):
+            stripped = line.strip("- *")
+            if len(stripped) > 10:
+                facts.append(stripped)
+    n_facts = len(facts)
+    q_toks = list(dict.fromkeys(t for t in question.lower().split(" ") if len(t) >= 4))
+    low_clean = cleaned.lower()
+    matched = sum(1 for t in q_toks if t in low_clean)
+    coherence = min(
+        10000,
+        5000 + 2000 * hdr + (1500 if n_para >= 3 else 0) + (1500 if n_sent >= 5 else 0),
+    )
+    consistency = min(10000, 6000 + 500 * min(n_facts, 8))
+    comp = min(10000, 5000 + min(3000, len(answer) * 5) + 1000 * hdr)
+    rel = 3000 + int(matched * 7000 // len(q_toks)) if q_toks else 5000
+    emp = min(10000, 4000 + 500 * min(n_sent, 10) + 1000 * hdr)
+    direct = max(2000, 10000 - min(8000, len(cleaned) * 2))
+    total = (30 * comp + 25 * rel + 25 * emp + 20 * direct) // 100
+    return dict(
+        n_paragraphs=n_para,
+        has_headers=hdr,
+        n_sentences=n_sent,
+        n_key_facts=n_facts,
+        coherence_x10000=coherence,
+        consistency_x10000=consistency,
+        comprehensiveness_x10000=comp,
+        relativeness_x10000=rel,
+        empowerment_x10000=emp,
+        directness_x10000=direct,
+        llm_total_x10000=total,
+    )
+
+
+def test_llm_judge_scores_match_formula(spark):
+    from graph_rag_agent_spark.operators.evaluator import llm_judge_scores
+
+    long_body = "word " * 300  # saturates the comprehensiveness bonus
+    cases = [
+        # structured answer: headers, paragraphs, sentences, bullets
+        (
+            "s1",
+            "what does acme corporation manufacture today?",
+            "### Summary\n\nacme corporation builds widgets. It ships "
+            "them worldwide! Really? Yes. Indeed.\n\n- a bullet fact "
+            "about acme corporation\n* starred fact line number two\n"
+            "short\nplain unbulleted fact line here",
+        ),
+        # trailing reference block must be cleaned before directness
+        (
+            "s2",
+            "question words only here?",
+            "plain answer body with enough length to count as a fact"
+            "\n\n### 引用数据\n{'data': [1, 2]}",
+        ),
+        # no >=4-char question tokens → relativeness default branch
+        ("s3", "a of to?", "tiny"),
+        # empty-ish answer: no facts, no sentences, one paragraph
+        ("s4", "anything relevant at all", " "),
+        # mega answer: directness floor, comprehensiveness cap
+        ("s5", "find the word needle here", long_body + "needle"),
+    ]
+    df = spark.createDataFrame(
+        cases, "sample_id string, question string, system_answer string"
+    )
+    got = {r["sample_id"]: r.asDict() for r in llm_judge_scores(df).collect()}
+    assert set(got) == {c[0] for c in cases}
+    for sid, q, a in cases:
+        want = _py_llm_judge(q, a)
+        row = got[sid]
+        for k, v in want.items():
+            assert row[k] == v, f"{sid}.{k}: spark={row[k]} py={v}"
