@@ -291,14 +291,24 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    # rows-only BY DESIGN (IVF is approximate — the one remaining
-    # no-oracle query): each result row carries in_brute_topk, a
-    # Spark-computed recall flag against the exact baseline, so the
-    # recorded rows self-report answer quality.
+    """IVF ANN with a FULL SQL replay oracle: the coarse quantizer is
+    seeded with explicit deterministic centroids (the embeddings of
+    the 8 lowest vec_ids) instead of the sampled k-means, so the whole
+    approximate path — nearest-cell assignment (stable squared-L2
+    argsort), nprobe=2 cell probing, in-cell exact cosine top-k — is
+    replayable in DuckDB row for row. Production callers omit
+    `centroids` and get the trained quantizer; the operator code path
+    exercised here (probe UDF, cell equi-join, re-rank window) is the
+    same. Each row also carries in_brute_topk, the recall flag vs the
+    exact baseline, which the oracle recomputes too."""
+    import numpy as np
+
     from graph_rag_agent_spark.operators.knn import ann_bruteforce, ann_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    ivf = ann_ivf(emb, k=3, n_cells=8, nprobe=2)
+    seed_rows = emb.orderBy("vec_id").limit(8).select("embedding").collect()
+    cents = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
+    ivf = ann_ivf(emb, k=3, nprobe=2, centroids=cents)
     brute = ann_bruteforce(emb, k=3).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_brute")
     )
@@ -847,7 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_judge": _q_llm_judge,
         "minhash_pairs": _q_minhash_pairs,  # full SQL LSH replay oracle
         "simhash_pairs": _q_simhash_pairs,  # full SQL LSH replay oracle
-        "ann_ivf": _q_ann_ivf,  # rows-only (approximate by design; carries per-row recall flags)
+        "ann_ivf": _q_ann_ivf,  # full SQL replay oracle (deterministic seeded centroids)
         "embedding_near_dup": _q_embedding_near_dup,  # full SQL replay oracle
         "merge_upsert": _q_merge_upsert,  # full SQL set-algebra oracle
         "multimodal_features": _q_multimodal_features,  # full SQL oracle
@@ -1226,6 +1236,71 @@ def oracle_sql() -> dict[str, str]:
                                b.vec_id ASC) AS rank
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
             ) WHERE rank <= 3
+        """,
+        # IVF replay: centroids are the 8 lowest-vec_id embeddings, so
+        # assignment (squared-L2, ties by centroid index), nprobe=2
+        # probing, in-cell cosine top-3 and the brute-force recall flag
+        # are all recomputable. list_distance orders like numpy's
+        # squared L2 (monotone sqrt); ranks hash, floats don't.
+        "ann_ivf": """
+            WITH c AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx,
+                       CAST(embedding AS DOUBLE[]) AS cvec
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 8)
+            ),
+            d AS (
+                SELECT e.vec_id, c.cell_idx,
+                       list_distance(CAST(e.embedding AS DOUBLE[]),
+                                     c.cvec) AS dist
+                FROM embeddings e CROSS JOIN c
+            ),
+            ranked AS (
+                SELECT vec_id, cell_idx,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist ASC, cell_idx ASC) AS r
+                FROM d
+            ),
+            data_side AS (
+                SELECT vec_id AS neighbor_id, cell_idx AS cell
+                FROM ranked WHERE r = 1
+            ),
+            query_side AS (
+                SELECT vec_id AS query_id, cell_idx AS cell
+                FROM ranked WHERE r <= 2
+            ),
+            scored AS (
+                SELECT q.query_id, ds.neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(qe.embedding AS DOUBLE[]),
+                               CAST(ne.embedding AS DOUBLE[])) DESC,
+                               ds.neighbor_id ASC) AS rank
+                FROM query_side q
+                JOIN data_side ds ON q.cell = ds.cell
+                     AND q.query_id <> ds.neighbor_id
+                JOIN embeddings qe ON qe.vec_id = q.query_id
+                JOIN embeddings ne ON ne.vec_id = ds.neighbor_id
+            ),
+            brute AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                           row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) DESC,
+                                   b.vec_id ASC) AS rnk
+                    FROM embeddings a JOIN embeddings b
+                         ON a.vec_id <> b.vec_id
+                ) WHERE rnk <= 3
+            )
+            SELECT i.query_id, i.neighbor_id,
+                   CAST(i.rank AS INTEGER) AS rank,
+                   CAST(CASE WHEN b.query_id IS NULL THEN 0 ELSE 1 END
+                        AS INTEGER) AS in_brute_topk
+            FROM (SELECT * FROM scored WHERE rank <= 3) i
+            LEFT JOIN brute b
+              ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
         """,
         # The linking chain's emergent result is closed-form: planted
         # pattern mentions (pure arithmetic on doc_id/pos — replicated

@@ -197,16 +197,28 @@ def ann_ivf(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 3,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF: assign every vector to its nearest centroid cell; each
     query probes its nprobe nearest cells; exact cosine within.
+
+    ``centroids`` (n_cells × dim) overrides the trained coarse
+    quantizer — callers that need a replayable index (the driver's
+    SQL oracle, regression fixtures) pass explicit centroid vectors;
+    production callers leave it None and get the sampled k-means.
+    Cell choice is argsort(squared-L2, stable) so ties break by
+    centroid index in every engine.
 
     Recall note (standard IVF trade-off): data vectors are stored in
     their single nearest cell, so a true neighbor sitting just outside
     every probed cell is missed; raise nprobe (or n_cells resolution)
     to trade cost for recall. The driver query reports measured recall
     vs the brute-force baseline as an output column."""
-    centroids = train_ivf_centroids(df, vec_col, n_cells)
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_cells)
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
+        n_cells = len(centroids)
 
     @F.pandas_udf("array<int>")
     def probe_cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

@@ -135,6 +135,42 @@ def test_ann_ivf_recall(embeddings):
     assert recall >= 0.5, recall
 
 
+def test_ann_ivf_explicit_centroids_match_python(embeddings):
+    """Explicit-centroid IVF (the driver-oracle path) equals a pure-
+    Python replay: nearest-cell assignment with stable squared-L2
+    argsort, nprobe probing, in-cell exact cosine top-k."""
+    import numpy as np
+
+    rows = sorted(embeddings.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    cents = mat[:4].copy()
+
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    order = np.argsort(d, axis=1, kind="stable")
+    stored = {ids[i]: int(order[i, 0]) for i in range(len(ids))}
+    probed = {ids[i]: set(order[i, :2].tolist()) for i in range(len(ids))}
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = set()
+    for qi, q in enumerate(ids):
+        cand = [
+            n
+            for n in ids
+            if n != q and stored[n] in probed[q]
+        ]
+        sims = {n: float(norm[qi] @ norm[ids.index(n)]) for n in cand}
+        top = sorted(cand, key=lambda n: (-sims[n], n))[:3]
+        want.update((q, n, r + 1) for r, n in enumerate(top))
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn.ann_ivf(
+            embeddings, k=3, nprobe=2, centroids=cents
+        ).collect()
+    }
+    assert got == want
+
+
 class TestEmbeddingNearDup:
     def test_matches_numpy_brute_force_within_blocks(self, spark):
         """Operator pair set == numpy brute-force over same-argmax-block
