@@ -79,11 +79,16 @@ def connected_components(
 ) -> DataFrame:
     """edges(src, dst) [+ optional nodes(node)] → (node, component)
     where component = min node id (string order) in the component."""
+    # checkpoint BEFORE counting: the threshold counts and the loop (or
+    # the driver collect) would otherwise each re-evaluate the distinct
+    # shuffles from scratch — checkpoint once, count the materialized
+    # partitions
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     endpoint_nodes = e.select(F.col("a").alias("node")).distinct()
     if nodes is not None:
@@ -92,6 +97,7 @@ def connected_components(
         ).distinct()
     else:
         all_nodes = endpoint_nodes
+    all_nodes = all_nodes.localCheckpoint()
 
     n_nodes = all_nodes.count() if driver_threshold > 0 else driver_threshold + 1
     if n_nodes <= driver_threshold and e.count() <= edge_driver_threshold:
@@ -120,7 +126,6 @@ def connected_components(
     # (its inherited stats are applied once, never compounded), so the
     # cheaper in-memory localCheckpoint suffices for it.
     labels = materialize(all_nodes.withColumn("label", F.col("node")), "cc-labels")
-    e = e.localCheckpoint()
 
     import os as _os
     import time as _time
@@ -135,37 +140,36 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("a", "node")
         )
-        lbl_of_lbl = (
-            labels.alias("l1")
-            .join(
-                labels.select(
-                    F.col("node").alias("label"), F.col("label").alias("label2")
-                ).alias("l2"),
-                "label",
+        joined = labels.join(nbr_min, "node", "left")
+        if _round == 0:
+            # labels are the identity map on round 0, so label-of-label
+            # is a no-op — skip the self-join on the one round that
+            # always runs over the full graph
+            best = F.least("label", F.coalesce("nbr_label", "label"))
+        else:
+            lbl_of_lbl = (
+                labels.alias("l1")
+                .join(
+                    labels.select(
+                        F.col("node").alias("label"),
+                        F.col("label").alias("label2"),
+                    ).alias("l2"),
+                    "label",
+                )
+                .select(F.col("l1.node").alias("node"), F.col("label2"))
             )
-            .select(F.col("l1.node").alias("node"), F.col("label2"))
-        )
+            joined = joined.join(lbl_of_lbl, "node", "left")
+            best = F.least(
+                "label",
+                F.coalesce("nbr_label", "label"),
+                F.coalesce("label2", "label"),
+            )
         # checkpoint once, then read the change flag off the
         # materialized result — avoids computing the plan twice
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .join(lbl_of_lbl, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    "label",
-                    F.coalesce("nbr_label", "label"),
-                    F.coalesce("label2", "label"),
-                ).alias("label"),
-                (
-                    F.least(
-                        "label",
-                        F.coalesce("nbr_label", "label"),
-                        F.coalesce("label2", "label"),
-                    )
-                    != F.col("label")
-                ).alias("changed"),
-            )
+        new_labels = joined.select(
+            "node",
+            best.alias("label"),
+            (best != F.col("label")).alias("changed"),
         )
         new_labels = loop_checkpoint(new_labels, "cc-labels", _round)
         contract_eligible = contract_after and _round + 1 >= contract_after
