@@ -277,7 +277,8 @@ def main() -> None:
         "| round | wall-clock (s) | link phase (s) | turns/s |",
         "|---|---|---|---|",
         "| r2 initial (distributed chain first enabled) | 171.8 | 146.7 | 3395.7 |",
-        "| r2 final (grouped canonicalize + CC contraction + vectorized LSH) | see table above | see table above | see table above |",
+        "| r2 mid (grouped canonicalize + CC contraction + vectorized LSH) | 50.9 | 32.2 | 11453.2 |",
+        "| r2 final (mapInPandas canonicalize, CC round-0 join skip + checkpoint-before-count) | see table above | see table above | see table above |",
         "",
         "The link-phase floor dropped ~4× over round 2: canonicalization",
         "collapsed to one per-component applyInPandas, CC contracts after",
@@ -298,10 +299,14 @@ def main() -> None:
         "shuffle work of exactly the corpus-phase kind, and the per-round",
         "fixed cost amortizes into noise. Round-2 changes cut the link",
         "floor substantially: canonicalization collapsed from two",
-        "distributed CC loops + a judge stage into one per-component",
-        "applyInPandas (~30 s → ~5 s at a 124k-entity catalog), and CC",
-        "contracts to the label graph after two rounds instead of running",
-        "7 full-edge-list rounds.",
+        "distributed CC loops + a judge stage into one repartition-by-",
+        "component mapInPandas pass (pandas groupby inside the partition;",
+        "Spark's per-group applyInPandas dispatch alone cost ~0.5 ms ×",
+        "tens of thousands of tiny components — 17.9 s → 4.7 s at a",
+        "124k-entity catalog on 4 cores), CC contracts to the label graph",
+        "after the first round, skips the identity label-of-label join on",
+        "round 0, and checkpoints the edge list before the threshold",
+        "counts so the distinct shuffles aren't evaluated twice.",
         "",
         "## Root cause found in round 2: optimizer statistics retention",
         "",
@@ -345,12 +350,14 @@ def main() -> None:
         lines += [
             "",
             f"1→4-executor efficiency: raw {mj['raw']}, corpus phase "
-            f"{mj['corpus_phase']} — the corpus phase scales across JVM",
-            "boundaries in line with the thread-mode window at the same",
-            "total core count; the remaining gap is this box's all-core",
-            "turbo ceiling (see calibration), not JVM isolation. The link",
-            "phase keeps its scheduling floor in both modes, as analyzed",
-            "above.",
+            f"{mj['corpus_phase']}. This probe spans 4→16 total cores, so",
+            "compare it to the THREAD-mode 4→16 window above: multi-JVM",
+            "raw efficiency meets or beats thread-mode at the same core",
+            "window — separate executor JVMs and executor-to-executor",
+            "shuffle cost nothing here; the gap to 1.0 is this box's",
+            "all-core turbo ceiling (see calibration), not JVM isolation.",
+            "The link phase keeps its scheduling floor in both modes, as",
+            "analyzed above.",
         ]
     lines += [
         "",

@@ -233,12 +233,43 @@ def connected_components(
 def consecutive_component_ids(components: DataFrame) -> DataFrame:
     """(node, component) → (node, component, wcc) with dense 0-based ids
     ordered by component label — GDS consecutiveIds=True semantics
-    (similar_entity.py:240-244)."""
+    (similar_entity.py:240-244).
+
+    Numbering is two-phase so no stage ever sees the whole label set:
+    range-partition the distinct labels on the sort key, rank WITHIN
+    each partition, then add per-partition offsets (a collect of one
+    count per partition). A bare Window.orderBy would funnel every
+    label through a single-partition global sort — the textbook
+    WindowExec scale trap."""
     from pyspark.sql import Window
 
-    distinct = components.select("component").distinct()
-    numbered = distinct.withColumn(
-        "wcc",
-        F.row_number().over(Window.orderBy("component")).cast("long") - 1,
+    distinct = (
+        components.select("component")
+        .distinct()
+        .repartitionByRange("component")
+        .localCheckpoint()
+    )
+    part_counts = (
+        distinct.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = {r["pid"]: r["count"] for r in part_counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = components.sparkSession
+    off = spark.createDataFrame(
+        list(offsets.items()) or [(0, 0)], "pid int, offset long"
+    )
+    w = Window.partitionBy("pid").orderBy("component")
+    numbered = (
+        distinct.withColumn("pid", F.spark_partition_id())
+        .withColumn("rk", F.row_number().over(w).cast("long") - 1)
+        .join(F.broadcast(off), "pid")
+        .select("component", (F.col("offset") + F.col("rk")).alias("wcc"))
     )
     return components.join(numbered, "component")

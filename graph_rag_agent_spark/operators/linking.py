@@ -282,6 +282,11 @@ def similar_entities_lsh(
         scored = _score_candidates_broadcast(cand, embedded)
     else:
         scored = _score_candidates_join(cand, embedded)
+    # checkpoint before mirroring: the union's two branches would each
+    # re-run the scoring UDF stage (exchange reuse covers the band-join
+    # shuffle, not the post-shuffle Python projection) — score each
+    # unordered pair exactly once, then mirror the materialized rows
+    scored = scored.localCheckpoint()
     both = scored.unionByName(
         scored.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
