@@ -278,11 +278,13 @@ def main() -> None:
         "|---|---|---|---|",
         "| r2 initial (distributed chain first enabled) | 171.8 | 146.7 | 3395.7 |",
         "| r2 mid (grouped canonicalize + CC contraction + vectorized LSH) | 50.9 | 32.2 | 11453.2 |",
-        "| r2 final (mapInPandas canonicalize, CC round-0 join skip + checkpoint-before-count) | see table above | see table above | see table above |",
+        "| r2 final (single-scored LSH mirror, mapInPandas canonicalize, CC round-0 join skip) | 58.3 | 37.0 | 10010.9 |",
         "",
         "The link-phase floor dropped ~4× over round 2: canonicalization",
-        "collapsed to one per-component applyInPandas, CC contracts after",
-        "two rounds, LSH signatures/scoring fully vectorized.",
+        "collapsed to one repartition-by-component mapInPandas pass, CC",
+        "contracts after the first round and skips its identity round-0",
+        "label-of-label join, and each LSH candidate pair is scored exactly",
+        "once (the mirroring union used to re-run the scoring UDF per branch).",
         "",
         "## Analysis — what limits the whole-job number at this fixture size",
         "",
