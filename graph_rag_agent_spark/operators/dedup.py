@@ -119,8 +119,17 @@ def minhash_candidates(
     # partitions, which would serialize the signature computation on
     # one core — spread it explicitly (same rule as extraction/parsing)
     partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    signed = df.repartition(partitions).select(
-        F.col(id_col).alias("doc"), F.explode(band_hashes(text_col)).alias("bucket")
+    # checkpoint before the self-join: its two branches project
+    # different column names ahead of the bucket shuffle, so the plans
+    # don't canonicalize to a reusable exchange and the signature UDF
+    # would run once per branch
+    signed = (
+        df.repartition(partitions)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(band_hashes(text_col)).alias("bucket"),
+        )
+        .localCheckpoint()
     )
     a = signed.select(F.col("doc").alias("a_id"), "bucket")
     b = signed.select(F.col("doc").alias("b_id"), "bucket")
@@ -277,8 +286,13 @@ def simhash_near_duplicates(
             yield pd.Series([simhash64(t) for t in texts], dtype="int64")
 
     partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    hashed = df.repartition(partitions).select(
-        F.col(id_col).alias("doc"), sim(text_col).alias("sh")
+    # checkpoint for the same reason as the MinHash bucket join: the
+    # a/b branches rename columns before the band shuffle, defeating
+    # exchange reuse — without it the SimHash UDF runs twice
+    hashed = (
+        df.repartition(partitions)
+        .select(F.col(id_col).alias("doc"), sim(text_col).alias("sh"))
+        .localCheckpoint()
     )
     banded = hashed.select(
         "doc",
