@@ -1,0 +1,92 @@
+"""Streaming → incremental KG build (additive; SURVEY.md §2.11).
+
+Closes the loop between Structured Streaming ingest and the batch
+build plans: a turn stream drives the warehouse through foreachBatch
+— the standard Spark pattern for transactional sinks the streaming
+engine can't express natively (here: the reference's
+incremental_graph_builder.py cycle, reimplemented in
+plans/incremental.py).
+
+Per micro-batch:
+  1. append the batch's turns to a versioned turn log
+     (``ingest_batch`` column; a conversation re-delivered wholesale
+     REPLACES its prior version — the streaming analogue of the
+     reference's file-modified semantics in file_change_manager);
+  2. project the latest-version snapshot of every conversation;
+  3. first batch → ``build_all``; later batches →
+     ``incremental_update`` (registry diff, changed-conversations-only
+     chunk/extract/parse, cascade delete, global re-link).
+
+Delivery contract: a micro-batch must carry whole conversations
+(availableNow file batches, or upstream gating through
+``sessionize.conversation_sessions``/``sessionize_stateful`` closed
+rows — a half-delivered conversation would be registered with a
+partial content hash and correctly reprocessed when the rest
+arrives, costing an extra cycle, never wrong output).
+
+Scale: the turn log is append-only (no rewrite amplification); the
+snapshot projection is one broadcast-able (conv_id → max batch) join;
+everything downstream is the incremental plan's O(changed) work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+
+def latest_conversation_snapshot(turn_log: DataFrame) -> DataFrame:
+    """Versioned turn log (+ingest_batch) → latest version of every
+    conversation, original transcript columns."""
+    latest = turn_log.groupBy("conv_id").agg(
+        F.max("ingest_batch").alias("ingest_batch")
+    )
+    return turn_log.join(
+        F.broadcast(latest), ["conv_id", "ingest_batch"]
+    ).drop("ingest_batch")
+
+
+def stream_incremental_build(
+    spark: SparkSession,
+    source: str,
+    warehouse: str,
+    checkpoint: str,
+    cfg=None,
+    max_files_per_trigger: int | None = None,
+):
+    """Run one availableNow pass of the stream → incremental build.
+
+    ``source``: parquet directory of transcript-schema turn files.
+    Returns the StreamingQuery (caller awaits termination)."""
+    from ..plans.build import BuildConfig, build_all
+    from ..plans.incremental import incremental_update
+
+    turn_log = f"{warehouse}/turn_log"
+    build_cfg = cfg or BuildConfig(warehouse=warehouse, resume=False)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("ingest_batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(turn_log)
+        snapshot = latest_conversation_snapshot(
+            spark.read.parquet(turn_log)
+        ).localCheckpoint()
+        import os
+
+        if os.path.exists(f"{warehouse}/registry"):
+            incremental_update(spark, snapshot, warehouse, build_cfg)
+        else:
+            build_all(spark, snapshot, build_cfg)
+
+    reader = spark.readStream.schema(schemas.TRANSCRIPTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

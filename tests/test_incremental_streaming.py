@@ -263,3 +263,68 @@ def test_conversation_sessions_builtin(spark, tmp_path_factory):
     got = {r.conv_id: r for r in spark.read.parquet(out).collect()}
     assert "conv-a" in got and got["conv-a"].n_turns == 5
     assert "conv-b" not in got
+
+
+def test_stream_incremental_build_matches_batch_rebuild(
+    spark, tmp_path_factory
+):
+    """Two availableNow passes through the foreachBatch pipeline —
+    first batch bootstraps the warehouse (build_all), the second
+    (one new conversation + one re-delivered/modified conversation)
+    goes through incremental_update. Final triples must equal a
+    from-scratch batch build of the latest-version corpus."""
+    from graph_rag_agent_spark.streaming.pipeline import (
+        stream_incremental_build,
+    )
+
+    src = str(tmp_path_factory.mktemp("sp_src"))
+    wh = str(tmp_path_factory.mktemp("sp_wh"))
+    ckpt = str(tmp_path_factory.mktemp("sp_ckpt"))
+    cfg = BuildConfig(
+        warehouse=wh, similarity_method="exact", extraction_buckets=2
+    )
+
+    rows = generate_transcripts(12)
+    batch1 = [r for r in rows if r["conv_id"] != "conv-000005"]
+    # v2 of conv-000001: truncated re-delivery (modified semantics)
+    conv1_v2 = [
+        r
+        for r in rows
+        if r["conv_id"] == "conv-000001" and r["turn_idx"] < 5
+    ]
+    conv5 = [r for r in rows if r["conv_id"] == "conv-000005"]
+    batch2 = conv1_v2 + conv5
+
+    def deliver(batch_rows):
+        spark.createDataFrame(
+            batch_rows, schema=schemas.TRANSCRIPTS
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = stream_incremental_build(spark, src, wh, ckpt, cfg=cfg)
+        q.awaitTermination(300)
+
+    deliver(batch1)
+    deliver(batch2)
+
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(f"{wh}/triples").collect()
+    }
+
+    final_corpus = (
+        [r for r in batch1 if r["conv_id"] != "conv-000001"]
+        + conv1_v2
+        + conv5
+    )
+    wh2 = str(tmp_path_factory.mktemp("sp_wh_ref"))
+    ref = build_all(
+        spark,
+        spark.createDataFrame(final_corpus, schema=schemas.TRANSCRIPTS),
+        BuildConfig(
+            warehouse=wh2, similarity_method="exact", extraction_buckets=2
+        ),
+    )
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in ref.tables["triples"].collect()
+    }
+    assert got == want and len(got) > 0
