@@ -141,11 +141,18 @@ def _q_edit_distance_pairs(spark, sf_dir):
         F.col("p_partkey").alias("b_key"),
         F.col("p_name").alias("b_name"),
     )
+    # threshold form runs banded O(n·k) DP instead of the full O(n²)
+    # matrix, returning -1 above the bound (measured ~1.5× faster here;
+    # an extra |len(a)-len(b)| prefilter measured SLOWER — the length
+    # band rarely prunes these names and just adds per-pair work)
     return (
         a.join(b, "brand")
         .where(F.col("a_key") < F.col("b_key"))
-        .withColumn("dist", F.levenshtein(F.lower("a_name"), F.lower("b_name")))
-        .where(F.col("dist") < 4)
+        .withColumn(
+            "dist",
+            F.levenshtein(F.lower("a_name"), F.lower("b_name"), threshold=3),
+        )
+        .where(F.col("dist") >= 0)
         .select("a_key", "b_key", "dist")
     )
 
