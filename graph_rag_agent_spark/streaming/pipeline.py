@@ -90,3 +90,75 @@ def stream_incremental_build(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def gated_stream_build(
+    spark: SparkSession,
+    source: str,
+    warehouse: str,
+    checkpoint_root: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    cfg=None,
+    timeout_s: int = 300,
+):
+    """One availableNow pass of the SESSION-GATED build: only
+    conversations whose session has closed (event-time watermark
+    passed last turn + ``gap``) are delivered to the batch plans —
+    the delivery contract ``stream_incremental_build`` documents,
+    enforced with the sessionize operator instead of assumed.
+
+    Per pass:
+      1. ``conversation_sessions`` (pure-JVM session_window) drains
+         the source and appends closed-session descriptors;
+      2. the raw turns of every closed conversation are snapshotted
+         from the source directory (latest delivery wins per turn);
+      3. first pass bootstraps via ``build_all``, later passes run
+         ``incremental_update``. A conversation that re-opens with
+         more turns after closing simply re-registers as modified on
+         a later pass — an extra incremental cycle, never wrong
+         output.
+
+    Returns the number of closed conversations built over so far
+    (0 → no build ran yet: everything is still inside the gap).
+    """
+    import os
+
+    from ..plans.build import BuildConfig, build_all
+    from ..plans.incremental import incremental_update
+    from .sessionize import conversation_sessions
+
+    closed_log = f"{warehouse}/closed_sessions"
+    build_cfg = cfg or BuildConfig(warehouse=warehouse, resume=False)
+
+    stream = spark.readStream.schema(schemas.TRANSCRIPTS).parquet(source)
+    q = (
+        conversation_sessions(stream, gap=gap, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", closed_log)
+        .option("checkpointLocation", f"{checkpoint_root}/sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+    try:
+        closed = spark.read.parquet(closed_log).select("conv_id").distinct()
+    except Exception:
+        return 0
+    n_closed = closed.count()
+    if n_closed == 0:
+        return 0
+
+    turns = spark.read.schema(schemas.TRANSCRIPTS).parquet(source)
+    snapshot = (
+        turns.join(F.broadcast(closed), "conv_id", "left_semi")
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .localCheckpoint()
+    )
+    if os.path.exists(f"{warehouse}/registry"):
+        incremental_update(spark, snapshot, warehouse, build_cfg)
+    else:
+        build_all(spark, snapshot, build_cfg)
+    return n_closed

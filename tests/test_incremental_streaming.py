@@ -328,3 +328,90 @@ def test_stream_incremental_build_matches_batch_rebuild(
         for r in ref.tables["triples"].collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_gated_stream_build_only_closed_conversations(
+    spark, tmp_path_factory
+):
+    """Session-gated delivery: only conversations whose event-time gap
+    has passed reach the build; an open conversation is picked up by a
+    later pass once the watermark closes it."""
+    import datetime as dt
+
+    from graph_rag_agent_spark.streaming.pipeline import gated_stream_build
+
+    src = str(tmp_path_factory.mktemp("gated_src"))
+    wh = str(tmp_path_factory.mktemp("gated_wh"))
+    ckpt = str(tmp_path_factory.mktemp("gated_ckpt"))
+    cfg = BuildConfig(
+        warehouse=wh, similarity_method="exact", extraction_buckets=2
+    )
+    base = dt.datetime(2026, 1, 1)
+
+    def turns(conv_id, t0_min, texts):
+        return [
+            (
+                conv_id,
+                i,
+                "user" if i % 2 == 0 else "assistant",
+                t,
+                None,
+                base + dt.timedelta(minutes=t0_min + i),
+            )
+            for i, t in enumerate(texts)
+        ]
+
+    story = [
+        "Alice Zhang works at Acme Corp now.",
+        "Acme Corp ships Widget X from Shanghai.",
+    ]
+    # conv-a is long quiet by the time conv-b's turns arrive;
+    # conv-b's gap has NOT passed at the first watermark
+    batch1 = turns("conv-a", 0, story) + turns(
+        "conv-b", 100, ["Bob Li met Carol Wu in Beijing.", "Carol Wu agreed."]
+    )
+    spark.createDataFrame(batch1, schema=schemas.TRANSCRIPTS).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    n = gated_stream_build(spark, src, wh, ckpt, cfg=cfg)
+    assert n == 1  # only conv-a closed
+    convs = {
+        r["conv_id"]
+        for r in spark.read.parquet(f"{wh}/chunks").collect()
+    }
+    assert convs == {"conv-a"}
+
+    # a much later heartbeat conversation advances the watermark past
+    # conv-b's gap; the next pass builds it incrementally
+    spark.createDataFrame(
+        turns("conv-z", 400, ["David Chen visited Hangzhou today."]),
+        schema=schemas.TRANSCRIPTS,
+    ).coalesce(1).write.mode("append").parquet(src)
+    n = gated_stream_build(spark, src, wh, ckpt, cfg=cfg)
+    assert n == 2  # conv-a and conv-b closed; conv-z still open
+    convs = {
+        r["conv_id"]
+        for r in spark.read.parquet(f"{wh}/chunks").collect()
+    }
+    assert convs == {"conv-a", "conv-b"}
+
+    # the gated warehouse equals a batch build of the closed corpus
+    wh2 = str(tmp_path_factory.mktemp("gated_ref"))
+    ref = build_all(
+        spark,
+        spark.createDataFrame(
+            [r for r in batch1], schema=schemas.TRANSCRIPTS
+        ),
+        BuildConfig(
+            warehouse=wh2, similarity_method="exact", extraction_buckets=2
+        ),
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(f"{wh}/triples").collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in ref.tables["triples"].collect()
+    }
+    assert got == want and len(got) > 0
