@@ -22,10 +22,14 @@ from pyspark.sql import functions as F
 
 from ..core.lpa import MAX_LEVELS, MAX_SWEEPS, communities_array, detect_hierarchy
 from ..core.stub_summary import prepare_string, stub_summarize
+from .components import EDGE_DRIVER_THRESHOLD, dense_number_labels
 
 # Same rationale as operators/components.DRIVER_THRESHOLD: tiny
 # contracted graphs run the identical core spec driver-side instead of
-# paying O(levels × sweeps) shuffle-job latency.
+# paying O(levels × sweeps) shuffle-job latency. The driver path bounds
+# BOTH collects: a 100k-node similarity graph can still carry 10⁹ edges
+# (dense cliques), so the edge count is guarded by
+# components.EDGE_DRIVER_THRESHOLD exactly like connected_components.
 DRIVER_THRESHOLD = 100_000
 
 
@@ -112,6 +116,7 @@ def detect_communities(
     triples: DataFrame,
     max_levels: int = MAX_LEVELS,
     driver_threshold: int = DRIVER_THRESHOLD,
+    edge_driver_threshold: int = EDGE_DRIVER_THRESHOLD,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (membership(entity_id, community_id, level, number),
          hierarchy(child_community, parent_community)).
@@ -120,9 +125,15 @@ def detect_communities(
     matching a GDS projection over all __Entity__ nodes."""
     spark = entities.sparkSession
     nodes = entities.select(F.col("entity_id").alias("node")).distinct()
-    edges = projection_edges(triples)
+    # checkpoint before the threshold counts: both the driver collect
+    # and the distributed loop re-read this (components.py rationale)
+    edges = projection_edges(triples).localCheckpoint()
 
-    if nodes.count() <= driver_threshold:
+    if (
+        driver_threshold > 0
+        and nodes.count() <= driver_threshold
+        and edges.count() <= edge_driver_threshold
+    ):
         node_list = [r["node"] for r in nodes.collect()]
         edge_list = [(r["a"], r["b"], r["w"]) for r in edges.collect()]
         levels = detect_hierarchy(node_list, edge_list, max_levels=max_levels)
@@ -151,14 +162,10 @@ def detect_communities(
     cur_nodes = nodes
     for level in range(max_levels):
         labels = lpa_level(cur_nodes, edges)
-        numbering = (
-            labels.select("label")
-            .distinct()
-            .withColumn(
-                "number",
-                F.row_number().over(Window.orderBy("label")).cast("long") - 1,
-            )
-        )
+        # two-phase range-partitioned numbering (components.
+        # dense_number_labels) — a bare Window.orderBy here would pull
+        # every distinct label of every level through one task
+        numbering = dense_number_labels(labels, "label", "number")
         n_labels = numbering.count()
         n_nodes = cur_nodes.count()
 

@@ -230,24 +230,24 @@ def connected_components(
     return labels.withColumnRenamed("label", "component")
 
 
-def consecutive_component_ids(components: DataFrame) -> DataFrame:
-    """(node, component) → (node, component, wcc) with dense 0-based ids
-    ordered by component label — GDS consecutiveIds=True semantics
-    (similar_entity.py:240-244).
+def dense_number_labels(
+    labels: DataFrame, col: str, out: str = "number"
+) -> DataFrame:
+    """Distinct-value DataFrame → (col, out) with dense 0-based ids
+    ordered by ``col`` — the shared two-phase numbering used by WCC
+    consecutive ids, community-level numbering and SLLPA label
+    numbering.
 
-    Numbering is two-phase so no stage ever sees the whole label set:
-    range-partition the distinct labels on the sort key, rank WITHIN
-    each partition, then add per-partition offsets (a collect of one
-    count per partition). A bare Window.orderBy would funnel every
-    label through a single-partition global sort — the textbook
-    WindowExec scale trap."""
+    Two-phase so no stage ever sees the whole label set: range-partition
+    the distinct labels on the sort key, rank WITHIN each partition,
+    then add per-partition offsets (a collect of one count per
+    partition — bounded by the partition count, not the data). A bare
+    Window.orderBy would funnel every label through a single-partition
+    global sort — the textbook WindowExec scale trap."""
     from pyspark.sql import Window
 
     distinct = (
-        components.select("component")
-        .distinct()
-        .repartitionByRange("component")
-        .localCheckpoint()
+        labels.select(col).distinct().repartitionByRange(col).localCheckpoint()
     )
     part_counts = (
         distinct.select(F.spark_partition_id().alias("pid"))
@@ -261,15 +261,23 @@ def consecutive_component_ids(components: DataFrame) -> DataFrame:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    spark = components.sparkSession
+    spark = labels.sparkSession
     off = spark.createDataFrame(
         list(offsets.items()) or [(0, 0)], "pid int, offset long"
     )
-    w = Window.partitionBy("pid").orderBy("component")
-    numbered = (
+    w = Window.partitionBy("pid").orderBy(col)
+    return (
         distinct.withColumn("pid", F.spark_partition_id())
         .withColumn("rk", F.row_number().over(w).cast("long") - 1)
         .join(F.broadcast(off), "pid")
-        .select("component", (F.col("offset") + F.col("rk")).alias("wcc"))
+        .select(col, (F.col("offset") + F.col("rk")).alias(out))
     )
+
+
+def consecutive_component_ids(components: DataFrame) -> DataFrame:
+    """(node, component) → (node, component, wcc) with dense 0-based ids
+    ordered by component label — GDS consecutiveIds=True semantics
+    (similar_entity.py:240-244). Numbering via dense_number_labels
+    (range-partitioned two-phase; no global-sort Window)."""
+    numbered = dense_number_labels(components, "component", "wcc")
     return components.join(numbered, "component")

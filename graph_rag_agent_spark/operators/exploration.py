@@ -33,6 +33,14 @@ from ..core.stub_embed import embed_text
 
 NEIGHBOR_LIMIT = 100  # chain_of_exploration.py:315
 
+# Hard cap on rows pulled to the driver per hop, independent of
+# ``neighbor_limit``: selection keeps top-width ≤ 5 rows and the
+# adaptive-width neighbor factor saturates at 15 neighbors
+# (min(1.5, n/10)), so any cap ≥ 15 is exactly semantics-preserving
+# while a pathological caller passing neighbor_limit=10⁹ on a dense
+# graph can no longer pull an unbounded result set to the driver.
+FRONTIER_COLLECT_CAP = 64
+
 _COMPLEXITY_INDICATORS = [
     "为什么", "如果", "原因", "关系", "比较", "区别",
     "影响", "分析", "评估", "预测",
@@ -129,9 +137,16 @@ def chain_of_exploration(
             .withColumn("score", _cosine_to_query("embedding", qvec))
             .select("entity_id", "score")
         )
-        rows = scored.orderBy(F.desc("score"), F.asc("entity_id")).collect()
+        rows = (
+            scored.orderBy(F.desc("score"), F.asc("entity_id"))
+            .limit(FRONTIER_COLLECT_CAP)
+            .collect()
+        )
         if not rows:
             break
+        # len(rows) saturates at the cap, which is above both the
+        # neighbor-factor knee (15) and the max width (5) — identical
+        # adaptive_width and selection to the uncapped collect
         width = adaptive_width(step, query, len(rows), exploration_width)
         selected = rows[:width]
         sel_ids = {r["entity_id"] for r in selected}

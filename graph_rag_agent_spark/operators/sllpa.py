@@ -10,7 +10,8 @@ oracle directly (same rationale as components/community).
 Physical shape per iteration (the 100 TB path):
   - speaker pick: one window over the memory table (partition = node);
   - listen: edges ⋈ speakers (shuffle on the speaker key) →
-    groupBy(listener, label) count → window top-1;
+    groupBy(listener, label) count — every heard label is accumulated
+    into the listener's memory (core/sllpa spec; no top-1 pick here);
   - memory update: union + groupBy(node, label) — map-side combinable.
 State (node, label, cnt) is localCheckpointed every iteration to
 truncate lineage, exactly like the CC/LPA loops.
@@ -27,6 +28,7 @@ from ..core.sllpa import (
     community_numbering,
     sllpa_memberships,
 )
+from .components import EDGE_DRIVER_THRESHOLD, dense_number_labels
 
 DRIVER_THRESHOLD = 100_000
 
@@ -37,6 +39,7 @@ def sllpa_communities(
     max_iterations: int = MAX_ITERATIONS,
     min_association_strength: float = MIN_ASSOCIATION_STRENGTH,
     driver_threshold: int = DRIVER_THRESHOLD,
+    edge_driver_threshold: int = EDGE_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """nodes(node) + edges(a, b) → (node, label) rows, one per
     (node, community) pair — OVERLAPPING membership."""
@@ -46,9 +49,16 @@ def sllpa_communities(
         edges.select(F.col(edges.columns[0]).alias("a"), F.col(edges.columns[1]).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
 
-    if driver_threshold > 0 and nodes.count() <= driver_threshold:
+    # both collects bounded (components.py rationale: small node sets
+    # can still carry dense-clique edge lists that OOM the driver)
+    if (
+        driver_threshold > 0
+        and nodes.count() <= driver_threshold
+        and e.count() <= edge_driver_threshold
+    ):
         node_list = [r["node"] for r in nodes.collect()]
         edge_list = [(r["a"], r["b"]) for r in e.collect()]
         members = sllpa_memberships(
@@ -134,14 +144,9 @@ def sllpa_membership_table(
     labeled = sllpa_communities(
         nodes, edges, max_iterations, min_association_strength, driver_threshold
     )
-    numbering = (
-        labeled.select("label")
-        .distinct()
-        .withColumn(
-            "number",
-            F.row_number().over(Window.orderBy("label")).cast("long") - 1,
-        )
-    )
+    # two-phase range-partitioned numbering — same rationale as
+    # components.consecutive_component_ids (no global-sort Window)
+    numbering = dense_number_labels(labeled, "label", "number")
     return labeled.join(numbering, "label").select(
         F.col("node").alias("entity_id"),
         F.concat(F.lit("0-"), F.col("number").cast("string")).alias("community_id"),

@@ -204,12 +204,20 @@ def _extraction_stage(
         part = extract_chunks(
             bucketed.where(F.col("bucket") == b), cache=cache, **kwargs
         )
-        part.select("chunk_id", "result").dropDuplicates(["chunk_id"]).write.mode(
-            "append"
-        ).parquet(cache_path)
-        n = wh.spark.read.parquet(cache_path).count()
+        # materialize the bucket's delta ONCE: the lineage row records
+        # the per-bucket appended count (not a full cache re-scan — at
+        # B buckets a cumulative re-count is an O(B²) metadata+scan
+        # tax), and the in-memory cache grows by unioning the
+        # checkpointed delta instead of re-reading parquet per bucket
+        delta = (
+            part.select("chunk_id", "result")
+            .dropDuplicates(["chunk_id"])
+            .localCheckpoint()
+        )
+        n = delta.count()
+        delta.write.mode("append").parquet(cache_path)
         wh.append_lineage("extract", b, n, t0)
-        cache = wh.read("extraction_cache")
+        cache = delta if cache is None else cache.unionByName(delta)
         if cfg.fail_after_bucket is not None and b >= cfg.fail_after_bucket:
             raise RuntimeError(f"simulated failure after bucket {b}")
 

@@ -25,6 +25,17 @@ Merge semantics follow Iceberg/ANSI MERGE INTO:
   WHEN NOT MATCHED THEN INSERT *
 Source rows must be unique per key (enforced — ANSI MERGE raises on
 multiple matches; we dropDuplicates after an explicit check hook).
+
+LOCAL-FS CONSTRAINT: table state (bucket spec, partition listing,
+emptied-bucket removal) is probed with os/​shutil, so this module —
+and the warehouse/registry probes in plans/build.py and
+streaming/pipeline.py — assumes a POSIX-visible warehouse path
+(local disk, NFS, FUSE-mounted object store). Running against raw
+HDFS/S3 URIs requires routing these probes through the Hadoop
+FileSystem API (spark._jvm.org.apache.hadoop.fs.FileSystem) — a
+mechanical swap kept out of the sandbox build, where only local
+paths exist; real deployments would use actual Iceberg MERGE INTO
+anyway (see module intro).
 """
 
 from __future__ import annotations
@@ -110,7 +121,7 @@ def merge_into(
     path: str,
     source: DataFrame,
     key: str,
-    num_buckets: int | None = 64,
+    num_buckets: int | None = None,
     when_matched: str = "update",
 ) -> dict:
     """MERGE INTO <path> USING source ON target.key = source.key
@@ -207,7 +218,7 @@ def upsert_groups(
     new_rows: DataFrame,
     stale_keys: DataFrame,
     key: str,
-    num_buckets: int | None = 64,
+    num_buckets: int | None = None,
 ) -> dict:
     """Group-wise MERGE: delete every row whose key is stale or
     re-ingested, then insert new_rows — Iceberg's
@@ -272,7 +283,7 @@ def upsert_groups(
 
 
 def delete_where(
-    spark: SparkSession, path: str, predicate, key: str, num_buckets: int = 64
+    spark: SparkSession, path: str, predicate, key: str, num_buckets: int | None = None
 ) -> dict:
     """DELETE FROM <path> WHERE predicate — resolved to a keyed MERGE
     (matched rows deleted). The predicate is evaluated over the table

@@ -8,10 +8,12 @@ incremental_graph_builder.py cycle, reimplemented in
 plans/incremental.py).
 
 Per micro-batch:
-  1. append the batch's turns to a versioned turn log
-     (``ingest_batch`` column; a conversation re-delivered wholesale
-     REPLACES its prior version — the streaming analogue of the
-     reference's file-modified semantics in file_change_manager);
+  1. write the batch's turns into its own ``ingest_batch=<id>``
+     partition of a versioned turn log (dynamic partition overwrite →
+     idempotent under foreachBatch retries; a conversation
+     re-delivered wholesale REPLACES its prior version — the
+     streaming analogue of the reference's file-modified semantics in
+     file_change_manager);
   2. project the latest-version snapshot of every conversation;
   3. first batch → ``build_all``; later batches →
      ``incremental_update`` (registry diff, changed-conversations-only
@@ -39,13 +41,21 @@ from .. import schemas
 
 def latest_conversation_snapshot(turn_log: DataFrame) -> DataFrame:
     """Versioned turn log (+ingest_batch) → latest version of every
-    conversation, original transcript columns."""
+    conversation, original transcript columns.
+
+    Defense-in-depth dedup on (conv_id, turn_idx, ingest_batch): the
+    writer below is already idempotent per batch (dynamic partition
+    overwrite of its own ingest_batch partition), but a log assembled
+    by any other at-least-once producer must not let a replayed turn
+    change the assembled conversation text."""
     latest = turn_log.groupBy("conv_id").agg(
         F.max("ingest_batch").alias("ingest_batch")
     )
-    return turn_log.join(
-        F.broadcast(latest), ["conv_id", "ingest_batch"]
-    ).drop("ingest_batch")
+    return (
+        turn_log.dropDuplicates(["conv_id", "turn_idx", "ingest_batch"])
+        .join(F.broadcast(latest), ["conv_id", "ingest_batch"])
+        .drop("ingest_batch")
+    )
 
 
 def stream_incremental_build(
@@ -67,9 +77,18 @@ def stream_incremental_build(
     build_cfg = cfg or BuildConfig(warehouse=warehouse, resume=False)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("ingest_batch", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(turn_log)
+        # foreachBatch is at-least-once: a batch retried after a
+        # partial/complete append must not duplicate turns. Partitioning
+        # the log by ingest_batch and dynamically overwriting makes the
+        # retry replace exactly its own partition — the standard
+        # idempotent-sink pattern for transactional foreachBatch writes.
+        (
+            batch_df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(turn_log)
+        )
         snapshot = latest_conversation_snapshot(
             spark.read.parquet(turn_log)
         ).localCheckpoint()
@@ -151,10 +170,30 @@ def gated_stream_build(
     if n_closed == 0:
         return 0
 
-    turns = spark.read.schema(schemas.TRANSCRIPTS).parquet(source)
+    # latest delivery wins per (conv_id, turn_idx), DETERMINISTICALLY:
+    # the delivery ordinal is the source file's modification time
+    # (newer file = later delivery), tie-broken by file path then text
+    # so two passes over the same directory always pick the same row —
+    # a bare dropDuplicates would keep an arbitrary row and could flap
+    # between old and new text across passes.
+    from pyspark.sql import Window
+
+    # the hidden _metadata column must be projected directly off the
+    # file scan (it does not survive joins)
+    turns = (
+        spark.read.schema(schemas.TRANSCRIPTS)
+        .parquet(source)
+        .withColumn("_file_mtime", F.col("_metadata.file_modification_time"))
+        .withColumn("_file_path", F.col("_metadata.file_path"))
+    )
+    w_latest = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("_file_mtime").desc(), F.col("_file_path").desc(), F.col("text").desc()
+    )
     snapshot = (
         turns.join(F.broadcast(closed), "conv_id", "left_semi")
-        .dropDuplicates(["conv_id", "turn_idx"])
+        .withColumn("_rn", F.row_number().over(w_latest))
+        .where(F.col("_rn") == 1)
+        .drop("_file_mtime", "_file_path", "_rn")
         .localCheckpoint()
     )
     if os.path.exists(f"{warehouse}/registry"):

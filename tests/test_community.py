@@ -115,3 +115,29 @@ def test_projection_edges_weight_count(spark):
     }
     # undirected pair (a,b) counted twice; self-loop dropped
     assert got == {("a", "b"): 2.0, ("a", "c"): 1.0}
+
+
+def test_edge_guard_routes_dense_graph_to_distributed_loop(spark):
+    """A node count under the driver threshold must NOT take the
+    driver path when the edge list is over the edge guard (a small
+    similarity graph can carry a dense-clique edge list that would
+    OOM the driver collect). edge_driver_threshold=0 forces the
+    routing; results must equal the driver path's."""
+    nodes, edges = TWO_CLUSTERS
+    entities = spark.createDataFrame([(n,) for n in nodes], "entity_id string")
+    triples = spark.createDataFrame(
+        [(a, "R", b) for a, b, w in edges for _ in range(int(w))],
+        "subj string, pred string, obj string",
+    )
+    m_dist, h_dist = detect_communities(
+        entities, triples, driver_threshold=10**6, edge_driver_threshold=0
+    )
+    m_drv, h_drv = detect_communities(
+        entities, triples, driver_threshold=10**6
+    )
+    assert {tuple(r) for r in m_dist.collect()} == {
+        tuple(r) for r in m_drv.collect()
+    }
+    assert {tuple(r) for r in h_dist.collect()} == {
+        tuple(r) for r in h_drv.collect()
+    }

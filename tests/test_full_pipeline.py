@@ -105,7 +105,13 @@ def test_lineage_written(built, spark):
     assert "extract" in stages  # per-bucket extraction metrics
     extract_rows = [r for r in rows if r["stage"] == "extract"]
     assert {r["partition_id"] for r in extract_rows} == {0, 1, 2, 3}
-    assert all(r["rows"] > 0 for r in extract_rows)
+    # rows = per-bucket APPENDED count (not a cumulative cache re-scan
+    # — that was an O(B²) tax); empty buckets legitimately record 0,
+    # and the per-bucket counts must add up to the extraction total
+    assert all(r["rows"] >= 0 for r in extract_rows)
+    assert sum(r["rows"] for r in extract_rows) == built.tables[
+        "extractions"
+    ].count()
 
 
 def test_kill_and_resume_identical(spark, transcripts_df, oracle_small, tmp_path_factory):

@@ -107,3 +107,35 @@ def test_incremental_reuse_is_anti_join_not_rescan(spark):
     reused = facts.join(F.broadcast(changed), "conv_id", "left_anti")
     plan = _plan(reused)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_label_numbering_has_no_global_sort(spark):
+    # dense_number_labels (shared by WCC consecutive ids, community
+    # level numbering, SLLPA label numbering) must never funnel the
+    # label set through a single-partition Window sort
+    from graph_rag_agent_spark.operators.components import dense_number_labels
+
+    labels = spark.range(500).select(
+        F.concat(F.lit("lab"), (F.col("id") % 97).cast("string")).alias("label")
+    )
+    numbered = dense_number_labels(labels, "label", "number")
+    assert "SinglePartition" not in _plan(numbered)
+    rows = numbered.collect()
+    nums = sorted(r["number"] for r in rows)
+    assert nums == list(range(97))
+    by_label = sorted(rows, key=lambda r: r["label"])
+    assert [r["number"] for r in by_label] == list(range(97))
+
+
+def test_sllpa_membership_plan_has_no_global_sort(spark):
+    from graph_rag_agent_spark.operators.sllpa import sllpa_membership_table
+
+    entities = spark.createDataFrame(
+        [("e1",), ("e2",), ("e3",)], "entity_id string"
+    )
+    triples = spark.createDataFrame(
+        [("e1", "R", "e2"), ("e2", "R", "e3")],
+        "subj string, pred string, obj string",
+    )
+    out = sllpa_membership_table(entities, triples, max_iterations=3)
+    assert "SinglePartition" not in _plan(out)

@@ -86,3 +86,16 @@ def test_membership_table_shape_and_factory(spark, transcripts_df):
         tables["entities"], tables["triples"], max_iterations=10
     )
     assert {tuple(r) for r in direct.collect()} == {tuple(r) for r in rows}
+
+
+def test_edge_guard_routes_dense_graph_to_distributed_loop(spark):
+    """Small node set + edge guard tripped (edge_driver_threshold=0)
+    → the distributed loop runs, never the driver collect; output
+    equality with the driver path proves the routing is safe."""
+    nodes = spark.createDataFrame([(n,) for n in NODES], "node string")
+    edges = spark.createDataFrame(EDGES, "a string, b string")
+    dist = sllpa_communities(
+        nodes, edges, max_iterations=20, min_association_strength=0.1,
+        driver_threshold=10_000, edge_driver_threshold=0,
+    )
+    assert {(r["node"], r["label"]) for r in dist.collect()} == _oracle_result()
