@@ -834,6 +834,74 @@ def _q_llm_judge(spark, sf_dir):
     return llm_judge_scores(samples)
 
 
+_GC_K = 97  # node-space modulus for the synthetic coverage graph
+
+
+def _q_graph_coverage_per_sample(spark, sf_dir):
+    """Evaluator A11 per-sample variant (reference evaluator/metrics/
+    graph_metrics.py:803-1006 — structure/relevance/connectedness over
+    the retrieved subgraph, path counts with Cypher -[*1..3]-
+    edge-distinct semantics computed PER SAMPLE via neighborhood
+    gathering + cogrouped DFS instead of corpus-global triple
+    self-joins). The fixture is a deterministic ring-ish graph over
+    _GC_K nodes derived from doc_ids; the oracle replays the graph,
+    the w1/w2/w3 walk joins and the score formula in SQL."""
+    from graph_rag_agent_spark.operators.evaluator import (
+        graph_coverage_per_sample,
+    )
+
+    K = _GC_K
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    gc = lambda e: F.format_string("GC-%04d", e.cast("int"))  # noqa: E731
+    a = F.col("doc_id") % K
+    b = (F.col("doc_id") * 31 + 7) % K
+    c = (F.col("doc_id") * 13 + 3) % K
+
+    entities = (
+        docs.select(a.alias("k"))
+        .distinct()
+        .select(
+            gc(F.col("k")).alias("entity_id"),
+            F.when(F.col("k") % 3 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("node "), F.col("k").cast("string"))
+            ).alias("description"),
+        )
+    )
+    # description is a pure function of the (subj, obj) key so the
+    # distinct() is deterministic
+    triples = (
+        docs.select(a.alias("ka"), b.alias("kb"))
+        .select(
+            gc(F.col("ka")).alias("subj"),
+            F.lit("REL").alias("pred"),
+            gc(F.col("kb")).alias("obj"),
+            F.when((F.col("ka") + F.col("kb")) % 5 == 0, F.lit(""))
+            .otherwise(
+                F.concat_ws(
+                    "-",
+                    F.concat(F.lit("link "), F.col("ka").cast("string")),
+                    F.col("kb").cast("string"),
+                )
+            )
+            .alias("description"),
+        )
+        .distinct()
+    )
+    samples = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+            "sample_id"
+        ),
+        F.concat(
+            F.lit("how does "), gc(a), F.lit(" relate to "), gc(b),
+            F.lit(" and "), gc(c),
+        ).alias("question"),
+        F.array_distinct(F.array(gc(a), gc(b), gc(c))).alias("entity_ids"),
+    )
+    return graph_coverage_per_sample(samples, entities, triples)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_derivation": _q_turns_derivation,
@@ -869,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": _q_merge_upsert,  # full SQL set-algebra oracle
         "multimodal_features": _q_multimodal_features,  # full SQL oracle
         "kg_triples": _kg_triples,  # full SQL end-to-end pipeline oracle
+        # per-sample 1..3-hop coverage metric, full SQL walk-join oracle
+        "graph_coverage_per_sample": _q_graph_coverage_per_sample,
     }
 
 
@@ -1939,4 +2009,164 @@ def oracle_sql() -> dict[str, str]:
         """,
         # minhash_pairs / simhash_pairs / ann_ivf / multimodal_features:
         # see their query docstrings for oracle status.
+        "graph_coverage_per_sample": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+            keyed AS (
+                SELECT doc_id,
+                       doc_id % 97 AS ka,
+                       (doc_id*31 + 7) % 97 AS kb,
+                       (doc_id*13 + 3) % 97 AS kc
+                FROM docs
+            ),
+            ents AS (
+                SELECT printf('GC-%04d', CAST(k AS INTEGER)) AS entity_id,
+                       CASE WHEN k % 3 = 0 THEN ''
+                            ELSE 'node ' || CAST(k AS VARCHAR) END AS description
+                FROM (SELECT DISTINCT ka AS k FROM keyed)
+            ),
+            tr AS (
+                SELECT DISTINCT
+                       printf('GC-%04d', CAST(ka AS INTEGER)) AS subj,
+                       'REL' AS pred,
+                       printf('GC-%04d', CAST(kb AS INTEGER)) AS obj,
+                       CASE WHEN (ka + kb) % 5 = 0 THEN ''
+                            ELSE 'link ' || CAST(ka AS VARCHAR) || '-' ||
+                                 CAST(kb AS VARCHAR) END AS description
+                FROM keyed
+            ),
+            sym AS (
+                SELECT subj AS src, obj AS dst,
+                       subj||'|'||pred||'|'||obj AS eid
+                FROM tr WHERE subj <> obj
+                UNION ALL
+                SELECT obj, subj, subj||'|'||pred||'|'||obj
+                FROM tr WHERE subj <> obj
+            ),
+            samp AS (
+                SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS sample_id,
+                       'how does ' || printf('GC-%04d', CAST(ka AS INTEGER)) ||
+                       ' relate to ' || printf('GC-%04d', CAST(kb AS INTEGER)) ||
+                       ' and ' || printf('GC-%04d', CAST(kc AS INTEGER)) AS question,
+                       list_distinct([printf('GC-%04d', CAST(ka AS INTEGER)),
+                                      printf('GC-%04d', CAST(kb AS INTEGER)),
+                                      printf('GC-%04d', CAST(kc AS INTEGER))]) AS ids
+                FROM keyed
+            ),
+            ids AS (SELECT sample_id, unnest(ids) AS entity_id FROM samp),
+            ea AS (
+                SELECT i.sample_id, count(*) AS n_e,
+                       sum(CASE WHEN length(trim(e.description)) > 0
+                                THEN 1 ELSE 0 END) AS n_e_desc,
+                       array_to_string(list_sort(
+                           list(i.entity_id || ' ' || e.description)), ' ')
+                           AS ent_text
+                FROM ids i JOIN ents e USING (entity_id)
+                GROUP BY i.sample_id
+            ),
+            ra AS (
+                SELECT s1.sample_id, count(*) AS n_r,
+                       sum(CASE WHEN length(trim(t.description)) > 0
+                                THEN 1 ELSE 0 END) AS n_r_desc,
+                       array_to_string(list_sort(
+                           list(t.subj||' '||t.pred||' '||t.obj||' '||
+                                t.description)), ' ') AS rel_text
+                FROM tr t
+                JOIN ids s1 ON s1.entity_id = t.subj
+                JOIN ids s2 ON s2.sample_id = s1.sample_id
+                           AND s2.entity_id = t.obj
+                GROUP BY s1.sample_id
+            ),
+            -- Cypher -[*1..3]- edge-distinct walks, both ends referenced
+            p1 AS (
+                SELECT i1.sample_id, count(*) AS n
+                FROM sym e
+                JOIN ids i1 ON i1.entity_id = e.src
+                JOIN ids i2 ON i2.sample_id = i1.sample_id
+                           AND i2.entity_id = e.dst
+                WHERE e.src <> e.dst GROUP BY i1.sample_id
+            ),
+            w2 AS (
+                SELECT l.src, r.dst, l.eid AS e1, r.eid AS e2
+                FROM sym l JOIN sym r
+                  ON l.dst = r.src AND r.eid <> l.eid
+            ),
+            p2 AS (
+                SELECT i1.sample_id, count(*) AS n
+                FROM w2 e
+                JOIN ids i1 ON i1.entity_id = e.src
+                JOIN ids i2 ON i2.sample_id = i1.sample_id
+                           AND i2.entity_id = e.dst
+                WHERE e.src <> e.dst GROUP BY i1.sample_id
+            ),
+            w3 AS (
+                SELECT l.src, r.dst
+                FROM w2 l JOIN sym r
+                  ON l.dst = r.src AND r.eid <> l.e1 AND r.eid <> l.e2
+            ),
+            p3 AS (
+                SELECT i1.sample_id, count(*) AS n
+                FROM w3 e
+                JOIN ids i1 ON i1.entity_id = e.src
+                JOIN ids i2 ON i2.sample_id = i1.sample_id
+                           AND i2.entity_id = e.dst
+                WHERE e.src <> e.dst GROUP BY i1.sample_id
+            ),
+            paths AS (
+                SELECT sample_id, sum(n) AS path_count FROM (
+                    SELECT * FROM p1
+                    UNION ALL SELECT * FROM p2
+                    UNION ALL SELECT * FROM p3
+                ) GROUP BY sample_id
+            ),
+            base AS (
+                SELECT s.sample_id,
+                       list_filter(regexp_extract_all(lower(s.question),
+                                                      '[a-z0-9一-鿿]{2,}'),
+                                   k -> length(k) < 15) AS kw,
+                       ea.n_e, ea.n_e_desc,
+                       coalesce(ra.n_r, 0) AS n_r,
+                       coalesce(ra.n_r_desc, 0) AS n_r_desc,
+                       coalesce(p.path_count, 0) AS path_count,
+                       lower(ea.ent_text || ' ' || coalesce(ra.rel_text, ''))
+                           AS combined
+                FROM samp s
+                LEFT JOIN ea ON ea.sample_id = s.sample_id
+                LEFT JOIN ra ON ra.sample_id = s.sample_id
+                LEFT JOIN paths p ON p.sample_id = s.sample_id
+            ),
+            scored AS (
+                SELECT sample_id,
+                       least(0.6, 0.05*n_e + 0.05*n_r)
+                       + CASE WHEN n_e > 0
+                              THEN 0.2 * n_e_desc / CAST(n_e AS DOUBLE)
+                              ELSE 0.0 END
+                       + CASE WHEN n_r > 0
+                              THEN 0.2 * n_r_desc / CAST(n_r AS DOUBLE)
+                              ELSE 0.0 END AS structure,
+                       CASE WHEN len(kw) > 0
+                            THEN least(1.0,
+                                 1.2 * len(list_filter(kw,
+                                       k -> contains(combined, k)))
+                                     / CAST(len(kw) AS DOUBLE))
+                            ELSE 0.5 END AS relevance,
+                       0.4 + 0.6 * (CASE
+                           WHEN n_e * (n_e - 1) / 2.0 > 0
+                           THEN least(1.0, path_count
+                                           / (n_e * (n_e - 1) / 2.0))
+                           ELSE 0.0 END) AS connectedness
+                FROM base
+            )
+            SELECT sample_id,
+                   CAST(round(structure * 10000) AS INTEGER)
+                       AS structure_x10000,
+                   CAST(round(relevance * 10000) AS INTEGER)
+                       AS relevance_x10000,
+                   CAST(round(connectedness * 10000) AS INTEGER)
+                       AS connectedness_x10000,
+                   CAST(round(least(1.0,
+                        0.3 + 0.7 * (0.3*structure + 0.4*relevance
+                                     + 0.3*connectedness)) * 10000)
+                        AS INTEGER) AS score_x10000
+            FROM scored
+        """,
     }

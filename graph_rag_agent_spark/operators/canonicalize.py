@@ -264,7 +264,9 @@ def _canonize(df: DataFrame, col: str, cmap: DataFrame) -> DataFrame:
     )
 
 
-def rewrite_triples(triples_raw: DataFrame, cmap: DataFrame) -> DataFrame:
+def rewrite_triples(
+    triples_raw: DataFrame, cmap: DataFrame, keys: DataFrame | None = None
+) -> DataFrame:
     """Canonical rewrite + (subj,pred,obj) dedup keeping pinned first.
 
     The reference's "first" is arbitrary Neo4j internal order
@@ -272,8 +274,21 @@ def rewrite_triples(triples_raw: DataFrame, cmap: DataFrame) -> DataFrame:
     weight, conv_id, chunk_id) — properties first so the surviving
     (description, weight) is a pure function of the triple key, which
     is what lets the DuckDB oracle recompute the table without
-    replicating chunk ids (__spark_entry__ kg_triples oracle)."""
+    replicating chunk ids (__spark_entry__ kg_triples oracle).
+
+    ``keys`` (optional, columns subj/pred/obj) restricts the output to
+    those canonical keys — applied AFTER the rewrite but BEFORE the
+    dedup, so the incremental delta path can recompute winners for
+    exactly its affected key set; correctness requires triples_raw to
+    contain EVERY contributor of each requested key (the caller
+    assembles that via the entity→conv index)."""
     rewritten = _canonize(_canonize(triples_raw, "subj", cmap), "obj", cmap)
+    if keys is not None:
+        rewritten = rewritten.join(
+            keys.select("subj", "pred", "obj").distinct(),
+            ["subj", "pred", "obj"],
+            "left_semi",
+        )
     w = Window.partitionBy("subj", "pred", "obj").orderBy(
         "description", "weight", "conv_id", "chunk_id"
     )
@@ -285,8 +300,36 @@ def rewrite_triples(triples_raw: DataFrame, cmap: DataFrame) -> DataFrame:
 
 
 def rewrite_mentions(mentions_raw: DataFrame, cmap: DataFrame) -> DataFrame:
-    return _canonize(mentions_raw, "entity_id", cmap).dropDuplicates(
-        ["chunk_id", "entity_id"]
+    """Canonical rewrite + (chunk_id, entity_id) dedup. chunk ids are
+    content hashes (sha1(text)), so the same chunk can appear in two
+    conversations — the surviving row's conv_id is pinned to the
+    MINIMUM conv_id (the oracle's first-seen order), which makes the
+    dedup a pure function of the input set and therefore safe to
+    recompute over any superset-of-contributors slice in the
+    incremental delta path."""
+    rewritten = _canonize(mentions_raw, "entity_id", cmap)
+    w = Window.partitionBy("chunk_id", "entity_id").orderBy("conv_id")
+    return (
+        rewritten.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ASCII unit separator — cannot appear in entity/pred tokens (the
+# record grammar strips control chars), so the concatenation is an
+# injective key for (subj, pred, obj).
+TRIPLE_KEY_SEP = "\u001f"
+TRIPLE_KEY_COL = "__tkey"
+
+
+def with_triple_key(triples: DataFrame) -> DataFrame:
+    """Adds the single-column MERGE key for the canonical triples
+    table: incremental cycles upsert winner rows per (subj, pred, obj)
+    group, and the bucket-partitioned warehouse needs one stable key
+    column to prune on (plans/merge.py)."""
+    return triples.withColumn(
+        TRIPLE_KEY_COL, F.concat_ws(TRIPLE_KEY_SEP, "subj", "pred", "obj")
     )
 
 

@@ -630,11 +630,129 @@ def referenced_path_counts(
     )
 
 
+def referenced_path_counts_grouped(
+    sample_entities: DataFrame, triples: DataFrame
+) -> DataFrame:
+    """Per-sample variant of referenced_path_counts — the 100 TB path.
+
+    The corpus-global version above materializes w2/w3 as SELF-JOINS
+    OVER THE WHOLE TRIPLE TABLE before restricting to sample ids — a
+    triple-cubed blowup at scale (its own docstring says so). This
+    variant gathers each sample's relevant edge set FIRST and counts
+    walks per sample:
+
+      1. every edge of a qualifying ≤3-edge walk (both endpoints
+         referenced) has an endpoint in the sample's id set or its
+         1-hop neighborhood, and _sym_edges carries both directions
+         per edge_id — so two id-keyed joins collect a superset of
+         the walk edges per sample;
+      2. a cogrouped applyInPandas runs the exact edge-distinct DFS
+         (Cypher -[*1..3]- semantics, ordered (a,b) pairs, a ≠ b,
+         both referenced) inside each sample group.
+
+    Work scales with Σ per-sample 2-hop neighborhood size, never with
+    a corpus-wide triple self-join. Requires ``triples`` unique per
+    (subj, pred, obj) — the canonical table's invariant (duplicate
+    rows would be collapsed by the per-sample edge_id dedup where the
+    global variant counts them separately). Tested equal to
+    referenced_path_counts.
+    """
+    sym = _sym_edges(triples)
+    ids = (
+        sample_entities.select("sample_id", "entity_id")
+        .where(F.col("entity_id").isNotNull())
+        .distinct()
+    )
+    l1 = sym.join(
+        ids.select("sample_id", F.col("entity_id").alias("src")), "src"
+    )
+    nodes1 = (
+        ids.select("sample_id", F.col("entity_id").alias("src"))
+        .union(l1.select("sample_id", F.col("dst").alias("src")))
+        .distinct()
+    )
+    l2 = sym.join(nodes1, "src")
+    edges = (
+        l1.unionByName(l2)
+        .select(
+            "sample_id",
+            "edge_id",
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .dropDuplicates(["sample_id", "edge_id"])
+    )
+
+    def count_fn(edges_pdf: "pd.DataFrame", ids_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if len(ids_pdf) == 0:
+            # edges gathered for a sample with no (non-null) ids —
+            # cannot happen (l1/l2 key off ids), but stay total
+            return pd.DataFrame({"sample_id": [], "path_count": []})
+        sid = ids_pdf["sid"].iloc[0]
+        idset = set(ids_pdf["entity_id"])
+        adj: dict[str, list[tuple[str, str]]] = {}
+        for a, b, e in zip(
+            edges_pdf["a"], edges_pdf["b"], edges_pdf["edge_id"]
+        ):
+            adj.setdefault(a, []).append((b, e))
+            adj.setdefault(b, []).append((a, e))
+        total = 0
+
+        def rec(u: str, used: set, depth: int, start: str) -> None:
+            nonlocal total
+            if depth == 3:
+                return
+            for v, e in adj.get(u, ()):
+                if e in used:
+                    continue
+                if v in idset and v != start:
+                    total += 1
+                used.add(e)
+                rec(v, used, depth + 1, start)
+                used.discard(e)
+
+        for a in idset:
+            rec(a, set(), 0, a)
+        return pd.DataFrame({"sample_id": [sid], "path_count": [total]})
+
+    # the ids side is re-aliased (sid) so the cogroup key does not
+    # collide with edges' lineage back to the same ids frame (Spark's
+    # ambiguous-self-join check rejects cogrouping a frame with its
+    # own derivative otherwise)
+    ids_side = ids.select(
+        F.col("sample_id").alias("sid"), F.col("entity_id")
+    )
+    counts = (
+        edges.groupBy("sample_id")
+        .cogroup(ids_side.groupBy("sid"))
+        .applyInPandas(count_fn, "sample_id string, path_count long")
+    )
+    return (
+        sample_entities.select("sample_id")
+        .distinct()
+        .join(counts, "sample_id", "left")
+        .select(
+            "sample_id", F.coalesce("path_count", F.lit(0)).alias("path_count")
+        )
+    )
+
+
 def graph_coverage(
-    samples: DataFrame, entities: DataFrame, triples: DataFrame
+    samples: DataFrame,
+    entities: DataFrame,
+    triples: DataFrame,
+    path_counter=referenced_path_counts,
 ) -> DataFrame:
     """samples(sample_id, question, entity_ids) → per-sample
-    (sample_id, structure, relevance, connectedness, score)."""
+    (sample_id, structure, relevance, connectedness, score).
+
+    ``path_counter`` picks the 1..3-hop counting strategy:
+    referenced_path_counts (corpus-global joins — fine on small
+    graphs, blows up at scale) or referenced_path_counts_grouped
+    (per-sample neighborhood gather — the 100 TB default via
+    graph_coverage_per_sample)."""
     ref = samples.select("sample_id", F.explode_outer("entity_ids").alias("entity_id"))
     ref_entities = ref.join(
         entities.select("entity_id", "description"), "entity_id", "left"
@@ -680,7 +798,7 @@ def graph_coverage(
             ),
         ).alias("rel_text"),
     )
-    paths = referenced_path_counts(ref.where(F.col("entity_id").isNotNull()), triples)
+    paths = path_counter(ref.where(F.col("entity_id").isNotNull()), triples)
 
     base = (
         samples.join(ent_agg, "sample_id", "left")
@@ -718,6 +836,17 @@ def graph_coverage(
         F.round(relevance * 10000).cast("int").alias("relevance_x10000"),
         F.round(connectedness * 10000).cast("int").alias("connectedness_x10000"),
         F.round(score * 10000).cast("int").alias("score_x10000"),
+    )
+
+
+def graph_coverage_per_sample(
+    samples: DataFrame, entities: DataFrame, triples: DataFrame
+) -> DataFrame:
+    """graph_coverage with per-sample path counting — identical scores
+    (pytest-equal), work bounded by per-sample neighborhoods instead of
+    corpus-wide triple self-joins. Use this one at scale."""
+    return graph_coverage(
+        samples, entities, triples, path_counter=referenced_path_counts_grouped
     )
 
 

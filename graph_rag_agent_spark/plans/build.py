@@ -82,6 +82,23 @@ class BuildConfig:
     bucket_convs: int = 0
 
 
+def entity_conv_pairs(
+    e_raw: DataFrame, t_raw: DataFrame, m_raw: DataFrame
+) -> DataFrame:
+    """Distinct (entity_id, conv_id): every RAW entity id appearing in
+    a conversation's entities/triples/mentions — the inverted index the
+    incremental delta path prunes on."""
+    return (
+        e_raw.select("entity_id", "conv_id")
+        .unionByName(
+            t_raw.select(F.col("subj").alias("entity_id"), "conv_id")
+        )
+        .unionByName(t_raw.select(F.col("obj").alias("entity_id"), "conv_id"))
+        .unionByName(m_raw.select("entity_id", "conv_id"))
+        .distinct()
+    )
+
+
 @dataclass
 class BuildResult:
     tables: dict[str, DataFrame] = field(default_factory=dict)
@@ -100,10 +117,14 @@ class _Warehouse:
         return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
 
     def read(self, name: str) -> DataFrame:
+        from ..operators.canonicalize import TRIPLE_KEY_COL
         from .merge import BUCKET_COL
 
         df = self.spark.read.parquet(self.path(name))
-        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+        for internal in (BUCKET_COL, TRIPLE_KEY_COL):
+            if internal in df.columns:
+                df = df.drop(internal)
+        return df
 
     def write(
         self,
@@ -253,7 +274,12 @@ def build_all(
     res.tables["transcripts"] = transcripts
 
     registry = _stage(
-        wh, "registry", cfg.resume, lambda: conversation_registry(transcripts)
+        wh,
+        "registry",
+        cfg.resume,
+        lambda: conversation_registry(transcripts),
+        group_key="conv_id" if bk else None,
+        num_buckets=bk,
     )
     res.tables["registry"] = registry
 
@@ -278,10 +304,41 @@ def build_all(
         group_key="conv_id" if bk else None,
         num_buckets=bk,
     )
-    e_raw = _stage(wh, "entities_raw", cfg.resume, lambda: entities_raw(parsed))
-    t_raw = _stage(wh, "triples_raw", cfg.resume, lambda: triples_raw(parsed))
-    m_raw = _stage(wh, "mentions_raw", cfg.resume, lambda: mentions_raw(parsed))
+    conv_key = {"group_key": "conv_id" if bk else None, "num_buckets": bk}
+    e_raw = _stage(
+        wh, "entities_raw", cfg.resume, lambda: entities_raw(parsed), **conv_key
+    )
+    t_raw = _stage(
+        wh, "triples_raw", cfg.resume, lambda: triples_raw(parsed), **conv_key
+    )
+    m_raw = _stage(
+        wh, "mentions_raw", cfg.resume, lambda: mentions_raw(parsed), **conv_key
+    )
     res.tables.update(entities_raw=e_raw, triples_raw=t_raw, mentions_raw=m_raw)
+
+    # inverted pair indexes (bucketed warehouses only): entity→conv and
+    # chunk→conv. These are the Spark analogue of Neo4j's adjacency
+    # index — the incremental delta path looks up "which conversations
+    # contain entity X / chunk Y" with a bucket-pruned read instead of
+    # a corpus scan (plans/incremental.py delta path; reference
+    # re-points only merge-touched edges, entity_merger.py:348-360).
+    if bk:
+        _stage(
+            wh,
+            "entity_conv_index",
+            cfg.resume,
+            lambda: entity_conv_pairs(e_raw, t_raw, m_raw),
+            group_key="entity_id",
+            num_buckets=bk,
+        )
+        _stage(
+            wh,
+            "chunk_conv_index",
+            cfg.resume,
+            lambda: chunks.select("chunk_id", "conv_id").distinct(),
+            group_key="chunk_id",
+            num_buckets=bk,
+        )
 
     # linking: one driver-side pass when the catalog is small (same
     # core spec as the distributed chain — see linking.py), else the
@@ -343,9 +400,27 @@ def build_all(
     )
     res.tables["canonical_map"] = cmap
 
-    triples = _stage(wh, "triples", cfg.resume, lambda: rewrite_triples(t_raw, cmap))
+    from ..operators.canonicalize import TRIPLE_KEY_COL, with_triple_key
+
+    triples = _stage(
+        wh,
+        "triples",
+        cfg.resume,
+        lambda: (
+            with_triple_key(rewrite_triples(t_raw, cmap))
+            if bk
+            else rewrite_triples(t_raw, cmap)
+        ),
+        group_key=TRIPLE_KEY_COL if bk else None,
+        num_buckets=bk,
+    )
     mentions = _stage(
-        wh, "mentions", cfg.resume, lambda: rewrite_mentions(m_raw, cmap)
+        wh,
+        "mentions",
+        cfg.resume,
+        lambda: rewrite_mentions(m_raw, cmap),
+        group_key="chunk_id" if bk else None,
+        num_buckets=bk,
     )
     res.tables.update(triples=triples, mentions=mentions)
 
@@ -355,7 +430,14 @@ def build_all(
             "entity_id", "entity_type", "description", "embedding", "wcc"
         )
 
-    entities = _stage(wh, "entities", cfg.resume, _entities)
+    entities = _stage(
+        wh,
+        "entities",
+        cfg.resume,
+        _entities,
+        group_key="entity_id" if bk else None,
+        num_buckets=bk,
+    )
     res.tables["entities"] = entities
 
     def _membership_hierarchy():
@@ -389,7 +471,14 @@ def build_all(
 
         return with_chunk_embeddings(chunks).select("chunk_id", "embedding")
 
-    chunk_embeddings = _stage(wh, "chunk_embeddings", cfg.resume, _chunk_embeddings)
+    chunk_embeddings = _stage(
+        wh,
+        "chunk_embeddings",
+        cfg.resume,
+        _chunk_embeddings,
+        group_key="chunk_id" if bk else None,
+        num_buckets=bk,
+    )
     res.tables["chunk_embeddings"] = chunk_embeddings
 
     res.metrics["build_seconds"] = time.time() - t_start

