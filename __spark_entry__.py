@@ -307,7 +307,13 @@ def _q_ann_ivf(spark, sf_dir):
     `centroids` and get the trained quantizer; the operator code path
     exercised here (probe UDF, cell equi-join, re-rank window) is the
     same. Each row also carries in_brute_topk, the recall flag vs the
-    exact baseline, which the oracle recomputes too."""
+    exact baseline, which the oracle recomputes too.
+
+    store_cells=2 (multi-cell assignment): each vector is stored in
+    its TWO nearest cells, recovering neighbors that sit just across
+    a cell boundary; pairs meeting in both cells are deduplicated
+    before the exact re-rank (knn.ivf_candidates). The oracle stores
+    rank ≤ 2 cells and dedups pairs identically."""
     import numpy as np
 
     from graph_rag_agent_spark.operators.knn import ann_bruteforce, ann_ivf
@@ -315,7 +321,7 @@ def _q_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     seed_rows = emb.orderBy("vec_id").limit(8).select("embedding").collect()
     cents = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
-    ivf = ann_ivf(emb, k=3, nprobe=2, centroids=cents)
+    ivf = ann_ivf(emb, k=3, nprobe=2, centroids=cents, store_cells=2)
     brute = ann_bruteforce(emb, k=3).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_brute")
     )
@@ -1339,25 +1345,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             ),
             data_side AS (
+                -- store_cells=2: multi-cell assignment
                 SELECT vec_id AS neighbor_id, cell_idx AS cell
-                FROM ranked WHERE r = 1
+                FROM ranked WHERE r <= 2
             ),
             query_side AS (
                 SELECT vec_id AS query_id, cell_idx AS cell
                 FROM ranked WHERE r <= 2
             ),
-            scored AS (
-                SELECT q.query_id, ds.neighbor_id,
-                       row_number() OVER (PARTITION BY q.query_id
-                           ORDER BY list_cosine_similarity(
-                               CAST(qe.embedding AS DOUBLE[]),
-                               CAST(ne.embedding AS DOUBLE[])) DESC,
-                               ds.neighbor_id ASC) AS rank
+            cand AS (
+                -- a pair can meet in both stored cells: dedup BEFORE
+                -- the exact re-rank, mirroring knn.ivf_candidates
+                SELECT DISTINCT q.query_id, ds.neighbor_id
                 FROM query_side q
                 JOIN data_side ds ON q.cell = ds.cell
                      AND q.query_id <> ds.neighbor_id
-                JOIN embeddings qe ON qe.vec_id = q.query_id
-                JOIN embeddings ne ON ne.vec_id = ds.neighbor_id
+            ),
+            scored AS (
+                SELECT c2.query_id, c2.neighbor_id,
+                       row_number() OVER (PARTITION BY c2.query_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(qe.embedding AS DOUBLE[]),
+                               CAST(ne.embedding AS DOUBLE[])) DESC,
+                               c2.neighbor_id ASC) AS rank
+                FROM cand c2
+                JOIN embeddings qe ON qe.vec_id = c2.query_id
+                JOIN embeddings ne ON ne.vec_id = c2.neighbor_id
             ),
             brute AS (
                 SELECT query_id, neighbor_id FROM (

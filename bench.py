@@ -96,6 +96,47 @@ def main() -> None:
         lambda: qs["entity_canonical_map"](spark, sf_dir).count(),
     )
 
+    # streaming → incremental build (the delta path): two availableNow
+    # micro-batch deliveries through the foreachBatch pipeline over a
+    # ~12%-of-corpus slice; the first batch bootstraps (build_all,
+    # bucketed layout + inverted indexes), the second runs the
+    # delta-proportional incremental cycle. turns/sec covers change
+    # detection, conv-keyed MERGEs and the global link stages — at
+    # tiny per-batch volumes the number is floor-bound by the cycle's
+    # fixed orchestration latency (~100 driver barriers), which is the
+    # cost that AMORTIZES at real batch sizes.
+    def stream_build():
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from graph_rag_agent_spark.plans.build import BuildConfig
+        from graph_rag_agent_spark.streaming.pipeline import (
+            stream_incremental_build,
+        )
+
+        src = tempfile.mkdtemp(prefix="bench_stream_src_")
+        wh = tempfile.mkdtemp(prefix="bench_stream_wh_")
+        ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+        cfg = BuildConfig(warehouse=wh, resume=False, bucket_convs=16)
+        stream_t = synthesize_transcripts(
+            spark, max(60, n_convs // 8)
+        ).localCheckpoint()
+        n_stream_turns = stream_t.count()
+        for i in range(2):
+            batch = stream_t.where(
+                F.pmod(F.xxhash64("conv_id"), F.lit(2)) == i
+            )
+            batch.coalesce(1).write.mode("append").parquet(src)
+            q = stream_incremental_build(spark, src, wh, ckpt, cfg=cfg)
+            q.awaitTermination(600)
+        return n_stream_turns
+
+    n_stream_turns = timed("stream_build", stream_build)
+    extra["stream_turns_per_sec"] = round(
+        n_stream_turns / timings["stream_build"], 1
+    )
+
     # relational + pipeline-extension headliners
     for name in [
         "mention_counts",
@@ -107,6 +148,7 @@ def main() -> None:
         "chunk_vector_topk",
         "minhash_pairs",
         "simhash_pairs",
+        "graph_coverage_per_sample",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

@@ -190,42 +190,38 @@ def train_ivf_centroids(
     return centroids
 
 
-def ann_ivf(
+def ivf_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_cells: int = 16,
     nprobe: int = 3,
     centroids: "np.ndarray | None" = None,
+    store_cells: int = 1,
 ) -> DataFrame:
-    """IVF: assign every vector to its nearest centroid cell; each
-    query probes its nprobe nearest cells; exact cosine within.
+    """The IVF candidate-pair stage: (query_id, neighbor_id,
+    query_vec, neighbor_vec), distinct pairs. Exposed separately so
+    tests can measure candidate growth directly.
 
-    ``centroids`` (n_cells × dim) overrides the trained coarse
-    quantizer — callers that need a replayable index (the driver's
-    SQL oracle, regression fixtures) pass explicit centroid vectors;
-    production callers leave it None and get the sampled k-means.
-    Cell choice is argsort(squared-L2, stable) so ties break by
-    centroid index in every engine.
-
-    Recall note (standard IVF trade-off): data vectors are stored in
-    their single nearest cell, so a true neighbor sitting just outside
-    every probed cell is missed; raise nprobe (or n_cells resolution)
-    to trade cost for recall. The driver query reports measured recall
-    vs the brute-force baseline as an output column."""
+    ``store_cells`` = r: data vectors are stored in their r nearest
+    cells (multi-cell assignment). r=1 is classic IVF; r=2 recovers
+    queries whose true neighbor sits just across a cell boundary —
+    recall rises while candidate volume grows at most ×r (tested).
+    Pairs meeting in more than one cell are deduplicated BEFORE
+    scoring, so the exact-cosine re-rank cost never multiplies."""
     if centroids is None:
         centroids = train_ivf_centroids(df, vec_col, n_cells)
     else:
         centroids = np.asarray(centroids, dtype=np.float64)
         n_cells = len(centroids)
+    n_list = max(nprobe, store_cells)
 
     @F.pandas_udf("array<int>")
     def probe_cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for emb in it:
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
             d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d, axis=1)[:, :nprobe]
+            order = np.argsort(d, axis=1)[:, :n_list]
             yield pd.Series([row.tolist() for row in order])
 
     base = _to_double(df, id_col, vec_col, "v").withColumn(
@@ -234,18 +230,57 @@ def ann_ivf(
     data_side = base.select(
         F.col("v_id").alias("neighbor_id"),
         F.col("v_vec").alias("neighbor_vec"),
-        F.element_at("cells", 1).alias("cell"),  # stored in nearest cell only
+        F.explode(F.slice("cells", 1, store_cells)).alias("cell"),
     )
     query_side = base.select(
         F.col("v_id").alias("query_id"),
         F.col("v_vec").alias("query_vec"),
-        F.explode("cells").alias("cell"),
+        F.explode(F.slice("cells", 1, nprobe)).alias("cell"),
+    )
+    pairs = (
+        query_side.join(data_side, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+    )
+    if store_cells > 1:
+        # a pair can meet in up to store_cells cells
+        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    return pairs
+
+
+def ann_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    centroids: "np.ndarray | None" = None,
+    store_cells: int = 1,
+) -> DataFrame:
+    """IVF: assign every vector to its ``store_cells`` nearest
+    centroid cells; each query probes its nprobe nearest cells; exact
+    cosine within.
+
+    ``centroids`` (n_cells × dim) overrides the trained coarse
+    quantizer — callers that need a replayable index (the driver's
+    SQL oracle, regression fixtures) pass explicit centroid vectors;
+    production callers leave it None and get the sampled k-means.
+    Cell choice is argsort(squared-L2, stable) so ties break by
+    centroid index in every engine.
+
+    Recall note (standard IVF trade-off): with store_cells=1 a true
+    neighbor sitting just outside every probed cell is missed; raise
+    nprobe, n_cells resolution, or store_cells (multi-cell
+    assignment, ~×r storage/candidates for the recall tail). The
+    driver query reports measured recall vs the brute-force baseline
+    as an output column."""
+    pairs = ivf_candidates(
+        df, id_col, vec_col, n_cells, nprobe, centroids, store_cells
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        query_side.join(data_side, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", _cosine_expr("query_vec", "neighbor_vec"))
+        pairs.withColumn("score", _cosine_expr("query_vec", "neighbor_vec"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")

@@ -410,3 +410,63 @@ def similar_entities(
     if n <= exact_threshold:
         return similar_entities_exact(embedded, **kwargs)
     return similar_entities_lsh(embedded, **kwargs)
+
+
+def similar_entities_with_fallback(
+    embedded: DataFrame,
+    method: str = "auto",
+    top_k: int = SIMILARITY_TOP_K,
+    cutoff: float = SIMILARITY_CUTOFF,
+    **kwargs,
+) -> dict:
+    """KNN resilience ladder — exact transcription of the reference's
+    degraded-mode retry (similar_entity.py:162-222): primary attempt
+    with topK=10; on failure retry with topK=5 AND sampleRate=0.5; a
+    second failure returns status='error' instead of raising, exactly
+    like the reference's error dict.
+
+    GDS ``sampleRate`` bounds each node's candidate pool to a sample
+    of the catalog; the Spark analogue samples the STORED side of the
+    similarity join (Bernoulli 0.5, fixed seed) while every entity
+    still queries — same halved comparison volume, deterministic here.
+
+    Returns {"status": "success"|"error", "edges": DataFrame|None,
+    "relationships": int, "note": ...}. The frames are EVALUATED
+    inside each rung (eager checkpoint): a lazy frame would defer the
+    failure past the ladder, making the except branches dead code.
+    """
+    try:
+        edges = similar_entities(
+            embedded, method=method, top_k=top_k, cutoff=cutoff, **kwargs
+        ).localCheckpoint(eager=True)
+        return {
+            "status": "success",
+            "edges": edges,
+            "relationships": edges.count(),
+            "note": None,
+        }
+    except Exception as primary_err:  # degraded rung: topK=5, sampleRate=0.5
+        try:
+            # GDS sampleRate bounds the candidate graph to a sample of
+            # the node set; the analogue is KNN over a Bernoulli half
+            # of the catalog with the reduced topK — half the
+            # comparison volume, the same recall trade-off
+            sampled = embedded.sample(
+                withReplacement=False, fraction=0.5, seed=7
+            )
+            edges = similar_entities(
+                sampled, method=method, top_k=5, cutoff=cutoff, **kwargs
+            ).localCheckpoint(eager=True)
+            return {
+                "status": "success",
+                "edges": edges,
+                "relationships": edges.count(),
+                "note": "fallback parameters used (topK=5, sampleRate=0.5)",
+            }
+        except Exception:
+            return {
+                "status": "error",
+                "edges": None,
+                "relationships": 0,
+                "note": str(primary_err),
+            }

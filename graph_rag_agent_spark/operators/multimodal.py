@@ -122,7 +122,31 @@ def extract_features(assets: DataFrame, mode: str = "stub") -> DataFrame:
     Batch shape: Arrow delivers the binary column as object-dtype
     bytes; errors are captured per-row into decode_status (mirrors the
     pipeline's empty-on-error policy rather than failing the stage).
+
+    ``mode='real'`` resolves per-modality decoders from
+    extras/codecs.py DRIVER-SIDE: if a modality's library (Pillow /
+    soundfile / PyAV) is missing, the call fails here with an install
+    hint instead of shipping a latent NotImplementedError into
+    executors. The stub mode is the CI default and exercises the
+    identical Spark plumbing.
     """
+    if mode == "real":
+        from ..extras.codecs import load_decoders
+
+        real_decoders, missing = load_decoders()
+        if missing:
+            raise RuntimeError(
+                "mode='real' needs optional codec libraries "
+                f"(see graph_rag_agent_spark/extras/codecs.py): {missing}"
+            )
+
+        def decode(kind, payload):
+            return real_decoders[kind](payload)
+
+    else:
+
+        def decode(kind, payload):
+            return _DECODERS[kind](payload, mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,7 +155,7 @@ def extract_features(assets: DataFrame, mode: str = "stub") -> DataFrame:
                 pdf["asset_id"], pdf["kind"], pdf["payload"]
             ):
                 try:
-                    feat = _DECODERS[kind](payload, mode)
+                    feat = decode(kind, payload)
                     out.append((asset_id, kind, feat, len(feat), "ok"))
                 except NotImplementedError as e:
                     out.append((asset_id, kind, None, 0, f"stubbed: {e}"))

@@ -82,6 +82,24 @@ class BuildConfig:
     bucket_convs: int = 0
 
 
+def _run_parallel(tasks):
+    """Run independent Spark actions from driver threads — the
+    scheduler interleaves their jobs across the cluster. A build or
+    incremental cycle is ~a hundred small driver-side barriers
+    (pruned reads, bucketed MERGEs, metadata collects, one-row
+    writes); submitting them sequentially serializes 0.3-1 s of fixed
+    per-action latency each, which is pure dead time at ANY cluster
+    size. Tasks must be mutually independent (distinct table paths,
+    inputs checkpointed)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not tasks:
+        return []
+    with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as ex:
+        futures = [ex.submit(fn) for fn in tasks]
+        return [f.result() for f in futures]
+
+
 def entity_conv_pairs(
     e_raw: DataFrame, t_raw: DataFrame, m_raw: DataFrame
 ) -> DataFrame:
@@ -109,6 +127,7 @@ class _Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._lineage_buffer: list = []
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -142,9 +161,36 @@ class _Warehouse:
             df.write.mode(mode).parquet(self.path(name))
         return self.read(name)
 
-    def append_lineage(self, stage: str, partition_id: int, rows: int, t0: float):
+    def append_lineage(
+        self,
+        stage: str,
+        partition_id: int,
+        rows: int,
+        t0: float,
+        defer: bool = False,
+    ):
+        """Write (or buffer) one lineage row.
+
+        ``defer=True`` buffers the row for a single batched write via
+        flush_lineage() — a one-row parquet append costs ~0.6 s of
+        fixed job latency, and an incremental cycle emits a dozen of
+        them; stages whose lineage must survive a mid-run crash (the
+        per-bucket extraction checkpoints that resume() reads) keep
+        the immediate write."""
+        row = (stage, partition_id, rows, None, t0, time.time())
+        if defer:
+            self._lineage_buffer.append(row)
+            return
+        self._write_lineage([row])
+
+    def flush_lineage(self):
+        if self._lineage_buffer:
+            self._write_lineage(self._lineage_buffer)
+            self._lineage_buffer = []
+
+    def _write_lineage(self, rows: list):
         lineage = self.spark.createDataFrame(
-            [(stage, partition_id, rows, None, t0, time.time())],
+            rows,
             "stage string, partition_id int, rows long, bytes long, "
             "started_s double, finished_s double",
         ).select(
@@ -181,12 +227,18 @@ def _stage(
     group_key: str | None = None,
     num_buckets: int = 0,
 ) -> DataFrame:
-    """Materialize-or-reuse one stage; lineage row on compute."""
+    """Materialize-or-reuse one stage; lineage row on compute.
+
+    Stage lineage is deferred (one batched write at the end of
+    build_all): resume() keys off each table's _SUCCESS marker, not
+    these rows, so a crash can only lose bookkeeping for stages whose
+    tables are themselves complete. The per-bucket extraction rows
+    that resume DOES read stay immediate (_extraction_stage)."""
     if resume and wh.exists(name):
         return wh.read(name)
     t0 = time.time()
     df = wh.write(compute(), name, group_key=group_key, num_buckets=num_buckets)
-    wh.append_lineage(name, -1, df.count(), t0)
+    wh.append_lineage(name, -1, df.count(), t0, defer=True)
     return df
 
 
@@ -273,24 +325,31 @@ def build_all(
     )
     res.tables["transcripts"] = transcripts
 
-    registry = _stage(
-        wh,
-        "registry",
-        cfg.resume,
-        lambda: conversation_registry(transcripts),
-        group_key="conv_id" if bk else None,
-        num_buckets=bk,
+    # registry and chunks both derive from transcripts only — two
+    # independent stage writes, one driver-thread pool (see
+    # _run_parallel: sequential submission just serializes fixed
+    # per-action latency)
+    registry, chunks = _run_parallel(
+        [
+            lambda: _stage(
+                wh,
+                "registry",
+                cfg.resume,
+                lambda: conversation_registry(transcripts),
+                group_key="conv_id" if bk else None,
+                num_buckets=bk,
+            ),
+            lambda: _stage(
+                wh,
+                "chunks",
+                cfg.resume,
+                lambda: chunk_conversations(transcripts),
+                group_key="conv_id" if bk else None,
+                num_buckets=bk,
+            ),
+        ]
     )
     res.tables["registry"] = registry
-
-    chunks = _stage(
-        wh,
-        "chunks",
-        cfg.resume,
-        lambda: chunk_conversations(transcripts),
-        group_key="conv_id" if bk else None,
-        num_buckets=bk,
-    )
     res.tables["chunks"] = chunks
 
     extractions = _extraction_stage(wh, chunks, cfg)
@@ -305,14 +364,21 @@ def build_all(
         num_buckets=bk,
     )
     conv_key = {"group_key": "conv_id" if bk else None, "num_buckets": bk}
-    e_raw = _stage(
-        wh, "entities_raw", cfg.resume, lambda: entities_raw(parsed), **conv_key
-    )
-    t_raw = _stage(
-        wh, "triples_raw", cfg.resume, lambda: triples_raw(parsed), **conv_key
-    )
-    m_raw = _stage(
-        wh, "mentions_raw", cfg.resume, lambda: mentions_raw(parsed), **conv_key
+    e_raw, t_raw, m_raw = _run_parallel(
+        [
+            lambda: _stage(
+                wh, "entities_raw", cfg.resume,
+                lambda: entities_raw(parsed), **conv_key,
+            ),
+            lambda: _stage(
+                wh, "triples_raw", cfg.resume,
+                lambda: triples_raw(parsed), **conv_key,
+            ),
+            lambda: _stage(
+                wh, "mentions_raw", cfg.resume,
+                lambda: mentions_raw(parsed), **conv_key,
+            ),
+        ]
     )
     res.tables.update(entities_raw=e_raw, triples_raw=t_raw, mentions_raw=m_raw)
 
@@ -323,21 +389,25 @@ def build_all(
     # a corpus scan (plans/incremental.py delta path; reference
     # re-points only merge-touched edges, entity_merger.py:348-360).
     if bk:
-        _stage(
-            wh,
-            "entity_conv_index",
-            cfg.resume,
-            lambda: entity_conv_pairs(e_raw, t_raw, m_raw),
-            group_key="entity_id",
-            num_buckets=bk,
-        )
-        _stage(
-            wh,
-            "chunk_conv_index",
-            cfg.resume,
-            lambda: chunks.select("chunk_id", "conv_id").distinct(),
-            group_key="chunk_id",
-            num_buckets=bk,
+        _run_parallel(
+            [
+                lambda: _stage(
+                    wh,
+                    "entity_conv_index",
+                    cfg.resume,
+                    lambda: entity_conv_pairs(e_raw, t_raw, m_raw),
+                    group_key="entity_id",
+                    num_buckets=bk,
+                ),
+                lambda: _stage(
+                    wh,
+                    "chunk_conv_index",
+                    cfg.resume,
+                    lambda: chunks.select("chunk_id", "conv_id").distinct(),
+                    group_key="chunk_id",
+                    num_buckets=bk,
+                ),
+            ]
         )
 
     # linking: one driver-side pass when the catalog is small (same
@@ -402,25 +472,29 @@ def build_all(
 
     from ..operators.canonicalize import TRIPLE_KEY_COL, with_triple_key
 
-    triples = _stage(
-        wh,
-        "triples",
-        cfg.resume,
-        lambda: (
-            with_triple_key(rewrite_triples(t_raw, cmap))
-            if bk
-            else rewrite_triples(t_raw, cmap)
-        ),
-        group_key=TRIPLE_KEY_COL if bk else None,
-        num_buckets=bk,
-    )
-    mentions = _stage(
-        wh,
-        "mentions",
-        cfg.resume,
-        lambda: rewrite_mentions(m_raw, cmap),
-        group_key="chunk_id" if bk else None,
-        num_buckets=bk,
+    triples, mentions = _run_parallel(
+        [
+            lambda: _stage(
+                wh,
+                "triples",
+                cfg.resume,
+                lambda: (
+                    with_triple_key(rewrite_triples(t_raw, cmap))
+                    if bk
+                    else rewrite_triples(t_raw, cmap)
+                ),
+                group_key=TRIPLE_KEY_COL if bk else None,
+                num_buckets=bk,
+            ),
+            lambda: _stage(
+                wh,
+                "mentions",
+                cfg.resume,
+                lambda: rewrite_mentions(m_raw, cmap),
+                group_key="chunk_id" if bk else None,
+                num_buckets=bk,
+            ),
+        ]
     )
     res.tables.update(triples=triples, mentions=mentions)
 
@@ -451,18 +525,14 @@ def build_all(
     else:
         t0 = time.time()
         membership, hierarchy = _membership_hierarchy()
-        membership = wh.write(membership, "membership")
-        hierarchy = wh.write(hierarchy, "hierarchy")
-        wh.append_lineage("membership", -1, membership.count(), t0)
+        membership, hierarchy = _run_parallel(
+            [
+                lambda: wh.write(membership, "membership"),
+                lambda: wh.write(hierarchy, "hierarchy"),
+            ]
+        )
+        wh.append_lineage("membership", -1, membership.count(), t0, defer=True)
     res.tables.update(membership=membership, hierarchy=hierarchy)
-
-    communities = _stage(
-        wh,
-        "communities",
-        cfg.resume,
-        lambda: community_catalog(membership, entities, triples, mentions),
-    )
-    res.tables["communities"] = communities
 
     # build stage 3 (reference build/build_chunk_index.py:101-172):
     # chunk embeddings for the chunk vector index — one pandas-UDF pass
@@ -471,15 +541,27 @@ def build_all(
 
         return with_chunk_embeddings(chunks).select("chunk_id", "embedding")
 
-    chunk_embeddings = _stage(
-        wh,
-        "chunk_embeddings",
-        cfg.resume,
-        _chunk_embeddings,
-        group_key="chunk_id" if bk else None,
-        num_buckets=bk,
+    communities, chunk_embeddings = _run_parallel(
+        [
+            lambda: _stage(
+                wh,
+                "communities",
+                cfg.resume,
+                lambda: community_catalog(membership, entities, triples, mentions),
+            ),
+            lambda: _stage(
+                wh,
+                "chunk_embeddings",
+                cfg.resume,
+                _chunk_embeddings,
+                group_key="chunk_id" if bk else None,
+                num_buckets=bk,
+            ),
+        ]
     )
+    res.tables["communities"] = communities
     res.tables["chunk_embeddings"] = chunk_embeddings
 
+    wh.flush_lineage()
     res.metrics["build_seconds"] = time.time() - t_start
     return res

@@ -318,6 +318,9 @@ def incremental_update(
     return out
 
 
+from .build import _run_parallel  # noqa: E402  (shared job-parallel helper)
+
+
 def _delta_capable(wh) -> bool:
     """True when the warehouse was built with the bucketed delta
     layout (BuildConfig.bucket_convs > 0): tkey-keyed triples and the
@@ -433,12 +436,15 @@ def _incremental_update_delta(
     stale = ck(dropped.union(changed).distinct())
 
     # ---- 2. old-state slices (pruned reads, BEFORE any merge) --------
-    old_traw_stale = ck(read_pruned(spark, wh.path("triples_raw"), stale))
-    old_mraw_stale = ck(read_pruned(spark, wh.path("mentions_raw"), stale))
-    old_eraw_stale = ck(read_pruned(spark, wh.path("entities_raw"), stale))
-    old_chunks_stale = ck(read_pruned(spark, wh.path("chunks"), stale))
-    old_cmap = ck(wh.read("canonical_map"))
-    old_entities = ck(wh.read("entities"))
+    old_traw_stale, old_mraw_stale, old_eraw_stale, old_chunks_stale, \
+        old_cmap, old_entities = _run_parallel([
+            lambda: ck(read_pruned(spark, wh.path("triples_raw"), stale)),
+            lambda: ck(read_pruned(spark, wh.path("mentions_raw"), stale)),
+            lambda: ck(read_pruned(spark, wh.path("entities_raw"), stale)),
+            lambda: ck(read_pruned(spark, wh.path("chunks"), stale)),
+            lambda: ck(wh.read("canonical_map")),
+            lambda: ck(wh.read("entities")),
+        ])
     old_pairs_stale = ck(
         entity_conv_pairs(old_eraw_stale, old_traw_stale, old_mraw_stale)
     )
@@ -472,29 +478,51 @@ def _incremental_update_delta(
     )
     t0 = _time.time()
     new_chunks = ck(chunk_conversations(changed_transcripts))
-    wh.append_lineage("incr_chunks", -1, new_chunks.count(), t0)
+    wh.append_lineage("incr_chunks", -1, new_chunks.count(), t0, defer=True)
 
     # extraction cache: a modified conversation's unchanged chunk texts
     # hit its own previous extractions (pruned read of the stale convs'
-    # rows — delta-sized, unlike the legacy full-cache read)
-    cache = ck(
-        read_pruned(spark, wh.path("extractions"), stale).select(
-            "chunk_id", "result"
-        )
+    # rows — delta-sized, unlike the legacy full-cache read). No ck:
+    # consumed only while new_extractions materializes, before the
+    # extractions table is merged.
+    cache = read_pruned(spark, wh.path("extractions"), stale).select(
+        "chunk_id", "result"
     )
     t0 = _time.time()
     kwargs = {} if cfg.extractor is None else {"extractor": cfg.extractor}
     new_extractions = ck(extract_chunks(new_chunks, cache=cache, **kwargs))
-    wh.append_lineage("incr_extract", -1, new_extractions.count(), t0)
+    wh.append_lineage("incr_extract", -1, new_extractions.count(), t0, defer=True)
 
     t0 = _time.time()
     parsed_new = ck(parse_extractions(new_extractions))
-    wh.append_lineage("incr_parse", -1, parsed_new.count(), t0)
-    e_raw_new = ck(entities_raw(parsed_new))
-    t_raw_new = ck(triples_raw(parsed_new))
-    m_raw_new = ck(mentions_raw(parsed_new))
+    wh.append_lineage("incr_parse", -1, parsed_new.count(), t0, defer=True)
+    # raw-table deltas are cheap narrow maps over the checkpointed
+    # parsed_new — no ck of their own (each evaluation re-derives from
+    # the materialized parent)
+    e_raw_new = entities_raw(parsed_new)
+    t_raw_new = triples_raw(parsed_new)
+    m_raw_new = mentions_raw(parsed_new)
 
-    # ---- 4. conv-keyed MERGE of the per-conversation tables ----------
+    # ---- 4+5. conv-keyed MERGEs + inverted-index maintenance, all
+    # mutually independent (distinct paths, inputs checkpointed) → one
+    # driver-thread pool so their ~4 barrier jobs each overlap -------
+    new_pairs, new_chunk_pairs = _run_parallel([
+        lambda: ck(entity_conv_pairs(e_raw_new, t_raw_new, m_raw_new)),
+        lambda: ck(new_chunks.select("chunk_id", "conv_id").distinct()),
+    ])
+    touched_entities, touched_chunks = _run_parallel([
+        lambda: ck(
+            old_pairs_stale.select("entity_id")
+            .union(new_pairs.select("entity_id"))
+            .distinct()
+        ),
+        lambda: ck(
+            old_chunks_stale.select("chunk_id")
+            .union(new_chunk_pairs.select("chunk_id"))
+            .distinct()
+        ),
+    ])
+
     per_conv = {
         "transcripts": changed_transcripts,
         "registry": new_registry.join(changed, "conv_id", "left_semi"),
@@ -505,52 +533,60 @@ def _incremental_update_delta(
         "triples_raw": t_raw_new,
         "mentions_raw": m_raw_new,
     }
-    for name, delta in per_conv.items():
-        target_cols = [
-            c
-            for c in wh.read(name).columns
-        ]
+
+    def _merge_conv_table(name, delta):
+        target_cols = wh.read(name).columns
         info = upsert_groups(
             spark, wh.path(name), delta.select(*target_cols), stale, "conv_id"
         )
         wh.append_lineage(
-            f"incr_merge_{name}", len(info["touched_buckets"]), -1, _time.time()
+            f"incr_merge_{name}",
+            len(info["touched_buckets"]),
+            -1,
+            _time.time(),
+            defer=True,
         )
 
-    # ---- 5. inverted-index maintenance (stale convs only: the index
-    # maps RAW ids, which only change when conv content changes) ------
-    new_pairs = ck(entity_conv_pairs(e_raw_new, t_raw_new, m_raw_new))
-    touched_entities = ck(
-        old_pairs_stale.select("entity_id")
-        .union(new_pairs.select("entity_id"))
-        .distinct()
-    )
-    cur_idx = read_pruned(
-        spark, wh.path("entity_conv_index"), touched_entities
-    )
-    idx_rows = ck(
-        cur_idx.join(stale, "conv_id", "left_anti")
-        .unionByName(new_pairs)
-        .distinct()
-    )
-    upsert_groups(
-        spark, wh.path("entity_conv_index"), idx_rows, touched_entities, "entity_id"
-    )
+    def _merge_entity_index():
+        cur_idx = read_pruned(
+            spark, wh.path("entity_conv_index"), touched_entities
+        )
+        idx_rows = ck(
+            cur_idx.join(stale, "conv_id", "left_anti")
+            .unionByName(new_pairs)
+            .distinct()
+        )
+        upsert_groups(
+            spark,
+            wh.path("entity_conv_index"),
+            idx_rows,
+            touched_entities,
+            "entity_id",
+        )
 
-    new_chunk_pairs = ck(new_chunks.select("chunk_id", "conv_id").distinct())
-    touched_chunks = ck(
-        old_chunks_stale.select("chunk_id")
-        .union(new_chunk_pairs.select("chunk_id"))
-        .distinct()
-    )
-    cur_cidx = read_pruned(spark, wh.path("chunk_conv_index"), touched_chunks)
-    cidx_rows = ck(
-        cur_cidx.join(stale, "conv_id", "left_anti")
-        .unionByName(new_chunk_pairs)
-        .distinct()
-    )
-    upsert_groups(
-        spark, wh.path("chunk_conv_index"), cidx_rows, touched_chunks, "chunk_id"
+    def _merge_chunk_index():
+        cur_cidx = read_pruned(
+            spark, wh.path("chunk_conv_index"), touched_chunks
+        )
+        cidx_rows = ck(
+            cur_cidx.join(stale, "conv_id", "left_anti")
+            .unionByName(new_chunk_pairs)
+            .distinct()
+        )
+        upsert_groups(
+            spark,
+            wh.path("chunk_conv_index"),
+            cidx_rows,
+            touched_chunks,
+            "chunk_id",
+        )
+
+    _run_parallel(
+        [
+            (lambda n=n, d=d: _merge_conv_table(n, d))
+            for n, d in per_conv.items()
+        ]
+        + [_merge_entity_index, _merge_chunk_index]
     )
 
     # ---- 6. global linking over the merged catalog, embeddings
@@ -560,8 +596,12 @@ def _incremental_update_delta(
     catalog = entity_catalog(e_raw_merged, chunks_merged)
     linked = link_entities_driver_path(catalog)
     if linked is not None:
-        embedded, similar = ck(linked["embedded"]), ck(linked["similar"])
-        wcc, cmap = ck(linked["wcc"]), ck(linked["canonical_map"])
+        embedded, similar, wcc, cmap = _run_parallel([
+            lambda: ck(linked["embedded"]),
+            lambda: ck(linked["similar"]),
+            lambda: ck(linked["wcc"]),
+            lambda: ck(linked["canonical_map"]),
+        ])
     else:
         old_emb = wh.read("entity_embeddings").select(
             "entity_id", F.col("description").alias("__old_desc"), "embedding"
@@ -583,7 +623,7 @@ def _incremental_update_delta(
                 )
             )
         )
-        wh.append_lineage("incr_embed", -1, todo.count(), t0)
+        wh.append_lineage("incr_embed", -1, todo.count(), t0, defer=True)
         similar = ck(similar_entities(embedded, method=cfg.similarity_method))
         wcc = ck(
             consecutive_component_ids(
@@ -614,108 +654,151 @@ def _incremental_update_delta(
     )
     affected_convs = ck(stale.union(delta_convs).distinct())
     wh.append_lineage(
-        "incr_affected_convs", -1, affected_convs.count(), _time.time()
+        "incr_affected_convs", -1, affected_convs.count(), _time.time(),
+        defer=True,
     )
 
-    # ---- 8. mentions: recompute winners for affected chunks ----------
-    m_raw_delta = read_pruned(spark, wh.path("mentions_raw"), delta_convs)
-    chunks_repointed = m_raw_delta.join(
-        delta_entities, "entity_id", "left_semi"
-    ).select("chunk_id")
-    affected_chunks = ck(
-        old_chunks_stale.select("chunk_id")
-        .union(new_chunks.select("chunk_id"))
-        .union(chunks_repointed)
-        .distinct()
-    )
-    contrib_convs_m = (
-        read_pruned(spark, wh.path("chunk_conv_index"), affected_chunks)
-        .select("conv_id")
-        .distinct()
-    )
-    m_contrib = read_pruned(
-        spark, wh.path("mentions_raw"), contrib_convs_m
-    ).join(affected_chunks, "chunk_id", "left_semi")
-    t0 = _time.time()
-    mentions_delta = ck(rewrite_mentions(m_contrib, cmap))
-    wh.append_lineage(
-        "incr_mentions_rewrite", -1, mentions_delta.count(), t0
-    )
-    upsert_groups(
-        spark, wh.path("mentions"), mentions_delta, affected_chunks, "chunk_id"
-    )
-
-    # ---- 9. triples: recompute winners for affected canonical keys ---
-    t_raw_aff = ck(read_pruned(spark, wh.path("triples_raw"), affected_convs))
-    k_new = _triple_keys(t_raw_aff, cmap)
-    k_old_stale = _triple_keys(old_traw_stale, old_cmap)
-    k_old_repointed = _triple_keys(
-        t_raw_aff.join(delta_convs, "conv_id", "left_semi"), old_cmap
-    )
-    affected_keys = ck(k_new.union(k_old_stale).union(k_old_repointed).distinct())
-
-    aff_canon = (
-        affected_keys.select(F.col("subj").alias("entity_id"))
-        .union(affected_keys.select(F.col("obj").alias("entity_id")))
-        .distinct()
-    )
-    preimages = ck(
-        cmap.join(
-            aff_canon.withColumnRenamed("entity_id", "canonical_id"),
-            "canonical_id",
-            "left_semi",
+    # ---- 8-10, 12: four mutually independent delta-rewrite tasks
+    # (mentions / triples / entities / chunk embeddings — distinct
+    # target tables, read-only sharing of the merged raw tables and
+    # indexes) run from one driver-thread pool -------------------------
+    def _rewrite_mentions_task():
+        m_raw_delta = read_pruned(spark, wh.path("mentions_raw"), delta_convs)
+        chunks_repointed = m_raw_delta.join(
+            delta_entities, "entity_id", "left_semi"
+        ).select("chunk_id")
+        affected_chunks = ck(
+            old_chunks_stale.select("chunk_id")
+            .union(new_chunks.select("chunk_id"))
+            .union(chunks_repointed)
+            .distinct()
         )
-        .select("entity_id")
-        .union(aff_canon)
-        .distinct()
-    )
-    contrib_convs_t = (
-        read_pruned(spark, wh.path("entity_conv_index"), preimages)
-        .select("conv_id")
-        .union(affected_convs)
-        .distinct()
-    )
-    t_contrib = read_pruned(spark, wh.path("triples_raw"), contrib_convs_t)
-    t0 = _time.time()
-    triples_delta = ck(
-        with_triple_key(rewrite_triples(t_contrib, cmap, keys=affected_keys))
-    )
-    wh.append_lineage("incr_triples_rewrite", -1, triples_delta.count(), t0)
-    stale_tkeys = with_triple_key(affected_keys).select(TRIPLE_KEY_COL)
-    upsert_groups(
-        spark, wh.path("triples"), triples_delta, stale_tkeys, TRIPLE_KEY_COL
-    )
-
-    # ---- 10. entities: diff-MERGE changed/removed catalog rows -------
-    ent_cols = ["entity_id", "entity_type", "description", "embedding", "wcc"]
-    entities_full = ck(
-        canonical_entities(embedded.join(wcc, "entity_id", "left"), cmap).select(
-            *ent_cols
+        contrib_convs_m = (
+            read_pruned(spark, wh.path("chunk_conv_index"), affected_chunks)
+            .select("conv_id")
+            .distinct()
         )
-    )
-    changed_rows = ck(entities_full.exceptAll(old_entities.select(*ent_cols)))
-    removed_ids = old_entities.select("entity_id").exceptAll(
-        entities_full.select("entity_id")
-    )
-    stale_ent_ids = ck(
-        changed_rows.select("entity_id").union(removed_ids).distinct()
-    )
-    t0 = _time.time()
-    upsert_groups(
-        spark, wh.path("entities"), changed_rows, stale_ent_ids, "entity_id"
-    )
-    wh.append_lineage(
-        "incr_entities_merge", -1, changed_rows.count(), t0
+        m_contrib = read_pruned(
+            spark, wh.path("mentions_raw"), contrib_convs_m
+        ).join(affected_chunks, "chunk_id", "left_semi")
+        t0 = _time.time()
+        mentions_delta = ck(rewrite_mentions(m_contrib, cmap))
+        wh.append_lineage(
+            "incr_mentions_rewrite", -1, mentions_delta.count(), t0, defer=True
+        )
+        upsert_groups(
+            spark, wh.path("mentions"), mentions_delta, affected_chunks,
+            "chunk_id",
+        )
+
+    def _rewrite_triples_task():
+        t_raw_aff = ck(
+            read_pruned(spark, wh.path("triples_raw"), affected_convs)
+        )
+        k_new = _triple_keys(t_raw_aff, cmap)
+        k_old_stale = _triple_keys(old_traw_stale, old_cmap)
+        k_old_repointed = _triple_keys(
+            t_raw_aff.join(delta_convs, "conv_id", "left_semi"), old_cmap
+        )
+        affected_keys = ck(
+            k_new.union(k_old_stale).union(k_old_repointed).distinct()
+        )
+        aff_canon = (
+            affected_keys.select(F.col("subj").alias("entity_id"))
+            .union(affected_keys.select(F.col("obj").alias("entity_id")))
+            .distinct()
+        )
+        preimages = ck(
+            cmap.join(
+                aff_canon.withColumnRenamed("entity_id", "canonical_id"),
+                "canonical_id",
+                "left_semi",
+            )
+            .select("entity_id")
+            .union(aff_canon)
+            .distinct()
+        )
+        contrib_convs_t = (
+            read_pruned(spark, wh.path("entity_conv_index"), preimages)
+            .select("conv_id")
+            .union(affected_convs)
+            .distinct()
+        )
+        t_contrib = read_pruned(spark, wh.path("triples_raw"), contrib_convs_t)
+        t0 = _time.time()
+        triples_delta = ck(
+            with_triple_key(rewrite_triples(t_contrib, cmap, keys=affected_keys))
+        )
+        wh.append_lineage(
+            "incr_triples_rewrite", -1, triples_delta.count(), t0, defer=True
+        )
+        stale_tkeys = with_triple_key(affected_keys).select(TRIPLE_KEY_COL)
+        upsert_groups(
+            spark, wh.path("triples"), triples_delta, stale_tkeys, TRIPLE_KEY_COL
+        )
+
+    def _merge_entities_task():
+        ent_cols = ["entity_id", "entity_type", "description", "embedding", "wcc"]
+        entities_full = ck(
+            canonical_entities(
+                embedded.join(wcc, "entity_id", "left"), cmap
+            ).select(*ent_cols)
+        )
+        changed_rows = ck(
+            entities_full.exceptAll(old_entities.select(*ent_cols))
+        )
+        removed_ids = old_entities.select("entity_id").exceptAll(
+            entities_full.select("entity_id")
+        )
+        stale_ent_ids = ck(
+            changed_rows.select("entity_id").union(removed_ids).distinct()
+        )
+        t0 = _time.time()
+        upsert_groups(
+            spark, wh.path("entities"), changed_rows, stale_ent_ids, "entity_id"
+        )
+        wh.append_lineage(
+            "incr_entities_merge", -1, changed_rows.count(), t0, defer=True
+        )
+
+    def _chunk_embeddings_task():
+        new_chunk_ids = new_chunks.select("chunk_id").distinct()
+        cur_ce = ck(
+            read_pruned(spark, wh.path("chunk_embeddings"), new_chunk_ids)
+        )
+        todo_ce = (
+            new_chunks.select("chunk_id", "text")
+            .dropDuplicates(["chunk_id"])
+            .join(cur_ce.select("chunk_id"), "chunk_id", "left_anti")
+        )
+        ce_delta = ck(
+            cur_ce.select("chunk_id", "embedding").unionByName(
+                with_chunk_embeddings(todo_ce).select("chunk_id", "embedding")
+            )
+        )
+        upsert_groups(
+            spark, wh.path("chunk_embeddings"), ce_delta, new_chunk_ids,
+            "chunk_id",
+        )
+
+    _run_parallel(
+        [
+            _rewrite_mentions_task,
+            _rewrite_triples_task,
+            _merge_entities_task,
+            _chunk_embeddings_task,
+        ]
     )
 
-    # ---- 11. entity-scale side tables: overwrite ---------------------
-    for name, df in {
-        "entity_embeddings": embedded,
-        "similar": similar,
-        "wcc": wcc,
-        "canonical_map": cmap,
-    }.items():
-        wh.write(df, name)
+    # ---- 11. entity-scale side tables: overwrite (parallel writes) ---
+    _run_parallel(
+        [
+            lambda: wh.write(embedded, "entity_embeddings"),
+            lambda: wh.write(similar, "similar"),
+            lambda: wh.write(wcc, "wcc"),
+            lambda: wh.write(cmap, "canonical_map"),
+        ]
+    )
 
     entities_tbl = wh.read("entities")
     triples_tbl = wh.read("triples")
@@ -728,51 +811,43 @@ def _incremental_update_delta(
     communities = ck(
         community_catalog(membership, entities_tbl, triples_tbl, mentions_tbl)
     )
-    wh.write(membership, "membership")
-    wh.write(hierarchy, "hierarchy")
-    wh.write(communities, "communities")
-
-    # ---- 12. chunk embeddings: pruned reuse + chunk-keyed upsert -----
-    new_chunk_ids = new_chunks.select("chunk_id").distinct()
-    cur_ce = ck(read_pruned(spark, wh.path("chunk_embeddings"), new_chunk_ids))
-    todo_ce = (
-        new_chunks.select("chunk_id", "text")
-        .dropDuplicates(["chunk_id"])
-        .join(cur_ce.select("chunk_id"), "chunk_id", "left_anti")
-    )
-    ce_delta = ck(
-        cur_ce.select("chunk_id", "embedding").unionByName(
-            with_chunk_embeddings(todo_ce).select("chunk_id", "embedding")
-        )
-    )
-    upsert_groups(
-        spark, wh.path("chunk_embeddings"), ce_delta, new_chunk_ids, "chunk_id"
+    _run_parallel(
+        [
+            lambda: wh.write(membership, "membership"),
+            lambda: wh.write(hierarchy, "hierarchy"),
+            lambda: wh.write(communities, "communities"),
+        ]
     )
 
-    out = {
-        name: wh.read(name)
-        for name in (
-            "transcripts",
-            "registry",
-            "chunks",
-            "extractions",
-            "parsed",
-            "entities_raw",
-            "triples_raw",
-            "mentions_raw",
-            "entity_embeddings",
-            "similar",
-            "wcc",
-            "canonical_map",
-            "triples",
-            "mentions",
-            "entities",
-            "membership",
-            "hierarchy",
-            "communities",
-            "chunk_embeddings",
+    wh.flush_lineage()
+
+    out_names = (
+        "transcripts",
+        "registry",
+        "chunks",
+        "extractions",
+        "parsed",
+        "entities_raw",
+        "triples_raw",
+        "mentions_raw",
+        "entity_embeddings",
+        "similar",
+        "wcc",
+        "canonical_map",
+        "triples",
+        "mentions",
+        "entities",
+        "membership",
+        "hierarchy",
+        "communities",
+        "chunk_embeddings",
+    )
+    out = dict(
+        zip(
+            out_names,
+            _run_parallel([(lambda n=n: wh.read(n)) for n in out_names]),
         )
-    }
+    )
     out["cascade_deleted_entities"] = cascade
     out["changes_added"] = changes["added"]
     out["changes_modified"] = changes["modified"]

@@ -93,10 +93,14 @@ def write_bucketed(
     df: DataFrame, path: str, key: str, num_buckets: int = 64
 ) -> None:
     """Create/replace a bucket-partitioned table (the MERGE target
-    layout). One directory per key bucket; the physical plan shows a
-    single shuffle-free pass when df is already partitioned by key."""
+    layout). One directory per key bucket, ONE file per bucket: the
+    pre-write repartition on the bucket column keeps the file count at
+    num_buckets instead of tasks x buckets — footer/listing overhead is
+    the dominant cost of many-small-table warehouses, and Iceberg's
+    write.distribution-mode=hash does exactly this."""
     (
         df.withColumn(BUCKET_COL, bucket_of(F.col(key), num_buckets))
+        .repartition(num_buckets, F.col(BUCKET_COL))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
         .parquet(path)
@@ -192,7 +196,10 @@ def merge_into(
     surviving = {r[0] for r in merged.select(BUCKET_COL).distinct().collect()}
     if surviving:
         (
-            merged.write.mode("overwrite")
+            merged.repartition(
+                max(1, min(len(surviving), num_buckets)), F.col(BUCKET_COL)
+            )
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(path)
@@ -263,7 +270,10 @@ def upsert_groups(
     surviving = {r[0] for r in merged.select(BUCKET_COL).distinct().collect()}
     if surviving:
         (
-            merged.write.mode("overwrite")
+            merged.repartition(
+                max(1, min(len(surviving), num_buckets)), F.col(BUCKET_COL)
+            )
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(path)

@@ -218,3 +218,31 @@ class TestEmbeddingNearDup:
             assert r.id_a % 10 == 3
             # integer-exact threshold really holds
             assert 100 * r.dot * r.dot >= 81 * r.na2 * r.nb2
+
+
+def test_ann_ivf_multicell_recall_lift_bounded_candidates(embeddings):
+    """store_cells=2: recall never drops vs r=1, and the candidate
+    set grows by at most the assignment factor (pairs are deduped
+    before re-rank, so the exact-cosine work is bounded)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.ann_bruteforce(embeddings, k=3).collect()
+    }
+
+    def run(r):
+        approx = {
+            (q["query_id"], q["neighbor_id"])
+            for q in knn.ann_ivf(
+                embeddings, k=3, n_cells=8, nprobe=2, store_cells=r
+            ).collect()
+        }
+        cands = knn.ivf_candidates(
+            embeddings, n_cells=8, nprobe=2, store_cells=r
+        ).count()
+        return len(exact & approx) / len(exact), cands
+
+    rec1, cand1 = run(1)
+    rec2, cand2 = run(2)
+    assert rec2 >= rec1, (rec2, rec1)
+    assert cand2 <= 2 * cand1, (cand2, cand1)
+    assert cand2 > 0

@@ -173,3 +173,57 @@ def test_cluster_embedding_regime():
     acme = embed_entity("Acme Corp", "Acme Corp is a Organization")
     assert cosine(sony, sony2) >= 0.9
     assert cosine(sony, acme) < 0.9
+
+
+def test_knn_fallback_ladder(spark):
+    """similar_entity.py:162-222 resilience ladder: primary success,
+    degraded retry on primary failure (topK=5 over a 0.5 sample), and
+    the error dict when both rungs fail."""
+    from graph_rag_agent_spark.operators.linking import (
+        similar_entities_with_fallback,
+        with_embeddings,
+    )
+
+    catalog = spark.createDataFrame(
+        [(f"Widget {i}", "Product", f"desc {i}") for i in range(30)],
+        "entity_id string, entity_type string, description string",
+    )
+    embedded = with_embeddings(catalog).localCheckpoint()
+
+    ok = similar_entities_with_fallback(embedded, method="exact")
+    assert ok["status"] == "success" and ok["note"] is None
+    assert ok["relationships"] == ok["edges"].count()
+
+    import graph_rag_agent_spark.operators.linking as linking_mod
+
+    orig = linking_mod.similar_entities
+
+    # both rungs fail → error dict with the PRIMARY error, no raise
+    def broken(embedded_df, method="auto", **kw):
+        raise RuntimeError("simulated GDS failure")
+
+    linking_mod.similar_entities = broken
+    try:
+        err = similar_entities_with_fallback(embedded, method="exact")
+    finally:
+        linking_mod.similar_entities = orig
+    assert err["status"] == "error" and err["edges"] is None
+    assert "simulated GDS failure" in err["note"]
+
+    # primary fails, degraded rung succeeds with topK=5 over the sample
+    calls = []
+
+    def flaky(embedded_df, method="auto", **kw):
+        calls.append(kw.get("top_k"))
+        if len(calls) == 1:
+            raise RuntimeError("simulated GDS failure")
+        return orig(embedded_df, method="exact", **kw)
+
+    linking_mod.similar_entities = flaky
+    try:
+        deg = similar_entities_with_fallback(embedded, method="exact")
+    finally:
+        linking_mod.similar_entities = orig
+    assert deg["status"] == "success"
+    assert deg["note"] and "topK=5" in deg["note"]
+    assert calls == [10, 5]  # primary topK then degraded topK

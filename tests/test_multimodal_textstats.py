@@ -32,10 +32,22 @@ def test_stub_feature_extraction(assets):
         assert all(0.0 <= x <= 1.0 for x in r["feature"])
 
 
-def test_real_mode_is_stubbed_not_crashing(assets):
-    feats = multimodal.extract_features(assets, mode="real").collect()
-    assert all(r["decode_status"].startswith("stubbed:") for r in feats)
-    assert all(r["feature"] is None for r in feats)
+def test_real_mode_fails_fast_with_install_hint(assets):
+    """mode='real' resolves decoders driver-side from extras/codecs;
+    with no codec libraries installed it must fail AT CALL TIME with
+    the install matrix, never ship a latent error into executors."""
+    import pytest
+
+    from graph_rag_agent_spark.extras.codecs import load_decoders
+
+    decoders, missing = load_decoders()
+    if decoders and not missing:
+        feats = multimodal.extract_features(assets, mode="real").collect()
+        assert feats  # libs present: real decode runs
+        return
+    assert set(missing) == {"image", "audio", "video"} - set(decoders)
+    with pytest.raises(RuntimeError, match="codec"):
+        multimodal.extract_features(assets, mode="real")
 
 
 def test_resize_plan(assets):
