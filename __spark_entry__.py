@@ -850,21 +850,31 @@ def _q_graph_coverage_per_sample(spark, sf_dir):
     edge-distinct semantics computed PER SAMPLE via neighborhood
     gathering + cogrouped DFS instead of corpus-global triple
     self-joins). The fixture is a deterministic ring-ish graph over
-    _GC_K nodes derived from doc_ids; the oracle replays the graph,
-    the w1/w2/w3 walk joins and the score formula in SQL."""
+    K nodes derived from doc_ids; the oracle replays the graph,
+    the w1/w2/w3 walk joins and the score formula in SQL.
+
+    K scales with the corpus (max(_GC_K, n_docs // 8), same formula in
+    the oracle) so the fixture's average degree stays ~8 at every sf:
+    a fixed modulus over a growing doc set densifies the graph until
+    per-sample neighborhoods approach the whole edge set and the
+    ≤3-edge walk counts blow up combinatorially — the metric would
+    measure fixture density, not engine speed."""
     from graph_rag_agent_spark.operators.evaluator import (
         graph_coverage_per_sample,
     )
 
-    K = _GC_K
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
+    K = max(_GC_K, docs.count() // 8)
     gc = lambda e: F.format_string("GC-%04d", e.cast("int"))  # noqa: E731
     a = F.col("doc_id") % K
     b = (F.col("doc_id") * 31 + 7) % K
     c = (F.col("doc_id") * 13 + 3) % K
 
+    # the fixture frames are tiny (≤ n_docs rows) but feed MANY plan
+    # branches (entity/relationship aggregates, w1..w3 walks, the
+    # final join) — materialize once instead of re-deriving per branch
     entities = (
         docs.select(a.alias("k"))
         .distinct()
@@ -874,7 +884,7 @@ def _q_graph_coverage_per_sample(spark, sf_dir):
                 F.concat(F.lit("node "), F.col("k").cast("string"))
             ).alias("description"),
         )
-    )
+    ).localCheckpoint()
     # description is a pure function of the (subj, obj) key so the
     # distinct() is deterministic
     triples = (
@@ -894,7 +904,7 @@ def _q_graph_coverage_per_sample(spark, sf_dir):
             .alias("description"),
         )
         .distinct()
-    )
+    ).localCheckpoint()
     samples = docs.select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
             "sample_id"
@@ -904,7 +914,7 @@ def _q_graph_coverage_per_sample(spark, sf_dir):
             F.lit(" and "), gc(c),
         ).alias("question"),
         F.array_distinct(F.array(gc(a), gc(b), gc(c))).alias("entity_ids"),
-    )
+    ).localCheckpoint()
     return graph_coverage_per_sample(samples, entities, triples)
 
 
@@ -2024,12 +2034,15 @@ def oracle_sql() -> dict[str, str]:
         # see their query docstrings for oracle status.
         "graph_coverage_per_sample": """
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+            -- node-space modulus scales with the corpus (same formula
+            -- as the Spark query) so fixture degree stays ~constant
+            params AS (SELECT GREATEST(97, count(*) // 8) AS k FROM docs),
             keyed AS (
                 SELECT doc_id,
-                       doc_id % 97 AS ka,
-                       (doc_id*31 + 7) % 97 AS kb,
-                       (doc_id*13 + 3) % 97 AS kc
-                FROM docs
+                       doc_id % p.k AS ka,
+                       (doc_id*31 + 7) % p.k AS kb,
+                       (doc_id*13 + 3) % p.k AS kc
+                FROM docs CROSS JOIN params p
             ),
             ents AS (
                 SELECT printf('GC-%04d', CAST(k AS INTEGER)) AS entity_id,

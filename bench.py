@@ -96,15 +96,32 @@ def main() -> None:
         lambda: qs["entity_canonical_map"](spark, sf_dir).count(),
     )
 
-    # streaming → incremental build (the delta path): two availableNow
-    # micro-batch deliveries through the foreachBatch pipeline over a
-    # ~12%-of-corpus slice; the first batch bootstraps (build_all,
-    # bucketed layout + inverted indexes), the second runs the
-    # delta-proportional incremental cycle. turns/sec covers change
-    # detection, conv-keyed MERGEs and the global link stages — at
-    # tiny per-batch volumes the number is floor-bound by the cycle's
-    # fixed orchestration latency (~100 driver barriers), which is the
-    # cost that AMORTIZES at real batch sizes.
+    # relational + pipeline-extension headliners
+    for name in [
+        "mention_counts",
+        "topk_per_group",
+        "edit_distance_pairs",
+        "dedup_edges",
+        "connected_components",
+        "chunk_windows",
+        "chunk_vector_topk",
+        "minhash_pairs",
+        "simhash_pairs",
+        "graph_coverage_per_sample",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    # streaming → incremental build (the delta path), measured LAST so
+    # its stream/warehouse state can't perturb the query timings above.
+    # Two availableNow micro-batch deliveries through the foreachBatch
+    # pipeline over a ~12%-of-corpus slice: the first batch BOOTSTRAPS
+    # (build_all, bucketed layout + inverted indexes — a one-time cost,
+    # untimed), the timed number is the SECOND batch: the steady-state
+    # delta-proportional incremental cycle (change detection, conv-keyed
+    # MERGEs, global link stages, delta triple/mention re-winnering).
+    # At tiny per-batch volumes turns/sec is floor-bound by the cycle's
+    # fixed orchestration latency (~60 driver barriers), the cost that
+    # AMORTIZES at real batch sizes.
     def stream_build():
         import tempfile
 
@@ -122,35 +139,27 @@ def main() -> None:
         stream_t = synthesize_transcripts(
             spark, max(60, n_convs // 8)
         ).localCheckpoint()
-        n_stream_turns = stream_t.count()
-        for i in range(2):
-            batch = stream_t.where(
-                F.pmod(F.xxhash64("conv_id"), F.lit(2)) == i
-            )
-            batch.coalesce(1).write.mode("append").parquet(src)
-            q = stream_incremental_build(spark, src, wh, ckpt, cfg=cfg)
-            q.awaitTermination(600)
-        return n_stream_turns
+        half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+        # bootstrap delivery (untimed one-time cost)
+        stream_t.where(half == 0).coalesce(1).write.mode("append").parquet(src)
+        q = stream_incremental_build(spark, src, wh, ckpt, cfg=cfg)
+        q.awaitTermination(600)
+        # steady-state incremental delivery (the timed path)
+        batch2 = stream_t.where(half == 1)
+        n_batch2 = batch2.count()
+        batch2.coalesce(1).write.mode("append").parquet(src)
 
-    n_stream_turns = timed("stream_build", stream_build)
+        def run_batch2():
+            q2 = stream_incremental_build(spark, src, wh, ckpt, cfg=cfg)
+            q2.awaitTermination(600)
+            return n_batch2
+
+        return timed("stream_build", run_batch2)
+
+    n_stream_turns = stream_build()
     extra["stream_turns_per_sec"] = round(
         n_stream_turns / timings["stream_build"], 1
     )
-
-    # relational + pipeline-extension headliners
-    for name in [
-        "mention_counts",
-        "topk_per_group",
-        "edit_distance_pairs",
-        "dedup_edges",
-        "connected_components",
-        "chunk_windows",
-        "chunk_vector_topk",
-        "minhash_pairs",
-        "simhash_pairs",
-        "graph_coverage_per_sample",
-    ]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     spark.stop()
 
