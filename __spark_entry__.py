@@ -918,6 +918,432 @@ def _q_graph_coverage_per_sample(spark, sf_dir):
     return graph_coverage_per_sample(samples, entities, triples)
 
 
+_EXP_K = 40  # entity-universe modulus for the exploration fixture
+_EXP_QUERY = "how do the related entities influence each other?"
+_EXP_SEEDS = ["EX-000", "EX-007"]
+_EXP_STEPS = 3
+
+
+def _exp_entity_scores() -> dict[str, float]:
+    """Per-entity cosine-to-query scores for the exploration fixture,
+    replicated bit-for-bit from the operator's Spark arithmetic.
+
+    The operator scores neighbors as dot(v, q)/norm(v) via
+    F.aggregate left folds (exploration._cosine_to_query); both v
+    (embed_text of the entity id) and q (embed_text of the fixed
+    query) are deterministic pure-Python vectors, so folding in the
+    SAME order here yields the identical IEEE doubles the JVM
+    computes — the oracle inlines these as literals (same pattern as
+    ann_ivf's explicit centroids) and never does float math in SQL."""
+    import math
+
+    from graph_rag_agent_spark.core.stub_embed import embed_text
+
+    q = embed_text(_EXP_QUERY)
+    out = {}
+    for k in range(_EXP_K):
+        eid = f"EX-{k:03d}"
+        v = embed_text(eid)
+        dot = 0.0
+        for a, b in zip(v, q):
+            dot = dot + a * b
+        s2 = 0.0
+        for a in v:
+            s2 = s2 + a * a
+        norm = math.sqrt(s2)
+        out[eid] = 0.0 if norm == 0.0 else dot / norm
+    return out
+
+
+_LPA_K = 24  # node-universe modulus for the LPA fixture
+_LPA_SWEEPS = 8  # oracle unroll depth (converged sweeps are no-ops)
+
+
+def _q_lpa_level(spark, sf_dir):
+    """G3 community detection's LPA level as a driver query (core/
+    lpa.py spec, reference community/detector/leiden.py's level-0
+    membership contract): monotone weighted label propagation over a
+    documents-derived weighted graph, run on the DISTRIBUTED sweep
+    loop (operators/community.lpa_level). Weights are integer-valued
+    doubles so the weighted votes sum exactly in any engine/order.
+    The oracle unrolls {_LPA_SWEEPS} synchronous sweeps — adopt-iff-
+    smaller is monotone, so once the propagation converges every
+    further sweep is the identity and the unroll depth only needs to
+    be >= the convergence sweep (asserted by the hash match itself:
+    a non-converged fixture would diverge from Spark's run-to-
+    convergence loop)."""
+    from graph_rag_agent_spark.operators.community import lpa_level
+
+    K = _LPA_K
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    lp = lambda e: F.format_string("LP-%03d", e.cast("int"))  # noqa: E731
+    ka = F.col("doc_id") % K
+    kb = F.expr(f"(doc_id * 13 + (doc_id div {K}) * 7 + 3) % {K}")
+    edges = (
+        docs.select(ka.alias("ka"), kb.alias("kb"))
+        .where(F.col("ka") != F.col("kb"))
+        .distinct()
+        .select(
+            lp(F.col("ka")).alias("a"),
+            lp(F.col("kb")).alias("b"),
+            ((F.col("ka") + F.col("kb")) % 7 + F.lit(1))
+            .cast("double")
+            .alias("w"),
+        )
+    )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select("b"))
+        .distinct()
+    )
+    return lpa_level(nodes, edges)
+
+
+def _lpa_oracle_sql() -> str:
+    """DuckDB replay of _q_lpa_level: unrolled monotone weighted LPA.
+    Per sweep: vote = Σ edge-weight per (node, neighbor label) —
+    integer-valued weights, exact in any summation order — best =
+    top vote (tie → smallest label), adopt iff smaller than current."""
+    K = _LPA_K
+    sweeps = []
+    for i in range(1, _LPA_SWEEPS + 1):
+        p = i - 1
+        sweeps.append(f"""
+            votes{i} AS (
+                SELECT s.node, l.label AS nbr_label, SUM(s.w) AS vote
+                FROM sym s JOIN lab{p} l ON l.node = s.nbr
+                GROUP BY s.node, l.label
+            ),
+            best{i} AS (
+                SELECT node, nbr_label AS cand FROM (
+                    SELECT node, nbr_label,
+                           row_number() OVER (PARTITION BY node
+                               ORDER BY vote DESC, nbr_label ASC) AS rn
+                    FROM votes{i}
+                ) WHERE rn = 1
+            ),
+            lab{i} AS (
+                SELECT l.node,
+                       CASE WHEN b.cand IS NOT NULL AND b.cand < l.label
+                            THEN b.cand ELSE l.label END AS label
+                FROM lab{p} l LEFT JOIN best{i} b USING (node)
+            )""")
+
+    return f"""
+            WITH docs AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+            ),
+            pairs AS (
+                SELECT DISTINCT ka, kb FROM (
+                    SELECT doc_id % {K} AS ka,
+                           (doc_id*13 + (doc_id // {K})*7 + 3) % {K} AS kb
+                    FROM docs
+                ) WHERE ka <> kb
+            ),
+            e AS (
+                SELECT printf('LP-%03d', CAST(ka AS INTEGER)) AS a,
+                       printf('LP-%03d', CAST(kb AS INTEGER)) AS b,
+                       CAST((ka + kb) % 7 + 1 AS DOUBLE) AS w
+                FROM pairs
+            ),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                )
+            ),
+            sym AS (
+                SELECT a AS node, b AS nbr, w FROM e
+                UNION ALL
+                SELECT b AS node, a AS nbr, w FROM e
+            ),
+            lab0 AS (SELECT node, node AS label FROM nodes),{",".join(sweeps)}
+            SELECT node, label FROM lab{_LPA_SWEEPS}
+    """
+
+
+_SLLPA_K = 30  # node-universe modulus for the SLLPA fixture
+_SLLPA_ITERS = 6
+
+
+def _q_sllpa(spark, sf_dir):
+    """G4 SLLPA as a driver query (reference community/detector/
+    sllpa.py:10-80, deterministic spec in core/sllpa.py): overlapping
+    speaker-listener label propagation over a documents-derived graph,
+    run on the DISTRIBUTED loop (driver_threshold=0 disables the
+    driver fast path — pytest already proves the two paths equal;
+    this gate pins the distributed rounds themselves against an
+    oracle that unrolls the same {iters} iterations in SQL). Output =
+    one (node, label) row per overlapping membership."""
+    from graph_rag_agent_spark.operators.sllpa import sllpa_communities
+
+    K = _SLLPA_K
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    sl = lambda e: F.format_string("SL-%03d", e.cast("int"))  # noqa: E731
+    ka = F.col("doc_id") % K
+    kb = F.expr(f"(doc_id * 17 + (doc_id div {K}) * 11 + 5) % {K}")
+    edges = (
+        docs.select(ka.alias("ka"), kb.alias("kb"))
+        .where(F.col("ka") != F.col("kb"))
+        .distinct()
+        .select(sl(F.col("ka")).alias("a"), sl(F.col("kb")).alias("b"))
+    )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select("b"))
+        .distinct()
+    )
+    return sllpa_communities(
+        nodes,
+        edges,
+        max_iterations=_SLLPA_ITERS,
+        driver_threshold=0,  # force the distributed loop
+    )
+
+
+def _sllpa_oracle_sql() -> str:
+    """DuckDB replay of _q_sllpa: the speaker/listener rounds unrolled
+    as CTE chains. Memory is an integer (node, label, cnt) table;
+    per round: speaker = each node's max-count min-label (row_number),
+    heard = neighbor-spoken label counts, memory += heard. Post-pass:
+    keep labels with cnt/total >= 0.05 (integer inputs → identical
+    IEEE division both engines), min-label fallback for nodes whose
+    every label fell below threshold."""
+    K = _SLLPA_K
+    iters = []
+    for i in range(1, _SLLPA_ITERS + 1):
+        p = i - 1
+        iters.append(f"""
+            speak{i} AS (
+                SELECT node AS speaker, label AS slabel FROM (
+                    SELECT node, label,
+                           row_number() OVER (PARTITION BY node
+                               ORDER BY cnt DESC, label ASC) AS rn
+                    FROM mem{p}
+                ) WHERE rn = 1
+            ),
+            heard{i} AS (
+                SELECT e.listener AS node, s.slabel AS label,
+                       count(*) AS cnt
+                FROM sym e JOIN speak{i} s USING (speaker)
+                GROUP BY e.listener, s.slabel
+            ),
+            mem{i} AS (
+                SELECT node, label, SUM(cnt) AS cnt FROM (
+                    SELECT node, label, cnt FROM mem{p}
+                    UNION ALL
+                    SELECT node, label, cnt FROM heard{i}
+                ) GROUP BY node, label
+            )""")
+
+    return f"""
+            WITH docs AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+            ),
+            pairs AS (
+                SELECT DISTINCT ka, kb FROM (
+                    SELECT doc_id % {K} AS ka,
+                           (doc_id*17 + (doc_id // {K})*11 + 5) % {K} AS kb
+                    FROM docs
+                ) WHERE ka <> kb
+            ),
+            e AS (
+                SELECT DISTINCT printf('SL-%03d', CAST(ka AS INTEGER)) AS a,
+                       printf('SL-%03d', CAST(kb AS INTEGER)) AS b
+                FROM pairs
+            ),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                )
+            ),
+            sym AS (
+                SELECT a AS listener, b AS speaker FROM e
+                UNION ALL
+                SELECT b AS listener, a AS speaker FROM e
+            ),
+            mem0 AS (
+                SELECT node, node AS label, CAST(1 AS BIGINT) AS cnt
+                FROM nodes
+            ),{",".join(iters)},
+            totals AS (
+                SELECT node, SUM(cnt) AS total FROM mem{_SLLPA_ITERS}
+                GROUP BY node
+            ),
+            kept AS (
+                SELECT m.node, m.label
+                FROM mem{_SLLPA_ITERS} m JOIN totals t USING (node)
+                WHERE m.cnt / t.total >= 0.05
+            ),
+            fallback AS (
+                SELECT node, MIN(label) AS label
+                FROM mem{_SLLPA_ITERS}
+                WHERE node NOT IN (SELECT node FROM kept)
+                GROUP BY node
+            )
+            SELECT node, label FROM kept
+            UNION ALL
+            SELECT node, label FROM fallback
+    """
+
+
+def _exp_oracle_sql() -> str:
+    """DuckDB replay of _q_exploration: the 3 frontier steps unrolled
+    as CTE chains. Per step s: rank the frontier's unvisited sym
+    edges by (weight desc, dst, src) with the reference's LIMIT 100,
+    join the distinct neighbor set to the precomputed score table,
+    compute n = min(|scored|, 64) (the operator's capped collect),
+    width = the exact adaptive-width formula with the step factor and
+    query-complexity constant inlined (both pure functions of
+    literals), take the top-width by (score desc, entity_id). Scores
+    are bit-identical doubles (see _exp_entity_scores), so
+    floor(score·1e9) matches Spark's integer-for-integer."""
+    from graph_rag_agent_spark.operators.exploration import (
+        estimate_query_complexity,
+    )
+
+    scores = _exp_entity_scores()
+    emb_rows = ",\n                ".join(
+        f"('{eid}', {score!r})" for eid, score in scores.items()
+    )
+    seed_rows = ", ".join(f"('{s}')" for s in dict.fromkeys(_EXP_SEEDS))
+    c_lit = repr(estimate_query_complexity(_EXP_QUERY))
+    K = _EXP_K
+
+    steps_sql = []
+    finals = [
+        "SELECT entity_id, CAST(0 AS INTEGER) AS step,"
+        " CAST(NULL AS BIGINT) AS score_q FROM seeds"
+    ]
+    for s in range(_EXP_STEPS):
+        i = s + 1
+        sf_lit = repr(max(0.5, 1.0 - s * 0.2))
+        steps_sql.append(f"""
+            n{i} AS (
+                SELECT src, dst FROM (
+                    SELECT e.src, e.dst,
+                           row_number() OVER (ORDER BY e.weight DESC,
+                               e.dst ASC, e.src ASC) AS rn
+                    FROM sym e JOIN f{s} ON f{s}.entity_id = e.src
+                    WHERE e.dst NOT IN (SELECT entity_id FROM v{s})
+                ) WHERE rn <= 100
+            ),
+            s{i} AS (
+                SELECT m.entity_id, m.score,
+                       row_number() OVER (ORDER BY m.score DESC,
+                           m.entity_id ASC) AS rk
+                FROM (SELECT DISTINCT dst FROM n{i}) d
+                JOIN emb m ON m.entity_id = d.dst
+            ),
+            w{i} AS (
+                SELECT GREATEST(1, LEAST(5, CAST(FLOOR(
+                    ((3.0 * {sf_lit}) * LEAST(1.5, LEAST(count(*), 64) / 10.0))
+                    * {c_lit}) AS INTEGER))) AS w
+                FROM s{i}
+            ),
+            sel{i} AS (
+                SELECT entity_id, score FROM s{i}, w{i} WHERE rk <= w{i}.w
+            ),
+            v{i} AS (
+                SELECT entity_id FROM v{s}
+                UNION SELECT entity_id FROM sel{i}
+            ),
+            f{i} AS (SELECT entity_id FROM sel{i})""")
+        finals.append(
+            f"SELECT entity_id, CAST({i} AS INTEGER),"
+            f" CAST(FLOOR(score * 1e9) AS BIGINT) FROM sel{i}"
+        )
+
+    return f"""
+            WITH docs AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+            ),
+            pairs AS (
+                SELECT DISTINCT ka, kb FROM (
+                    SELECT doc_id % {K} AS ka,
+                           (doc_id*31 + (doc_id // {K})*13 + 7) % {K} AS kb
+                    FROM docs
+                ) WHERE ka <> kb
+            ),
+            tr AS (
+                SELECT printf('EX-%03d', CAST(ka AS INTEGER)) AS subj,
+                       printf('EX-%03d', CAST(kb AS INTEGER)) AS obj,
+                       CAST((ka*7 + kb*3) % 5 + 1 AS DOUBLE) AS weight
+                FROM pairs
+            ),
+            sym AS (
+                SELECT subj AS src, obj AS dst, weight FROM tr
+                UNION ALL
+                SELECT obj AS src, subj AS dst, weight FROM tr
+            ),
+            emb AS (
+                SELECT * FROM (VALUES
+                {emb_rows}
+                ) AS t(entity_id, score)
+            ),
+            seeds AS (
+                SELECT * FROM (VALUES {seed_rows}) AS s(entity_id)
+            ),
+            v0 AS (SELECT entity_id FROM seeds),
+            f0 AS (SELECT entity_id FROM seeds),{",".join(steps_sql)}
+            SELECT * FROM ({" UNION ALL ".join(finals)})
+    """
+
+
+def _q_exploration(spark, sf_dir):
+    """G6 Chain of Exploration as a driver query (reference
+    search/tool/reasoning/chain_of_exploration.py:33-170): 3 unrolled
+    frontier steps over a deterministic documents-derived graph —
+    per step, 1-hop neighbors of the frontier minus visited, ordered
+    (weight desc, dst, src) with the reference's LIMIT 100, scored by
+    cosine(query, entity) from the stub embedder, then the top
+    adaptive-width ids (exact _calculate_adaptive_width transcription)
+    become the next frontier. Output = the visited table; scores are
+    emitted as floor(score·1e9) so the hash compare is integer-exact
+    (the oracle carries the bit-identical doubles as literals)."""
+    from graph_rag_agent_spark.core.stub_embed import embed_text
+    from graph_rag_agent_spark.operators.exploration import chain_of_exploration
+
+    K = _EXP_K
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    ex = lambda e: F.format_string("EX-%03d", e.cast("int"))  # noqa: E731
+    ka = F.col("doc_id") % K
+    # kb mixes in doc_id div K — without it kb would be a pure
+    # function of ka (x*31 mod K only depends on x mod K) and the
+    # "graph" would degenerate to one out-edge per node
+    kb = F.expr(f"(doc_id * 31 + (doc_id div {K}) * 13 + 7) % {K}")
+    triples = (
+        docs.select(ka.alias("ka"), kb.alias("kb"))
+        .where(F.col("ka") != F.col("kb"))
+        .distinct()
+        .select(
+            ex(F.col("ka")).alias("subj"),
+            F.lit("REL").alias("pred"),
+            ex(F.col("kb")).alias("obj"),
+            ((F.col("ka") * 7 + F.col("kb") * 3) % 5 + F.lit(1))
+            .cast("double")
+            .alias("weight"),
+        )
+    )
+    entities = spark.createDataFrame(
+        [(f"EX-{k:03d}", embed_text(f"EX-{k:03d}")) for k in range(K)],
+        "entity_id string, embedding array<double>",
+    )
+    res = chain_of_exploration(
+        entities, triples, _EXP_QUERY, _EXP_SEEDS, max_steps=_EXP_STEPS
+    )
+    return res["visited"].select(
+        "entity_id",
+        "step",
+        F.floor(F.col("score") * F.lit(1e9)).cast("long").alias("score_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_derivation": _q_turns_derivation,
@@ -955,6 +1381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _kg_triples,  # full SQL end-to-end pipeline oracle
         # per-sample 1..3-hop coverage metric, full SQL walk-join oracle
         "graph_coverage_per_sample": _q_graph_coverage_per_sample,
+        "exploration_visited": _q_exploration,
+        "sllpa_overlap": _q_sllpa,
+        "lpa_labels": _q_lpa_level,
     }
 
 
@@ -2032,6 +2461,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # minhash_pairs / simhash_pairs / ann_ivf / multimodal_features:
         # see their query docstrings for oracle status.
+        "exploration_visited": _exp_oracle_sql(),
+        "sllpa_overlap": _sllpa_oracle_sql(),
+        "lpa_labels": _lpa_oracle_sql(),
         "graph_coverage_per_sample": """
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
             -- node-space modulus scales with the corpus (same formula
