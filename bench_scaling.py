@@ -279,6 +279,7 @@ def main() -> None:
         "| r2 initial (distributed chain first enabled) | 171.8 | 146.7 | 3395.7 |",
         "| r2 mid (grouped canonicalize + CC contraction + vectorized LSH) | 50.9 | 32.2 | 11453.2 |",
         "| r2 final (single-scored LSH mirror, mapInPandas canonicalize, CC round-0 join skip) | 58.3 | 37.0 | 10010.9 |",
+        "| r3 (job-parallel plan barriers, pooled checkpoint groups, review fixes) | 45.7 | 25.9 | 12761.6 |",
         "",
         "The link-phase floor dropped ~4× over round 2: canonicalization",
         "collapsed to one repartition-by-component mapInPandas pass, CC",

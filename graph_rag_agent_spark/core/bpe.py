@@ -54,9 +54,8 @@ def train_bpe(texts: Iterable[str], num_merges: int = 200) -> list[tuple[str, st
         if not pairs:
             break
         # deterministic: max frequency, then smallest pair
-        best = min(
-            (pair for pair, n in pairs.items() if n == max(pairs.values()))
-        )
+        top = max(pairs.values())
+        best = min(pair for pair, n in pairs.items() if n == top)
         merges.append(best)
         merged = best[0] + best[1]
         new_vocab: dict[str, tuple[str, ...]] = {}

@@ -79,6 +79,12 @@ def load_decoders() -> tuple[dict, dict]:
     for modality, factory in _FACTORIES.items():
         try:
             decoders[modality] = factory()
-        except ImportError as e:
-            missing[modality] = str(e)
+        except Exception as e:  # noqa: BLE001 — ImportError, plus the
+            # non-ImportError failures real codec stacks raise when the
+            # NATIVE half is absent (soundfile → OSError without
+            # libsndfile, PyAV → FFmpegError variants): any failure to
+            # construct a decoder means "this modality is unavailable",
+            # and it must land in the actionable missing-map, not
+            # propagate raw past the documented RuntimeError contract
+            missing[modality] = f"{type(e).__name__}: {e}"
     return decoders, missing

@@ -671,9 +671,13 @@ def referenced_path_counts_grouped(
         .union(l1.select("sample_id", F.col("dst").alias("src")))
         .distinct()
     )
+    # l2 subsumes l1 (nodes1 contains the sample ids themselves), so
+    # joining on nodes1 alone gathers every 1-hop AND 2-hop edge — a
+    # second union branch would only re-shuffle duplicate rows into
+    # the dedup
     l2 = sym.join(nodes1, "src")
     edges = (
-        l1.unionByName(l2)
+        l2
         .select(
             "sample_id",
             "edge_id",

@@ -66,8 +66,15 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     return np.random.RandomState(7).normal(size=(n_planes, dim))
 
 
-def _band_sig_udf(planes: np.ndarray, bands: int, rows: int, probes: int = 0):
+def _band_sig_udf(
+    planes: np.ndarray | None, bands: int, rows: int, probes: int = 0
+):
     """array<long> band hashes per vector, vectorized (reshape+matmul).
+
+    ``planes=None`` derives the hyperplanes lazily from the first Arrow
+    batch's vector width INSIDE the UDF — the generator is a fixed-seed
+    RandomState, so every task materializes identical planes and no
+    extra driver-side ``first()`` job is spent just to learn the dim.
 
     With ``probes`` > 0, additionally emits per band the hashes with
     the 1..probes lowest-|margin| bits flipped — multi-probe LSH
@@ -81,9 +88,12 @@ def _band_sig_udf(planes: np.ndarray, bands: int, rows: int, probes: int = 0):
 
     @F.pandas_udf("array<long>")
     def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local_planes = planes
         for emb in it:
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-            margins = mat @ planes.T  # (n, bands*rows)
+            if local_planes is None:
+                local_planes = _hyperplanes(mat.shape[1], bands * rows)
+            margins = mat @ local_planes.T  # (n, bands*rows)
             bits = margins >= 0
             base = (
                 bits.reshape(len(mat), bands, rows) @ weights + band_tags
@@ -121,9 +131,9 @@ def ann_lsh(
     base bucket, so the stored/index side of the shuffle is unchanged
     and only the (much smaller at typical q≪n, equal here) query side
     fans out ×(probes+1)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, bands * rows)
+    # dim unknown → let the UDF derive the (seed-deterministic) planes
+    # from its first batch instead of spending a driver job on first()
+    planes = None if dim is None else _hyperplanes(dim, bands * rows)
     sig = _band_sig_udf(planes, bands, rows)
 
     base = _to_double(df, id_col, vec_col, "v")

@@ -412,6 +412,75 @@ def similar_entities(
     return similar_entities_lsh(embedded, **kwargs)
 
 
+def similar_entities_degraded(
+    embedded: DataFrame,
+    stored_fraction: float = 0.5,
+    seed: int = 7,
+    top_k: int = 5,
+    cutoff: float = SIMILARITY_CUTOFF,
+    exact_threshold: int = 2_000,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    dim: int = DIM,
+    broadcast_threshold: int = BROADCAST_SCORE_THRESHOLD,
+) -> DataFrame:
+    """GDS ``sampleRate`` analogue for the degraded KNN rung
+    (similar_entity.py:182-222): EVERY entity queries, but neighbors
+    are drawn only from a Bernoulli ``stored_fraction`` sample of the
+    catalog — halved comparison volume, deterministic under ``seed``.
+
+    Asymmetric by construction (queries = full catalog, stored =
+    sample), unlike the symmetric ``similar_entities`` pipeline where
+    sampling the single input would silently drop the unsampled half
+    from the QUERY side too. Small catalogs take the exact
+    query×stored join; large ones the banded LSH equi-join with the
+    stored side sampled BEFORE signatures (the band shuffle shrinks
+    with the sample). Directed candidates skip the score-once-mirror
+    optimization — it only pays when both directions exist, and here
+    dst is restricted to the sample."""
+    stored = embedded.sample(
+        withReplacement=False, fraction=stored_fraction, seed=seed
+    )
+    n = embedded.count()
+    if n <= exact_threshold:
+        pairs = (
+            embedded.select(
+                F.col("entity_id").alias("src"),
+                F.col("embedding").alias("emb_a"),
+            )
+            .crossJoin(
+                stored.select(
+                    F.col("entity_id").alias("dst"),
+                    F.col("embedding").alias("emb_b"),
+                )
+            )
+            .where(F.col("src") != F.col("dst"))
+            .withColumn("score", _cosine_expr("emb_a", "emb_b"))
+        )
+        return _topk_filter(pairs, top_k, cutoff)
+    sig = _signature_udf(dim, bands, rows)
+    q_signed = embedded.select(
+        "entity_id", F.explode(sig("embedding")).alias("band_hash")
+    )
+    s_signed = stored.select(
+        "entity_id", F.explode(sig("embedding")).alias("band_hash")
+    )
+    cand = (
+        q_signed.alias("l")
+        .join(s_signed.alias("r"), "band_hash")
+        .where(F.col("l.entity_id") != F.col("r.entity_id"))
+        .select(
+            F.col("l.entity_id").alias("src"), F.col("r.entity_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    if n <= broadcast_threshold:
+        scored = _score_candidates_broadcast(cand, embedded)
+    else:
+        scored = _score_candidates_join(cand, embedded)
+    return _topk_filter(scored, top_k, cutoff)
+
+
 def similar_entities_with_fallback(
     embedded: DataFrame,
     method: str = "auto",
@@ -447,15 +516,14 @@ def similar_entities_with_fallback(
         }
     except Exception as primary_err:  # degraded rung: topK=5, sampleRate=0.5
         try:
-            # GDS sampleRate bounds the candidate graph to a sample of
-            # the node set; the analogue is KNN over a Bernoulli half
-            # of the catalog with the reduced topK — half the
-            # comparison volume, the same recall trade-off
-            sampled = embedded.sample(
-                withReplacement=False, fraction=0.5, seed=7
-            )
-            edges = similar_entities(
-                sampled, method=method, top_k=5, cutoff=cutoff, **kwargs
+            # GDS sampleRate bounds each node's candidate pool to a
+            # sample of the catalog while every node still queries —
+            # the asymmetric query×sampled-stored join, NOT a sample
+            # of the whole input (which would drop half the entities
+            # from the query side and silently skip their merges)
+            edges = similar_entities_degraded(
+                embedded, stored_fraction=0.5, seed=7, top_k=5,
+                cutoff=cutoff,
             ).localCheckpoint(eager=True)
             return {
                 "status": "success",

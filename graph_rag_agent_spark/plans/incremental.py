@@ -449,26 +449,61 @@ def _incremental_update_delta(
         entity_conv_pairs(old_eraw_stale, old_traw_stale, old_mraw_stale)
     )
 
-    # cascade audit (J9) — entities whose EVERY conversation is being
-    # dropped, found with index lookups instead of a corpus scan;
-    # reported in CANONICAL ids for parity with the legacy audit
-    cand = (
-        old_pairs_stale.join(dropped, "conv_id", "left_semi")
+    # cascade audit (J9) — canonical entities whose EVERY mention
+    # lives in a dropped conversation: the same reference count
+    # cascade_delete_entities computes over the canonical mentions
+    # table, rebuilt here from index lookups instead of a corpus scan.
+    #   1. candidates: canonical ids with a raw mention in a dropped
+    #      conv (mentions basis, matching the legacy audit — NOT the
+    #      entities∪triples union the conv index stores);
+    #   2. aliases: ALL raw preimages of those canonicals — survival
+    #      is a property of the canonical entity, so an alias seen
+    #      only in dropped convs must not flag its canonical deleted
+    #      while a sibling alias is still mentioned elsewhere;
+    #   3. survival: a raw mention of ANY alias in a surviving conv,
+    #      probed on the mentions_raw slice of the aliases' surviving
+    #      convs (conv set pruned through entity_conv_index).
+    # Bounded by the candidates' alias/conv footprint (hub-entity
+    # proportional), never corpus-proportional.
+    def _to_canon(df):
+        return (
+            df.join(old_cmap, "entity_id", "left")
+            .select(
+                F.coalesce("canonical_id", F.col("entity_id")).alias(
+                    "canonical_id"
+                )
+            )
+            .distinct()
+        )
+
+    cand_m = (
+        old_mraw_stale.join(dropped, "conv_id", "left_semi")
         .select("entity_id")
         .distinct()
     )
-    cand_convs = read_pruned(spark, wh.path("entity_conv_index"), cand)
-    surviving = (
-        cand_convs.join(dropped, "conv_id", "left_anti")
+    cand_canon = ck(_to_canon(cand_m))
+    aliases = ck(
+        old_cmap.join(cand_canon, "canonical_id", "left_semi")
+        .select("entity_id")
+        .union(cand_canon.select(F.col("canonical_id").alias("entity_id")))
+        .union(cand_m)
+        .distinct()
+    )
+    alias_surviving_convs = (
+        read_pruned(spark, wh.path("entity_conv_index"), aliases)
+        .join(dropped, "conv_id", "left_anti")
+        .select("conv_id")
+        .distinct()
+    )
+    surviving_canon = _to_canon(
+        read_pruned(spark, wh.path("mentions_raw"), alias_surviving_convs)
+        .join(aliases, "entity_id", "left_semi")
         .select("entity_id")
         .distinct()
     )
     cascade = ck(
-        cand.join(surviving, "entity_id", "left_anti")
-        .join(old_cmap, "entity_id", "left")
-        .select(
-            F.coalesce("canonical_id", "entity_id").alias("entity_id")
-        )
+        cand_canon.join(surviving_canon, "canonical_id", "left_anti")
+        .select(F.col("canonical_id").alias("entity_id"))
         .distinct()
     )
 
@@ -480,12 +515,29 @@ def _incremental_update_delta(
     new_chunks = ck(chunk_conversations(changed_transcripts))
     wh.append_lineage("incr_chunks", -1, new_chunks.count(), t0, defer=True)
 
-    # extraction cache: a modified conversation's unchanged chunk texts
-    # hit its own previous extractions (pruned read of the stale convs'
-    # rows — delta-sized, unlike the legacy full-cache read). No ck:
-    # consumed only while new_extractions materializes, before the
-    # extractions table is merged.
-    cache = read_pruned(spark, wh.path("extractions"), stale).select(
+    # extraction cache: chunk ids are content hashes, so a new
+    # conversation can share chunk text with ANY conversation — not
+    # just its own previous version. The chunk_conv_index (pre-merge
+    # state, bucketed by chunk_id) maps the delta's chunk ids to every
+    # conversation already holding them; reading the extractions of
+    # those convs plus the stale convs gives full cross-conversation
+    # cache hits at delta-proportional cost (bounded by the new
+    # chunks' duplication footprint — never a corpus cache scan).
+    # extract_chunks dedups the cache to one result per chunk id, so a
+    # nondeterministic extractor can't seed conflicting rows for
+    # identical content. No ck: consumed only while new_extractions
+    # materializes, before the extractions/index tables are merged.
+    cache_convs = (
+        read_pruned(
+            spark,
+            wh.path("chunk_conv_index"),
+            new_chunks.select("chunk_id").distinct(),
+        )
+        .select("conv_id")
+        .union(stale.select("conv_id"))
+        .distinct()
+    )
+    cache = read_pruned(spark, wh.path("extractions"), cache_convs).select(
         "chunk_id", "result"
     )
     t0 = _time.time()

@@ -120,6 +120,25 @@ def _table_buckets(path: str) -> list[int]:
     return sorted(out)
 
 
+def _keep_readable(df: DataFrame, path: str, key: str, num_buckets: int) -> None:
+    """A merge that empties EVERY bucket would leave only
+    _bucket_spec.json behind — and the next ``spark.read.parquet``
+    dies with 'Unable to infer schema'. Park a 0-row file (valid
+    parquet footer = schema survives) inside one partition directory
+    so the emptied table stays readable and the layout stays pure
+    partition-dirs; a later write to bucket 0 dynamically overwrites
+    the marker."""
+    if _table_buckets(path):
+        return
+    (
+        df.drop(BUCKET_COL)
+        .limit(0)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, f"{BUCKET_COL}=0"))
+    )
+    _write_spec(path, key, num_buckets)
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -213,6 +232,7 @@ def merge_into(
                 shutil.rmtree(
                     os.path.join(path, f"{BUCKET_COL}={b}"), ignore_errors=True
                 )
+        _keep_readable(merged, path, key, num_buckets)
     return {
         "touched_buckets": touched,
         "total_buckets": len(set(_table_buckets(path))),
@@ -286,6 +306,7 @@ def upsert_groups(
             shutil.rmtree(
                 os.path.join(path, f"{BUCKET_COL}={b}"), ignore_errors=True
             )
+    _keep_readable(merged, path, key, num_buckets)
     return {
         "touched_buckets": touched,
         "total_buckets": len(set(_table_buckets(path))),

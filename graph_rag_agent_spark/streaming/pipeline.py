@@ -58,6 +58,44 @@ def latest_conversation_snapshot(turn_log: DataFrame) -> DataFrame:
     )
 
 
+def _migrate_legacy_turn_log(spark: SparkSession, turn_log: str) -> None:
+    """A turn log written by a pre-partitioning version of this sink
+    (plain append, ingest_batch as a data column) holds root-level
+    part files; the partitioned writer would add ingest_batch=N
+    directories NEXT to them and partition discovery dies with
+    'Conflicting directory structures'. Rewrite any root files into
+    their ingest_batch=<id> partitions once, then drop them."""
+    import os
+
+    if not os.path.isdir(turn_log):
+        return
+    legacy = [
+        f
+        for f in os.listdir(turn_log)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    if not legacy:
+        return
+    old = spark.read.parquet(*[os.path.join(turn_log, f) for f in legacy])
+    if "ingest_batch" not in old.columns:
+        old = old.withColumn("ingest_batch", F.lit(0))
+    # shift migrated batches NEGATIVE (order-preserving): a reset
+    # checkpoint restarts stream batch ids at 0, and the dynamic
+    # overwrite of a new batch 0 would silently wipe a migrated
+    # partition parked at ingest_batch=0
+    shift = old.agg(F.max("ingest_batch")).first()[0] + 1
+    old = old.withColumn(
+        "ingest_batch", (F.col("ingest_batch") - F.lit(shift)).cast("long")
+    )
+    (
+        old.write.mode("append")
+        .partitionBy("ingest_batch")
+        .parquet(turn_log)
+    )
+    for f in legacy:
+        os.remove(os.path.join(turn_log, f))
+
+
 def stream_incremental_build(
     spark: SparkSession,
     source: str,
@@ -74,6 +112,7 @@ def stream_incremental_build(
     from ..plans.incremental import incremental_update
 
     turn_log = f"{warehouse}/turn_log"
+    _migrate_legacy_turn_log(spark, turn_log)
     build_cfg = cfg or BuildConfig(warehouse=warehouse, resume=False)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -172,10 +211,16 @@ def gated_stream_build(
 
     # latest delivery wins per (conv_id, turn_idx), DETERMINISTICALLY:
     # the delivery ordinal is the source file's modification time
-    # (newer file = later delivery), tie-broken by file path then text
-    # so two passes over the same directory always pick the same row —
-    # a bare dropDuplicates would keep an arbitrary row and could flap
-    # between old and new text across passes.
+    # (newer file = later delivery), tie-broken by file path so two
+    # passes over the same directory always pick the same row — a bare
+    # dropDuplicates would keep an arbitrary row and could flap
+    # between old and new text across passes. Known limit: two
+    # DIFFERENT delivery files for the same turn inside one mtime
+    # granule carry no order signal at all, so the path tie-break is
+    # stable-but-arbitrary; producers that redeliver corrections
+    # faster than their filesystem's mtime resolution must encode a
+    # sequence in the file path (lexicographically increasing names
+    # make the tie-break exact).
     from pyspark.sql import Window
 
     # the hidden _metadata column must be projected directly off the
@@ -187,7 +232,7 @@ def gated_stream_build(
         .withColumn("_file_path", F.col("_metadata.file_path"))
     )
     w_latest = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.col("_file_mtime").desc(), F.col("_file_path").desc(), F.col("text").desc()
+        F.col("_file_mtime").desc(), F.col("_file_path").desc()
     )
     snapshot = (
         turns.join(F.broadcast(closed), "conv_id", "left_semi")

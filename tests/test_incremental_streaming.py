@@ -446,7 +446,30 @@ def test_delta_incremental_matches_rebuild_and_is_delta_proportional(
         and not (r["conv_id"] == "conv-000001" and r["turn_idx"] >= 5)
     ]
     v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+    # snapshot the pre-update canonical mentions — the legacy cascade
+    # audit's input — before the cycle overwrites the table
+    old_mentions = spark.read.parquet(f"{wh}/mentions").localCheckpoint(
+        eager=True
+    )
     tables = incremental_update(spark, v2_df, wh, cfg=cfg)
+
+    # cascade-audit parity: the delta path's index-lookup cascade must
+    # equal the legacy reference count over the canonical mentions
+    # table (dropped = deleted ∪ modified), at canonical granularity —
+    # an alias seen only in a dropped conv must not flag a canonical
+    # whose sibling alias survives elsewhere
+    dropped_df = spark.createDataFrame(
+        [("conv-000003",), ("conv-000001",)], "conv_id string"
+    )
+    want_cascade = {
+        r["entity_id"]
+        for r in cascade_delete_entities(old_mentions, dropped_df).collect()
+    }
+    got_cascade = {
+        r["entity_id"]
+        for r in tables["cascade_deleted_entities"].collect()
+    }
+    assert got_cascade == want_cascade
 
     # correctness: equal to the python oracle AND a fresh rebuild
     from graph_rag_agent_spark.oracle import oracle_build
@@ -530,3 +553,114 @@ def test_delta_incremental_noop_cycle_rewrites_nothing(
         (r["subj"], r["pred"], r["obj"]) for r in tables["triples"].collect()
     }
     assert after == before
+
+
+def test_delta_extraction_cache_hits_across_conversations(
+    spark, transcripts_df, tmp_path_factory
+):
+    """chunk_id is a content hash, so a NEW conversation that shares
+    chunk text with an UNCHANGED one must hit the extraction cache
+    (chunk_conv_index lookup), not re-run the extractor: the cycle is
+    driven with a poison extractor that fails on any real call."""
+    wh = str(tmp_path_factory.mktemp("wh_cache"))
+    cfg = BuildConfig(
+        warehouse=wh,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    build_all(spark, transcripts_df, cfg)
+
+    rows = generate_transcripts(12)
+    clone = [
+        {**r, "conv_id": "conv-clone"}
+        for r in rows
+        if r["conv_id"] == "conv-000002"
+    ]
+    v2_df = spark.createDataFrame(rows + clone, schema=schemas.TRANSCRIPTS)
+
+    # defined in-test so cloudpickle ships it by VALUE — a test-module
+    # global would be pickled by reference and executors can't import
+    # the tests package
+    def poison_extractor(text: str) -> str:
+        raise AssertionError(
+            "extractor invoked — expected a cache hit for shared chunk text"
+        )
+
+    cfg2 = BuildConfig(
+        warehouse=wh,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+        extractor=poison_extractor,
+    )
+    tables = incremental_update(spark, v2_df, wh, cfg=cfg2)
+
+    # the poison extractor never fired (or incremental_update would
+    # have raised) — every clone chunk was served from the cache. The
+    # clone registered with exactly the original's content-hash chunk
+    # ids; its mentions/triples collapse into the existing canonical
+    # rows by design (dedup pins the minimum conv_id).
+    chunks = tables["chunks"]
+    orig_ids = {
+        r["chunk_id"]
+        for r in chunks.where(F.col("conv_id") == "conv-000002").collect()
+    }
+    clone_ids = {
+        r["chunk_id"]
+        for r in chunks.where(F.col("conv_id") == "conv-clone").collect()
+    }
+    assert clone_ids and clone_ids == orig_ids
+    reg = {r["conv_id"] for r in tables["registry"].collect()}
+    assert "conv-clone" in reg
+
+
+def test_legacy_turn_log_migrates_to_partitioned_layout(
+    spark, tmp_path_factory
+):
+    """A turn log written by the pre-partitioning sink (root-level
+    part files, ingest_batch as a data column) must be migrated into
+    ingest_batch=N partitions before the first partitioned write —
+    mixing layouts breaks Spark partition discovery."""
+    from graph_rag_agent_spark.streaming.pipeline import (
+        stream_incremental_build,
+    )
+
+    src = str(tmp_path_factory.mktemp("mig_src"))
+    wh = str(tmp_path_factory.mktemp("mig_wh"))
+    ckpt = str(tmp_path_factory.mktemp("mig_ckpt"))
+    cfg = BuildConfig(
+        warehouse=wh, similarity_method="exact", extraction_buckets=2
+    )
+
+    rows = generate_transcripts(6)
+    legacy_rows = [r for r in rows if r["conv_id"] < "conv-000003"]
+    # legacy layout: unpartitioned append with ingest_batch column
+    (
+        spark.createDataFrame(legacy_rows, schema=schemas.TRANSCRIPTS)
+        .withColumn("ingest_batch", F.lit(0))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(f"{wh}/turn_log")
+    )
+
+    batch = [r for r in rows if r["conv_id"] >= "conv-000003"]
+    spark.createDataFrame(batch, schema=schemas.TRANSCRIPTS).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = stream_incremental_build(spark, src, wh, ckpt, cfg=cfg)
+    q.awaitTermination(300)
+
+    # the log reads back as one partitioned table holding BOTH eras
+    log = spark.read.parquet(f"{wh}/turn_log")
+    assert "ingest_batch" in log.columns
+    convs = {r["conv_id"] for r in log.select("conv_id").distinct().collect()}
+    assert convs == {r["conv_id"] for r in rows}
+    import os
+
+    root_files = [
+        f
+        for f in os.listdir(f"{wh}/turn_log")
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    assert root_files == []

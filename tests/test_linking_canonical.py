@@ -197,33 +197,80 @@ def test_knn_fallback_ladder(spark):
     import graph_rag_agent_spark.operators.linking as linking_mod
 
     orig = linking_mod.similar_entities
+    orig_deg = linking_mod.similar_entities_degraded
 
     # both rungs fail → error dict with the PRIMARY error, no raise
-    def broken(embedded_df, method="auto", **kw):
+    def broken(embedded_df, *a, **kw):
         raise RuntimeError("simulated GDS failure")
 
     linking_mod.similar_entities = broken
+    linking_mod.similar_entities_degraded = broken
     try:
         err = similar_entities_with_fallback(embedded, method="exact")
     finally:
         linking_mod.similar_entities = orig
+        linking_mod.similar_entities_degraded = orig_deg
     assert err["status"] == "error" and err["edges"] is None
     assert "simulated GDS failure" in err["note"]
 
-    # primary fails, degraded rung succeeds with topK=5 over the sample
+    # primary fails, degraded rung succeeds with topK=5 over the
+    # sampled stored side
     calls = []
 
     def flaky(embedded_df, method="auto", **kw):
         calls.append(kw.get("top_k"))
-        if len(calls) == 1:
-            raise RuntimeError("simulated GDS failure")
-        return orig(embedded_df, method="exact", **kw)
+        raise RuntimeError("simulated GDS failure")
+
+    def spy_degraded(embedded_df, **kw):
+        calls.append(kw.get("top_k"))
+        return orig_deg(embedded_df, **kw)
 
     linking_mod.similar_entities = flaky
+    linking_mod.similar_entities_degraded = spy_degraded
     try:
         deg = similar_entities_with_fallback(embedded, method="exact")
     finally:
         linking_mod.similar_entities = orig
+        linking_mod.similar_entities_degraded = orig_deg
     assert deg["status"] == "success"
     assert deg["note"] and "topK=5" in deg["note"]
     assert calls == [10, 5]  # primary topK then degraded topK
+
+
+def test_degraded_knn_every_entity_queries(spark):
+    """GDS sampleRate analogue: the degraded rung samples the STORED
+    side only — every entity still queries (src covers the unsampled
+    half), neighbors come only from the sample (dst ⊆ sample). Both
+    the exact and LSH physical paths obey the contract."""
+    from graph_rag_agent_spark.operators.linking import (
+        similar_entities_degraded,
+        with_embeddings,
+    )
+
+    catalog = spark.createDataFrame(
+        [(f"Widget {i}", "Product", f"desc {i}") for i in range(40)],
+        "entity_id string, entity_type string, description string",
+    )
+    embedded = with_embeddings(catalog).localCheckpoint()
+    all_ids = {r["entity_id"] for r in embedded.select("entity_id").collect()}
+    stored_ids = {
+        r["entity_id"]
+        for r in embedded.sample(False, 0.5, 7).select("entity_id").collect()
+    }
+    unsampled = all_ids - stored_ids
+    assert unsampled and stored_ids  # the sample actually split
+
+    for exact_threshold in (2_000, 0):  # exact path, then LSH path
+        edges = similar_entities_degraded(
+            embedded,
+            stored_fraction=0.5,
+            seed=7,
+            top_k=5,
+            cutoff=-1.0,
+            exact_threshold=exact_threshold,
+        ).collect()
+        assert edges
+        assert {r["dst"] for r in edges} <= stored_ids
+        assert {r["src"] for r in edges} & unsampled, (
+            "unsampled entities must still query"
+        )

@@ -118,8 +118,11 @@ def test_delete_can_empty_bucket(spark, tmp_path):
         N_BUCKETS,
         when_matched="delete",
     )
-    # emptied bucket directories are gone, not stale
-    assert not [d for d in os.listdir(path) if d.startswith(BUCKET_COL)]
+    # emptied bucket directories are gone, not stale — except the
+    # 0-row readability marker that keeps the schema inferable
+    left = [d for d in os.listdir(path) if d.startswith(BUCKET_COL)]
+    assert left == [f"{BUCKET_COL}=0"]
+    assert read_bucketed(spark, path).count() == 0
 
 
 def test_merge_creates_absent_table(spark, tmp_path):
@@ -232,3 +235,37 @@ def test_bucketed_incremental_merges_only_delta_partitions(
             assert after[rel] == mtime, rel
             untouched_seen += 1
     assert untouched_seen > 0
+
+
+def test_emptied_table_stays_readable(spark, tmp_path):
+    """A merge that deletes EVERY row must leave the table readable
+    (0 rows, schema intact) and writable again — not a bare directory
+    that kills schema inference on the next read."""
+    from graph_rag_agent_spark.plans.merge import upsert_groups
+
+    df = spark.createDataFrame(
+        [("c1", 1), ("c2", 2), ("c3", 3)], "k string, v int"
+    )
+
+    # upsert_groups: delete all groups, nothing inserted
+    path = str(tmp_path / "tbl_groups")
+    upsert_groups(spark, path, df, df.select("k").limit(0), "k", N_BUCKETS)
+    upsert_groups(spark, path, df.limit(0), df.select("k"), "k")
+    out = read_bucketed(spark, path)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
+    # and the emptied table accepts a later upsert
+    upsert_groups(
+        spark, path, df.where("k = 'c1'"), df.select("k").limit(0), "k"
+    )
+    assert _rows(spark, path) == {("c1", 1)}
+
+    # merge_into WHEN MATCHED THEN DELETE over every key
+    path2 = str(tmp_path / "tbl_merge")
+    merge_into(spark, path2, df, "k", N_BUCKETS)
+    merge_into(spark, path2, df, "k", when_matched="delete")
+    out2 = read_bucketed(spark, path2)
+    assert out2.count() == 0
+    assert set(out2.columns) == {"k", "v"}
+    merge_into(spark, path2, df.where("k = 'c2'"), "k")
+    assert _rows(spark, path2) == {("c2", 2)}
