@@ -1344,6 +1344,58 @@ def _q_exploration(spark, sf_dir):
     )
 
 
+def _q_paged_batches(spark, sf_dir):
+    # W7: batch SKIP/LIMIT pagination (leiden.py:90-108 — communities
+    # ordered by rank desc with NULL→0, SKIP batch*size LIMIT size,
+    # ≤20 batches). One two-phase numbering pass instead of B global
+    # sorts; orders stand in for communities, o_totalprice for
+    # community_rank, o_orderkey as the deterministic tiebreak.
+    from graph_rag_agent_spark.operators.pagination import with_batch_ids
+
+    orders = _t(spark, sf_dir, "orders")
+    return with_batch_ids(
+        orders.select("o_orderkey", "o_totalprice"),
+        [
+            F.coalesce(F.col("o_totalprice"), F.lit(0)).desc(),
+            F.col("o_orderkey").asc(),
+        ],
+        batch_size=100,
+        max_batches=20,
+    ).select(
+        "o_orderkey",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("batch").cast("long").alias("batch"),
+    )
+
+
+def _q_document_text_routing(spark, sf_dir):
+    # S3/S4 plumbing: the binaryFile→document_text path with payloads
+    # synthesized from the documents table (no binary fixtures in
+    # sf_dir). Even doc_ids route as .txt (utf-8 decode), odd as .pdf
+    # through an injected single-page parser (page join contract:
+    # text + "\n\n", file_reader.py:190-213) — extension routing,
+    # Arrow batching and the parser seam all exercised and replayable.
+    from graph_rag_agent_spark.sources.documents import document_text
+
+    docs = _t(spark, sf_dir, "documents")
+    binary = docs.select(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".txt")).otherwise(
+                F.lit(".pdf")
+            ),
+        ).alias("path"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+
+    def one_page_pdf(payload: bytes) -> str:
+        return payload.decode("utf-8", errors="replace") + "\n\n"
+
+    return document_text(binary, parsers={".pdf": one_page_pdf}).select(
+        "path", "extension", "content"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_derivation": _q_turns_derivation,
@@ -1384,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exploration_visited": _q_exploration,
         "sllpa_overlap": _q_sllpa,
         "lpa_labels": _q_lpa_level,
+        "paged_batches": _q_paged_batches,  # W7 one-pass SKIP/LIMIT
+        "document_text_routing": _q_document_text_routing,  # S3/S4 plumbing
     }
 
 
@@ -2464,6 +2518,27 @@ def oracle_sql() -> dict[str, str]:
         "exploration_visited": _exp_oracle_sql(),
         "sllpa_overlap": _sllpa_oracle_sql(),
         "lpa_labels": _lpa_oracle_sql(),
+        "paged_batches": """
+            SELECT o_orderkey,
+                   CAST(row_number() OVER (
+                       ORDER BY coalesce(o_totalprice, 0) DESC, o_orderkey
+                   ) - 1 AS BIGINT) AS pos,
+                   CAST(((row_number() OVER (
+                       ORDER BY coalesce(o_totalprice, 0) DESC, o_orderkey
+                   ) - 1) // 100) AS BIGINT) AS batch
+            FROM orders
+            QUALIFY pos < 2000
+        """,
+        "document_text_routing": """
+            SELECT CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '.txt' ELSE '.pdf' END
+                       AS path,
+                   CASE WHEN doc_id % 2 = 0 THEN '.txt' ELSE '.pdf' END
+                       AS extension,
+                   CASE WHEN doc_id % 2 = 0 THEN text
+                        ELSE text || chr(10) || chr(10) END AS content
+            FROM documents
+        """,
         "graph_coverage_per_sample": """
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
             -- node-space modulus scales with the corpus (same formula
