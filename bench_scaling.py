@@ -362,6 +362,52 @@ def main() -> None:
             "The link phase keeps its scheduling floor in both modes, as",
             "analyzed above.",
         ]
+    submit_path = os.path.join(REPO, "BENCH", "spark_submit.json")
+    if os.path.exists(submit_path):
+        with open(submit_path) as f:
+            sub = json.load(f)
+        lines += [
+            "",
+            "## Literal `spark-submit --py-files` runs (north-rule deployment shape)",
+            "",
+            "The probes above create sessions in-process; the north rule",
+            "names the launcher explicitly, so scripts/spark_submit_probe.py",
+            "also runs the SAME job through the real `spark-submit",
+            "--master local-cluster[E,C,4096] --py-files",
+            "graph_rag_agent_spark.zip scripts/submit_job.py` — the package",
+            "resolves on driver and executors from the shipped zip alone",
+            "(PYTHONPATH scrubbed), so the packaging is part of what's",
+            "verified. Two windows: C=1 core/executor (1→4 total cores,",
+            "the frequency-flat window where the ≥0.8 gate is evaluated)",
+            "and C=4 (4→16 total cores, turbo-capped like every probe",
+            "above at that window):",
+            "",
+            "| executors × cores | turns | total (s) | corpus phase (s) | link phase (s) | turns/s |",
+            "|---|---|---|---|---|---|",
+        ]
+        for cores, win in sorted(
+            sub.get("windows", {}).items(), key=lambda kv: int(kv[0])
+        ):
+            for n_exec, r in sorted(
+                win.get("runs", {}).items(), key=lambda kv: int(kv[0])
+            ):
+                ph = r.get("phases", {})
+                lines.append(
+                    f"| {n_exec} × {cores} | {r.get('n_turns', '—'):,} |"
+                    f" {r['seconds']} |"
+                    f" {ph.get('corpus', '—')} |"
+                    f" {ph.get('link', '—')} | {r.get('turns_per_sec', '—')} |"
+                )
+        lines += [""]
+        for cores, win in sorted(
+            sub.get("windows", {}).items(), key=lambda kv: int(kv[0])
+        ):
+            lines.append(
+                f"1→4-executor efficiency via spark-submit at {cores}"
+                f" core(s)/executor ({win['total_cores_window']} total"
+                f" cores): raw {win['raw']}, corpus phase"
+                f" {win['corpus_phase']}."
+            )
     lines += [
         "",
         "Methodology note: shuffle partitions are FIXED at 32 across all",

@@ -14,8 +14,12 @@ Three ways to obtain the pipeline's input table
      driver-provided ``documents`` parquet (TESTDATA.md): each doc is
      one conversation, sentence-split into turns. Used by
      __spark_entry__ so driver checks run on driver data.
-  3. ``spark.read.parquet`` on an existing table (prod path; Iceberg
-     in a real deployment — the reader API is identical).
+  3. ``load_transcripts`` — an existing table: an Iceberg/catalog
+     table name (``spark.read.table`` — the north rule's prod input
+     shape, `catalog.db.transcripts`) or a parquet/orc path.
+     Normalizes to the TRANSCRIPTS schema so downstream operators can
+     rely on exact column types regardless of how the warehouse
+     declares them (e.g. Iceberg's int32 vs a parquet file's int64).
 """
 
 from __future__ import annotations
@@ -28,6 +32,41 @@ from pyspark.sql import functions as F
 
 from .. import schemas
 from ..core.gen import conv_id_for, turn_row, turns_in_conversation
+
+
+def load_transcripts(spark: SparkSession, source: str) -> DataFrame:
+    """Input seam for the prod path (BASELINE input_hint: "Iceberg
+    table of multi-turn conversation / agent transcripts").
+
+    ``source`` is either a catalog table identifier (no path
+    separator: ``db.transcripts``, ``iceberg.prod.transcripts``) read
+    via ``spark.read.table`` — which is how an Iceberg table arrives
+    when the catalog is configured — or a filesystem/object-store
+    path (contains ``/``) read as parquet. Both are normalized to the
+    TRANSCRIPTS schema: required columns must exist (fail fast with
+    the missing names), optional ones (role/tool/ts) are null-filled,
+    extra columns are pruned so Catalyst can push column pruning into
+    the scan.
+    """
+    df = (
+        spark.read.parquet(source)
+        if "/" in source or source.endswith(".parquet")
+        else spark.read.table(source)
+    )
+    required = {"conv_id", "turn_idx", "text"}
+    missing = required - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"transcript source {source!r} lacks required columns "
+            f"{sorted(missing)}; has {df.columns}"
+        )
+    cols = []
+    for field in schemas.TRANSCRIPTS.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
 
 
 def synthesize_transcripts(

@@ -87,3 +87,69 @@ def test_load_parsers_reports_actionable_missing(spark):
     assert set(parsers) | set(missing) >= {".pdf", ".docx", ".doc"}
     for ext, reason in missing.items():
         assert reason and ext in SUPPORTED_EXTENSIONS
+
+
+class TestLoadTranscripts:
+    """load_transcripts — the prod input seam (Iceberg table name or
+    parquet path) normalizes anything column-compatible to TRANSCRIPTS."""
+
+    def _write_fixture(self, spark, tmp_path):
+        # turn_idx arrives as long (a bare parquet file's default) and
+        # with an extra column — both must normalize away
+        df = spark.createDataFrame(
+            [("c1", 0, "user", "hi", None, None, "junk")],
+            "conv_id string, turn_idx long, role string, text string,"
+            " tool string, ts timestamp, extra string",
+        )
+        path = str(tmp_path / "transcripts")
+        df.write.parquet(path)
+        return path
+
+    @staticmethod
+    def _name_types(schema):
+        # nullability is advisory after cast; names + types are the contract
+        return [(f.name, f.dataType) for f in schema.fields]
+
+    def test_path_source_normalizes_schema(self, spark, tmp_path):
+        from graph_rag_agent_spark import schemas
+        from graph_rag_agent_spark.sources.transcripts import load_transcripts
+
+        out = load_transcripts(spark, self._write_fixture(spark, tmp_path))
+        assert self._name_types(out.schema) == self._name_types(schemas.TRANSCRIPTS)
+        assert out.count() == 1
+
+    def test_table_source(self, spark, tmp_path):
+        from graph_rag_agent_spark import schemas
+        from graph_rag_agent_spark.sources.transcripts import load_transcripts
+
+        spark.read.parquet(self._write_fixture(spark, tmp_path)).createOrReplaceTempView(
+            "transcripts_v"
+        )
+        out = load_transcripts(spark, "transcripts_v")
+        assert self._name_types(out.schema) == self._name_types(schemas.TRANSCRIPTS)
+        assert out.first()["conv_id"] == "c1"
+
+    def test_missing_required_column_fails_fast(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from graph_rag_agent_spark.sources.transcripts import load_transcripts
+
+        path = str(tmp_path / "bad")
+        spark.createDataFrame(
+            [("c1",)], "conv_id string"
+        ).write.parquet(path)
+        with _pytest.raises(ValueError, match="turn_idx"):
+            load_transcripts(spark, path)
+
+    def test_missing_optional_columns_null_filled(self, spark, tmp_path):
+        from graph_rag_agent_spark import schemas
+        from graph_rag_agent_spark.sources.transcripts import load_transcripts
+
+        path = str(tmp_path / "minimal")
+        spark.createDataFrame(
+            [("c1", 0, "hello")], "conv_id string, turn_idx int, text string"
+        ).write.parquet(path)
+        out = load_transcripts(spark, path)
+        assert self._name_types(out.schema) == self._name_types(schemas.TRANSCRIPTS)
+        row = out.first()
+        assert row["role"] is None and row["tool"] is None and row["ts"] is None
