@@ -425,6 +425,17 @@ def _incremental_update_delta(
 
     ck = lambda df: df.localCheckpoint()  # noqa: E731
 
+    import os as _os
+
+    _t_sect = [_time.time()]
+    _dbg = bool(_os.environ.get("GRARS_DEBUG"))
+
+    def _mark(section: str) -> None:
+        if _dbg:
+            now = _time.time()
+            print(f"[incr] {section}: {now - _t_sect[0]:.2f}s", flush=True)
+            _t_sect[0] = now
+
     # ---- 1. change detection -----------------------------------------
     old_registry = wh.read("registry")
     new_registry = ck(conversation_registry(new_transcripts))
@@ -434,6 +445,8 @@ def _incremental_update_delta(
     changed = ck(changes["added"].union(changes["modified"]).distinct())
     dropped = ck(changes["deleted"].union(changes["modified"]).distinct())
     stale = ck(dropped.union(changed).distinct())
+
+    _mark("1 change detection")
 
     # ---- 2. old-state slices (pruned reads, BEFORE any merge) --------
     old_traw_stale, old_mraw_stale, old_eraw_stale, old_chunks_stale, \
@@ -507,6 +520,8 @@ def _incremental_update_delta(
         .distinct()
     )
 
+    _mark("2 old slices + cascade")
+
     # ---- 3. per-conversation deltas ----------------------------------
     changed_transcripts = ck(
         new_transcripts.join(changed, "conv_id", "left_semi")
@@ -554,6 +569,8 @@ def _incremental_update_delta(
     e_raw_new = entities_raw(parsed_new)
     t_raw_new = triples_raw(parsed_new)
     m_raw_new = mentions_raw(parsed_new)
+
+    _mark("3 per-conv deltas")
 
     # ---- 4+5. conv-keyed MERGEs + inverted-index maintenance, all
     # mutually independent (distinct paths, inputs checkpointed) → one
@@ -641,6 +658,8 @@ def _incremental_update_delta(
         + [_merge_entity_index, _merge_chunk_index]
     )
 
+    _mark("4+5 conv merges + indexes")
+
     # ---- 6. global linking over the merged catalog, embeddings
     # recomputed ONLY where (entity_id, description) changed ----------
     e_raw_merged = wh.read("entities_raw")
@@ -687,6 +706,8 @@ def _incremental_update_delta(
         )
         cmap = ck(resolve_canonical(wcc))
 
+    _mark("6 global linking")
+
     # ---- 7. canonical-map delta → affected scope ---------------------
     oc = old_cmap.select("entity_id", F.col("canonical_id").alias("__old_c"))
     nc = cmap.select("entity_id", F.col("canonical_id").alias("__new_c"))
@@ -709,6 +730,8 @@ def _incremental_update_delta(
         "incr_affected_convs", -1, affected_convs.count(), _time.time(),
         defer=True,
     )
+
+    _mark("7 cmap delta scope")
 
     # ---- 8-10, 12: four mutually independent delta-rewrite tasks
     # (mentions / triples / entities / chunk embeddings — distinct
@@ -842,6 +865,8 @@ def _incremental_update_delta(
         ]
     )
 
+    _mark("8-10,12 delta rewrites")
+
     # ---- 11. entity-scale side tables: overwrite (parallel writes) ---
     _run_parallel(
         [
@@ -851,6 +876,8 @@ def _incremental_update_delta(
             lambda: wh.write(cmap, "canonical_map"),
         ]
     )
+
+    _mark("11 side-table writes")
 
     entities_tbl = wh.read("entities")
     triples_tbl = wh.read("triples")
@@ -871,6 +898,7 @@ def _incremental_update_delta(
         ]
     )
 
+    _mark("communities")
     wh.flush_lineage()
 
     out_names = (
