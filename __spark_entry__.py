@@ -1350,15 +1350,15 @@ def _q_paged_batches(spark, sf_dir):
     # ≤20 batches). One two-phase numbering pass instead of B global
     # sorts; orders stand in for communities, o_totalprice for
     # community_rank, o_orderkey as the deterministic tiebreak.
-    from graph_rag_agent_spark.operators.pagination import with_batch_ids
+    from graph_rag_agent_spark.operators.pagination import (
+        community_rank_order,
+        with_batch_ids,
+    )
 
     orders = _t(spark, sf_dir, "orders")
     return with_batch_ids(
         orders.select("o_orderkey", "o_totalprice"),
-        [
-            F.coalesce(F.col("o_totalprice"), F.lit(0)).desc(),
-            F.col("o_orderkey").asc(),
-        ],
+        community_rank_order("o_totalprice") + [F.col("o_orderkey").asc()],
         batch_size=100,
         max_batches=20,
     ).select(

@@ -36,30 +36,40 @@ def with_global_positions(
     range-partition on the sort expressions, row_number WITHIN each
     partition, then add per-partition offsets (one count per
     partition collected — bounded by the partition count). No stage
-    ever funnels the full row set through one task."""
+    ever funnels the full row set through one task.
+
+    Working columns are namespaced (``__grars_*``) so the operator is
+    safe on inputs that already carry paging-ish columns like ``pid``
+    or ``offset``; only ``out`` itself must be free."""
+    _PID, _RK, _OFF = "__grars_pid", "__grars_rk", "__grars_off"
+    taken = set(df.columns)
+    if out in taken:
+        raise ValueError(f"output column {out!r} already exists on the input")
+    if clash := taken & {_PID, _RK, _OFF}:
+        raise ValueError(f"input carries reserved working columns: {sorted(clash)}")
     spark = df.sparkSession
     ranged = df.repartitionByRange(*order_exprs).localCheckpoint()
     part_counts = (
-        ranged.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
+        ranged.select(F.spark_partition_id().alias(_PID))
+        .groupBy(_PID)
         .count()
         .collect()
     )
-    counts = {r["pid"]: r["count"] for r in part_counts}
+    counts = {r[_PID]: r["count"] for r in part_counts}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
     off = spark.createDataFrame(
-        list(offsets.items()) or [(0, 0)], "pid int, offset long"
+        list(offsets.items()) or [(0, 0)], f"{_PID} int, {_OFF} long"
     )
-    w = Window.partitionBy("pid").orderBy(*order_exprs)
+    w = Window.partitionBy(_PID).orderBy(*order_exprs)
     return (
-        ranged.withColumn("pid", F.spark_partition_id())
-        .withColumn("__rk", F.row_number().over(w).cast("long") - 1)
-        .join(F.broadcast(off), "pid")
-        .withColumn(out, F.col("offset") + F.col("__rk"))
-        .drop("pid", "__rk", "offset")
+        ranged.withColumn(_PID, F.spark_partition_id())
+        .withColumn(_RK, F.row_number().over(w).cast("long") - 1)
+        .join(F.broadcast(off), _PID)
+        .withColumn(out, F.col(_OFF) + F.col(_RK))
+        .drop(_PID, _RK, _OFF)
     )
 
 

@@ -42,12 +42,27 @@ def load_transcripts(spark: SparkSession, source: str) -> DataFrame:
     separator: ``db.transcripts``, ``iceberg.prod.transcripts``) read
     via ``spark.read.table`` — which is how an Iceberg table arrives
     when the catalog is configured — or a filesystem/object-store
-    path (contains ``/``) read as parquet. Both are normalized to the
-    TRANSCRIPTS schema: required columns must exist (fail fast with
-    the missing names), optional ones (role/tool/ts) are null-filled,
-    extra columns are pruned so Catalyst can push column pruning into
-    the scan.
+    path read as parquet (the path heuristic is "contains ``/``", so
+    pass paths absolute or with a scheme; other file formats go
+    through a catalog table or a caller-side ``spark.read``). Both are
+    normalized to the TRANSCRIPTS schema: required columns must exist
+    and every present column must have a losslessly-castable type —
+    both checked driver-side against the source schema, failing fast
+    with the offending names (Spark's non-ANSI cast would otherwise
+    null out or wrap incompatible values silently). Optional columns
+    (role/tool/ts) are null-filled, extra columns are pruned so
+    Catalyst can push column pruning into the scan.
     """
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
+
     df = (
         spark.read.parquet(source)
         if "/" in source or source.endswith(".parquet")
@@ -59,6 +74,32 @@ def load_transcripts(spark: SparkSession, source: str) -> DataFrame:
         raise ValueError(
             f"transcript source {source!r} lacks required columns "
             f"{sorted(missing)}; has {df.columns}"
+        )
+    # per-column safe source types. turn_idx admits long because bare
+    # parquet defaults integers to int64 — the input contract
+    # (input_hint) is int32, so values are assumed in range; anything
+    # outside this table (arrays, maps, doubles-for-ids) fails fast
+    # instead of becoming NULLs/wrapped ints three operators later.
+    safe = {
+        "conv_id": (StringType,),
+        "turn_idx": (ByteType, ShortType, IntegerType, LongType),
+        "role": (StringType,),
+        "text": (StringType,),
+        "tool": (StringType,),
+        "ts": (TimestampType, DateType, StringType),
+    }
+    src_types = {f.name: f.dataType for f in df.schema.fields}
+    bad = [
+        f"{name}: {src_types[name].simpleString()}"
+        for name, allowed in safe.items()
+        if name in src_types
+        and not isinstance(src_types[name], allowed)
+        and src_types[name] != schemas.TRANSCRIPTS[name].dataType
+    ]
+    if bad:
+        raise ValueError(
+            f"transcript source {source!r} has columns whose types do not "
+            f"cast losslessly to the transcript schema: {bad}"
         )
     cols = []
     for field in schemas.TRANSCRIPTS.fields:

@@ -20,59 +20,21 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# the job body lives in graph_rag_agent_spark/plans/benchjob.py — the
+# ONE copy every scaling probe measures (see its module docstring)
 RUNNER = r"""
-import json, sys, time
+import json, sys
 sys.path.insert(0, {repo!r})
-from pyspark.sql import functions as F
+from graph_rag_agent_spark.plans.benchjob import run_kg_job
 from graph_rag_agent_spark.session import get_spark
-from graph_rag_agent_spark.sources.transcripts import synthesize_transcripts
-from graph_rag_agent_spark.operators.chunking import chunk_conversations
-from graph_rag_agent_spark.operators.dedup import chunk_signature_columns
-from graph_rag_agent_spark.operators.extraction import extract_chunks
-from graph_rag_agent_spark.operators.parsing import parse_extractions, entities_raw, triples_raw
-from graph_rag_agent_spark.operators.linking import entity_catalog, link_entities_driver_path, similar_entities, with_embeddings
-from graph_rag_agent_spark.operators.components import connected_components, consecutive_component_ids
-from graph_rag_agent_spark.operators.canonicalize import resolve_canonical, rewrite_triples
 
 n_exec = {n_exec}
 spark = get_spark(app_name=f"mjvm-{{n_exec}}",
                   master=f"local-cluster[{{n_exec}},4,4096]",
                   shuffle_partitions=32)
-transcripts = synthesize_transcripts(spark, {n_convs}).localCheckpoint()
-n_turns = transcripts.count()
-warm = synthesize_transcripts(spark, 200).localCheckpoint()
-from graph_rag_agent_spark.plans.inmem import build_kg_tables
-build_kg_tables(warm, similarity_method="auto", with_signatures=True)["triples"].count()
-
-phases = {{}}
-t0 = time.time()
-chunks = chunk_signature_columns(chunk_conversations(transcripts)).localCheckpoint()
-parsed = parse_extractions(extract_chunks(chunks)).localCheckpoint()
-e_raw, t_raw = entities_raw(parsed), triples_raw(parsed)
-parsed.count()
-phases["corpus"] = round(time.time() - t0, 2)
-t1 = time.time()
-catalog = entity_catalog(e_raw, chunks)
-linked = link_entities_driver_path(catalog)
-if linked is not None:
-    embedded, cmap = linked["embedded"], linked["canonical_map"]
-else:
-    embedded = with_embeddings(catalog).localCheckpoint()
-    similar = similar_entities(embedded, method="auto").localCheckpoint()
-    wcc = consecutive_component_ids(
-        connected_components(similar.select("src", "dst"),
-                             nodes=embedded.select("entity_id"))
-    ).select(F.col("node").alias("entity_id"), "wcc").localCheckpoint()
-    cmap = resolve_canonical(wcc).localCheckpoint()
-phases["link"] = round(time.time() - t1, 2)
-t2 = time.time()
-n_triples = rewrite_triples(t_raw, cmap).count()
-phases["rewrite"] = round(time.time() - t2, 2)
-elapsed = time.time() - t0
+result = {{"executors": n_exec, **run_kg_job(spark, {n_convs})}}
 spark.stop()
-print("RESULT " + json.dumps({{"executors": n_exec, "n_turns": n_turns,
-    "n_triples": n_triples, "seconds": round(elapsed, 2), "phases": phases,
-    "turns_per_sec": round(n_turns / elapsed, 1)}}))
+print("RESULT " + json.dumps(result))
 """
 
 

@@ -153,3 +153,16 @@ class TestLoadTranscripts:
         assert self._name_types(out.schema) == self._name_types(schemas.TRANSCRIPTS)
         row = out.first()
         assert row["role"] is None and row["tool"] is None and row["ts"] is None
+
+    def test_uncastable_column_type_fails_fast(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from graph_rag_agent_spark.sources.transcripts import load_transcripts
+
+        path = str(tmp_path / "badtype")
+        spark.createDataFrame(
+            [("c1", 0, ["not", "a", "string"])],
+            "conv_id string, turn_idx int, text array<string>",
+        ).write.parquet(path)
+        with _pytest.raises(ValueError, match="text"):
+            load_transcripts(spark, path)

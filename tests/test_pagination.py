@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from graph_rag_agent_spark.operators.pagination import (
@@ -57,3 +58,23 @@ def test_page_slice_is_one_skip_limit_page(spark):
     ids = [r["id"] for r in sorted(page.collect(), key=lambda r: r["pos"])]
     exp = [r[0] for r in _expected(df.collect())][25:35]
     assert ids == exp
+
+
+def test_working_columns_do_not_collide_with_input(spark):
+    """Inputs often carry paging-ish columns; the operator's internals
+    are namespaced so 'pid'/'offset'/'pos'-adjacent inputs survive."""
+    df = spark.createDataFrame(
+        [(i, i % 3, 100 + i) for i in range(40)],
+        "id long, pid int, offset long",
+    )
+    out = with_global_positions(df, [F.col("id").asc()])
+    row = sorted(out.collect(), key=lambda r: r["pos"])[5]
+    assert row["id"] == 5 and row["pos"] == 5
+    # the caller's pid/offset columns pass through untouched
+    assert row["pid"] == 5 % 3 and row["offset"] == 105
+
+
+def test_output_column_collision_raises(spark):
+    df = spark.createDataFrame([(1, 0)], "id long, pos long")
+    with pytest.raises(ValueError, match="pos"):
+        with_global_positions(df, [F.col("id").asc()])

@@ -45,14 +45,19 @@ def test_zip_is_self_contained_import(tmp_path):
     """Import the package from the zip alone in a clean interpreter —
     what every executor does when spark-submit ships --py-files."""
     zip_path = make_pyfiles_zip(str(tmp_path / "pkg.zip"))
+    # assert the modules resolved FROM THE ZIP: a pip-installed copy on
+    # site-packages could otherwise satisfy the imports even if the zip
+    # were broken
     code = (
         "import sys; sys.path.insert(0, %r); "
-        "import graph_rag_agent_spark.operators.chunking, "
+        "import graph_rag_agent_spark.operators.chunking as m1, "
         "graph_rag_agent_spark.operators.extraction, "
         "graph_rag_agent_spark.operators.canonicalize, "
         "graph_rag_agent_spark.core.records, "
-        "graph_rag_agent_spark.plans.inmem; "
-        "print('OK')" % zip_path
+        "graph_rag_agent_spark.plans.inmem as m2; "
+        "assert m1.__file__.startswith(%r), m1.__file__; "
+        "assert m2.__file__.startswith(%r), m2.__file__; "
+        "print('OK')" % (zip_path, zip_path, zip_path)
     )
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     out = subprocess.run(
