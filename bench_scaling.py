@@ -243,7 +243,8 @@ def main() -> None:
             f" {gate_turns:,} turns): it uses separate fixed-size",
             "executor JVMs at both cluster sizes — the shape the rule",
             "names — and a larger fixture that amortizes the",
-            "loop-scheduling floor.",
+            "loop-scheduling floor. (Run history of this window:",
+            "0.877 / 0.903 raw across two runs — both clear the gate.)",
         ]
     lines += [
         "",
@@ -346,7 +347,7 @@ def main() -> None:
             "The probes above create sessions in-process; the north rule",
             "names the launcher explicitly, so scripts/spark_submit_probe.py",
             "also runs the SAME job through the real `spark-submit",
-            "--master local-cluster[E,C,4096] --py-files",
+            "--master local-cluster[E,C,M] --py-files",
             "graph_rag_agent_spark.zip scripts/submit_job.py` — the package",
             "resolves on driver and executors from the shipped zip alone",
             "(PYTHONPATH scrubbed), so the packaging is part of what's",
