@@ -665,8 +665,26 @@ def _incremental_update_delta(
     e_raw_merged = wh.read("entities_raw")
     chunks_merged = wh.read("chunks")
     catalog = entity_catalog(e_raw_merged, chunks_merged)
-    linked = link_entities_driver_path(catalog)
-    if linked is not None:
+
+    # catalog-unchanged shortcut: the whole linking chain (embed → LSH
+    # → CC → resolve) is a DETERMINISTIC pure function of the
+    # (entity_id, entity_type, description) catalog, so when a cycle
+    # leaves the catalog bit-identical to the stored one (re-delivered
+    # data; edits that only move mentions around existing entities),
+    # the stored similar/wcc/canonical_map ARE the chain's output —
+    # reuse them and skip the catalog-proportional recompute. Two
+    # entity-scale EXCEPT probes decide; any table missing or any
+    # difference falls through to the full chain.
+    reuse = _stored_linking_if_catalog_unchanged(wh, catalog)
+    linked = None if reuse is not None else link_entities_driver_path(catalog)
+    if reuse is not None:
+        embedded, similar, wcc, cmap = _run_parallel(
+            [lambda t=t: ck(t) for t in reuse]
+        )
+        wh.append_lineage(
+            "incr_link_reused", -1, 1, _time.time(), defer=True
+        )
+    elif linked is not None:
         embedded, similar, wcc, cmap = _run_parallel([
             lambda: ck(linked["embedded"]),
             lambda: ck(linked["similar"]),
@@ -867,15 +885,17 @@ def _incremental_update_delta(
 
     _mark("8-10,12 delta rewrites")
 
-    # ---- 11. entity-scale side tables: overwrite (parallel writes) ---
-    _run_parallel(
-        [
-            lambda: wh.write(embedded, "entity_embeddings"),
-            lambda: wh.write(similar, "similar"),
-            lambda: wh.write(wcc, "wcc"),
-            lambda: wh.write(cmap, "canonical_map"),
-        ]
-    )
+    # ---- 11. entity-scale side tables: overwrite (parallel writes);
+    # nothing to write when the stored tables were reused verbatim ----
+    if reuse is None:
+        _run_parallel(
+            [
+                lambda: wh.write(embedded, "entity_embeddings"),
+                lambda: wh.write(similar, "similar"),
+                lambda: wh.write(wcc, "wcc"),
+                lambda: wh.write(cmap, "canonical_map"),
+            ]
+        )
 
     _mark("11 side-table writes")
 
@@ -933,6 +953,45 @@ def _incremental_update_delta(
     out["changes_modified"] = changes["modified"]
     out["changes_deleted"] = changes["deleted"]
     return out
+
+
+def _stored_linking_if_catalog_unchanged(wh, catalog: DataFrame):
+    """(embedded, similar, wcc, canonical_map) from the warehouse when
+    the merged entity catalog is BIT-IDENTICAL to the stored one, else
+    None.
+
+    Soundness: every stage of the linking chain — the embedding stub,
+    hyperplane-LSH banding (fixed seed), candidate scoring, connected
+    components, the per-component resolve — is a deterministic pure
+    function of the (entity_id, entity_type, description) catalog
+    (README "Determinism as a contract"), so identical input catalogs
+    produce identical outputs and the stored tables can stand in for
+    the recompute. The probe costs two entity-scale EXCEPT jobs —
+    cheap next to the LSH shuffle + CC loop it skips. Any missing
+    table or any difference (including entity count) returns None.
+    """
+    cols = ["entity_id", "entity_type", "description"]
+    try:
+        stored_emb = wh.read("entity_embeddings")
+        tables = (
+            stored_emb,
+            wh.read("similar"),
+            wh.read("wcc"),
+            wh.read("canonical_map"),
+        )
+    except Exception:
+        return None
+    if set(cols) - set(stored_emb.columns):
+        return None
+    new_cat = catalog.select(*cols)
+    old_cat = stored_emb.select(*cols)
+    # both sides are unique per entity_id, so two semantic EXCEPTs
+    # decide set equality; limit(1).count() short-circuits
+    if new_cat.exceptAll(old_cat).limit(1).count():
+        return None
+    if old_cat.exceptAll(new_cat).limit(1).count():
+        return None
+    return tables
 
 
 def _triple_keys(t_raw: DataFrame, cmap: DataFrame) -> DataFrame:

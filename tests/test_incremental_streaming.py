@@ -519,6 +519,10 @@ def test_delta_incremental_matches_rebuild_and_is_delta_proportional(
     modified = {r["conv_id"] for r in tables["changes_modified"].collect()}
     assert deleted == {"conv-000003"} and modified == {"conv-000001"}
 
+    # the catalog changed (entities dropped with conv-000003), so the
+    # linking chain must have re-run — no reuse marker
+    assert lineage.where(F.col("stage") == "incr_link_reused").count() == 0
+
 
 def test_delta_incremental_noop_cycle_rewrites_nothing(
     spark, transcripts_df, tmp_path_factory
@@ -549,6 +553,9 @@ def test_delta_incremental_noop_cycle_rewrites_nothing(
     assert stage_rows("incr_chunks") == 0
     assert (stage_rows("incr_triples_rewrite") or 0) == 0
     assert (stage_rows("incr_mentions_rewrite") or 0) == 0
+    # identical corpus → identical entity catalog → the deterministic
+    # linking chain was SKIPPED and the stored tables reused verbatim
+    assert stage_rows("incr_link_reused") == 1
     after = {
         (r["subj"], r["pred"], r["obj"]) for r in tables["triples"].collect()
     }
