@@ -379,7 +379,11 @@ def _incremental_update_delta(
     reference's global index/community stage): ONE columnar scan of
     the raw entity table to rebuild the entity catalog aggregate, the
     community detection over the (entity-scale) graph, and the
-    community-rank countDistinct over mentions. Entity-scale side
+    community-rank countDistinct over mentions. When the rebuilt
+    catalog is bit-identical to the stored one, even the linking
+    recompute is skipped (_stored_linking_if_catalog_unchanged — the
+    chain is deterministic in the catalog, so the stored tables ARE
+    its output). Entity-scale side
     tables (embeddings/similar/wcc/canonical_map/membership/
     hierarchy/communities) are overwritten — they are
     catalog-proportional, not corpus-proportional; entity EMBEDDING
