@@ -30,6 +30,7 @@ partition"):
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -123,11 +124,20 @@ class BuildResult:
     metrics: dict[str, float] = field(default_factory=dict)
 
 
+LINK_PARAMS_FILE = "_link_params.json"
+
+
 class _Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self._lineage_buffer: list = []
+        # linking-config fingerprint of the CURRENT plan run; persisted
+        # alongside canonical_map so a later cycle can tell whether the
+        # stored linking tables were produced under the same config
+        # (the catalog-unchanged reuse in plans/incremental.py is only
+        # sound for identical (catalog, config) pairs)
+        self.link_params: dict | None = None
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -159,7 +169,19 @@ class _Warehouse:
             write_bucketed(df, self.path(name), group_key, num_buckets)
         else:
             df.write.mode(mode).parquet(self.path(name))
+        if name == "canonical_map" and self.link_params is not None:
+            with open(os.path.join(self.root, LINK_PARAMS_FILE), "w") as fh:
+                json.dump(self.link_params, fh)
         return self.read(name)
+
+    def stored_link_params(self) -> dict | None:
+        """Fingerprint persisted with the last canonical_map write, or
+        None for warehouses that predate the sidecar."""
+        p = os.path.join(self.root, LINK_PARAMS_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
 
     def append_lineage(
         self,
@@ -310,6 +332,7 @@ def build_all(
     spark: SparkSession, transcripts: DataFrame, cfg: BuildConfig
 ) -> BuildResult:
     wh = _Warehouse(spark, cfg.warehouse)
+    wh.link_params = {"similarity_method": cfg.similarity_method}
     os.makedirs(cfg.warehouse, exist_ok=True)
     res = BuildResult()
     t_start = time.time()

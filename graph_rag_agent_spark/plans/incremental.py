@@ -128,6 +128,7 @@ def incremental_update(
 
     cfg = cfg or BuildConfig(warehouse=warehouse, resume=False)
     wh = _Warehouse(spark, warehouse)
+    wh.link_params = {"similarity_method": cfg.similarity_method}
 
     if _delta_capable(wh):
         return _incremental_update_delta(spark, new_transcripts, wh, cfg)
@@ -968,12 +969,20 @@ def _stored_linking_if_catalog_unchanged(wh, catalog: DataFrame):
     hyperplane-LSH banding (fixed seed), candidate scoring, connected
     components, the per-component resolve — is a deterministic pure
     function of the (entity_id, entity_type, description) catalog
-    (README "Determinism as a contract"), so identical input catalogs
-    produce identical outputs and the stored tables can stand in for
-    the recompute. The probe costs two entity-scale EXCEPT jobs —
-    cheap next to the LSH shuffle + CC loop it skips. Any missing
-    table or any difference (including entity count) returns None.
+    (README "Determinism as a contract") PLUS the linking config, so
+    identical (catalog, config) pairs produce identical outputs and
+    the stored tables can stand in for the recompute. The config half
+    is checked against the _link_params.json sidecar persisted with
+    every canonical_map write — a warehouse built under a different
+    similarity_method (or predating the sidecar) declines reuse and
+    falls through to the full chain. The probe costs two entity-scale
+    EXCEPT jobs — cheap next to the LSH shuffle + CC loop it skips.
+    Any missing table or any difference (including entity count)
+    returns None.
     """
+    stored_params = wh.stored_link_params()
+    if stored_params is None or stored_params != wh.link_params:
+        return None
     cols = ["entity_id", "entity_type", "description"]
     try:
         stored_emb = wh.read("entity_embeddings")

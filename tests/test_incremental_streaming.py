@@ -561,6 +561,34 @@ def test_delta_incremental_noop_cycle_rewrites_nothing(
     }
     assert after == before
 
+    # reuse is only sound for identical (catalog, config) pairs: the
+    # same noop delivery under a DIFFERENT similarity_method must
+    # decline the shortcut (the _link_params.json sidecar mismatches)
+    # and re-run the chain — outputs stay identical anyway because
+    # exact and lsh agree on this fixture
+    cfg_lsh = BuildConfig(
+        warehouse=wh,
+        similarity_method="lsh",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    tables2 = incremental_update(spark, transcripts_df, wh, cfg=cfg_lsh)
+    lineage2 = spark.read.parquet(f"{wh}/lineage")
+    assert lineage2.where(F.col("stage") == "incr_link_reused").count() == 1
+    after2 = {
+        (r["subj"], r["pred"], r["obj"]) for r in tables2["triples"].collect()
+    }
+    assert after2 == before
+    # and the sidecar now records the lsh run, so a THIRD noop cycle
+    # under lsh reuses again
+    tables3 = incremental_update(spark, transcripts_df, wh, cfg=cfg_lsh)
+    lineage3 = spark.read.parquet(f"{wh}/lineage")
+    assert lineage3.where(F.col("stage") == "incr_link_reused").count() == 2
+    after3 = {
+        (r["subj"], r["pred"], r["obj"]) for r in tables3["triples"].collect()
+    }
+    assert after3 == before
+
 
 def test_delta_extraction_cache_hits_across_conversations(
     spark, transcripts_df, tmp_path_factory
