@@ -174,10 +174,15 @@ def connected_components(
         new_labels = loop_checkpoint(new_labels, "cc-labels", _round)
         contract_eligible = contract_after and _round + 1 >= contract_after
         if contract_eligible:
+            # approx_count_distinct: the label count only feeds the
+            # contraction-ratio HEURISTIC (contract when labels ≤ 0.6 ×
+            # nodes), so HLL's few-% error can only shift WHICH round
+            # contraction fires on, never the result — and it drops the
+            # exact-distinct shuffle from every round's stats job
             stats = new_labels.agg(
                 F.max(F.col("changed").cast("int")).alias("any_changed"),
                 F.count(F.lit(1)).alias("n_nodes"),
-                F.countDistinct("label").alias("n_labels"),
+                F.approx_count_distinct("label").alias("n_labels"),
             ).collect()[0]
             changed = stats["any_changed"] or 0
             shrunk = stats["n_labels"] <= CONTRACT_RATIO * stats["n_nodes"]

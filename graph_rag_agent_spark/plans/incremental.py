@@ -374,7 +374,8 @@ def _incremental_update_delta(
         vanished content-hash chunks are left as orphans (content ids
         are shared across conversations — reclaiming them needs a
         global reference count, which belongs in a periodic vacuum
-        job, not the hot cycle).
+        job, not the hot cycle: plans/maintenance.py
+        ``vacuum_chunk_embeddings`` / ``maintain_warehouse``).
 
     Remaining corpus-proportional work, by design (matching the
     reference's global index/community stage): ONE columnar scan of
