@@ -638,23 +638,25 @@ def referenced_path_counts_grouped(
     The corpus-global version above materializes w2/w3 as SELF-JOINS
     OVER THE WHOLE TRIPLE TABLE before restricting to sample ids — a
     triple-cubed blowup at scale (its own docstring says so). This
-    variant gathers each sample's relevant edge set FIRST and counts
-    walks per sample:
+    variant anchors every walk at a REFERENCED start node before any
+    expansion, so each join round's row count equals the number of
+    live walk prefixes (Σ per-sample walks explored — exactly the
+    work a per-sample DFS would do), never a corpus-wide product:
 
-      1. every edge of a qualifying ≤3-edge walk (both endpoints
-         referenced) has an endpoint in the sample's id set or its
-         1-hop neighborhood, and _sym_edges carries both directions
-         per edge_id — so two id-keyed joins collect a superset of
-         the walk edges per sample;
-      2. a cogrouped applyInPandas runs the exact edge-distinct DFS
-         (Cypher -[*1..3]- semantics, ordered (a,b) pairs, a ≠ b,
-         both referenced) inside each sample group.
+      step1 = sym ⋈ referenced starts        (rows = Σ deg(start))
+      step2 = step1 ⋈ sym on the frontier node, e2 ≠ e1
+      step3 = step2 ⋈ sym,                e3 ∉ {e1, e2}
+      path_count = Σₖ |stepₖ ending on a referenced id ≠ start|
 
-    Work scales with Σ per-sample 2-hop neighborhood size, never with
-    a corpus-wide triple self-join. Requires ``triples`` unique per
-    (subj, pred, obj) — the canonical table's invariant (duplicate
-    rows would be collapsed by the per-sample edge_id dedup where the
-    global variant counts them separately). Tested equal to
+    which is Cypher -[*1..3]- edge-distinct walk counting (ordered
+    (a, b) pairs, a ≠ b, both referenced; intermediate nodes
+    unrestricted, edges pairwise distinct). Everything stays in
+    built-in expressions (whole-stage codegen) — an earlier revision
+    gathered per-sample neighborhoods into a cogrouped-pandas DFS,
+    which recomputed the same walk set in per-row Python at ~5× the
+    cost. Frontier joins are keyed on the node id, so hub entities
+    skew the shuffle exactly as much as they multiply real walks —
+    AQE skew-join splits those partitions. Tested equal to
     referenced_path_counts.
     """
     sym = _sym_edges(triples)
@@ -663,80 +665,50 @@ def referenced_path_counts_grouped(
         .where(F.col("entity_id").isNotNull())
         .distinct()
     )
-    l1 = sym.join(
-        ids.select("sample_id", F.col("entity_id").alias("src")), "src"
+    starts = ids.select("sample_id", F.col("entity_id").alias("src"))
+    # frontier view of the edge list: join key first, stable names
+    sym_v = sym.select(
+        F.col("src").alias("v"), F.col("dst").alias("w"),
+        F.col("edge_id").alias("e"),
     )
-    nodes1 = (
-        ids.select("sample_id", F.col("entity_id").alias("src"))
-        .union(l1.select("sample_id", F.col("dst").alias("src")))
-        .distinct()
+    step1 = sym.join(starts, "src").select(
+        "sample_id",
+        F.col("src").alias("start"),
+        F.col("dst").alias("v"),
+        F.col("edge_id").alias("e1"),
     )
-    # l2 subsumes l1 (nodes1 contains the sample ids themselves), so
-    # joining on nodes1 alone gathers every 1-hop AND 2-hop edge — a
-    # second union branch would only re-shuffle duplicate rows into
-    # the dedup
-    l2 = sym.join(nodes1, "src")
-    edges = (
-        l2
+    step2 = (
+        step1.join(sym_v, "v")
+        .where(F.col("e") != F.col("e1"))
         .select(
-            "sample_id",
-            "edge_id",
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
+            "sample_id", "start", F.col("w").alias("v"), "e1",
+            F.col("e").alias("e2"),
         )
-        .dropDuplicates(["sample_id", "edge_id"])
     )
-
-    def count_fn(edges_pdf: "pd.DataFrame", ids_pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
-        if len(ids_pdf) == 0:
-            # edges gathered for a sample with no (non-null) ids —
-            # cannot happen (l1/l2 key off ids), but stay total
-            return pd.DataFrame({"sample_id": [], "path_count": []})
-        sid = ids_pdf["sid"].iloc[0]
-        idset = set(ids_pdf["entity_id"])
-        adj: dict[str, list[tuple[str, str]]] = {}
-        for a, b, e in zip(
-            edges_pdf["a"], edges_pdf["b"], edges_pdf["edge_id"]
-        ):
-            adj.setdefault(a, []).append((b, e))
-            adj.setdefault(b, []).append((a, e))
-        total = 0
-
-        def rec(u: str, used: set, depth: int, start: str) -> None:
-            nonlocal total
-            if depth == 3:
-                return
-            for v, e in adj.get(u, ()):
-                if e in used:
-                    continue
-                if v in idset and v != start:
-                    total += 1
-                used.add(e)
-                rec(v, used, depth + 1, start)
-                used.discard(e)
-
-        for a in idset:
-            rec(a, set(), 0, a)
-        return pd.DataFrame({"sample_id": [sid], "path_count": [total]})
-
-    # the ids side is re-aliased (sid) so the cogroup key does not
-    # collide with edges' lineage back to the same ids frame (Spark's
-    # ambiguous-self-join check rejects cogrouping a frame with its
-    # own derivative otherwise)
-    ids_side = ids.select(
-        F.col("sample_id").alias("sid"), F.col("entity_id")
+    step3 = (
+        step2.join(sym_v, "v")
+        .where((F.col("e") != F.col("e1")) & (F.col("e") != F.col("e2")))
+        .select("sample_id", "start", F.col("w").alias("v"))
     )
-    counts = (
-        edges.groupBy("sample_id")
-        .cogroup(ids_side.groupBy("sid"))
-        .applyInPandas(count_fn, "sample_id string, path_count long")
+    ends = ids.select("sample_id", F.col("entity_id").alias("v"))
+
+    def _ended(walk: DataFrame) -> DataFrame:
+        return (
+            walk.select("sample_id", "start", "v")
+            .join(ends, ["sample_id", "v"])
+            .where(F.col("v") != F.col("start"))
+            .groupBy("sample_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    counts = _ended(step1).unionByName(_ended(step2)).unionByName(
+        _ended(step3)
     )
+    total = counts.groupBy("sample_id").agg(F.sum("n").alias("path_count"))
     return (
         sample_entities.select("sample_id")
         .distinct()
-        .join(counts, "sample_id", "left")
+        .join(total, "sample_id", "left")
         .select(
             "sample_id", F.coalesce("path_count", F.lit(0)).alias("path_count")
         )
@@ -1069,7 +1041,10 @@ def relationship_utilization_scores(
     )
     from pyspark.sql.functions import broadcast
 
-    paths = referenced_path_counts(
+    # grouped counter (start-anchored frontier joins, tested equal to
+    # the global variant) — the implicit-path branch must not pay a
+    # corpus-wide triple self-join at scale
+    paths = referenced_path_counts_grouped(
         samples.select(
             "sample_id", F.explode_outer("entity_ids").alias("entity_id")
         ).where(F.col("entity_id").isNotNull()),

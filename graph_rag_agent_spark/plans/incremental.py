@@ -999,11 +999,12 @@ def _stored_linking_if_catalog_unchanged(wh, catalog: DataFrame):
         return None
     new_cat = catalog.select(*cols)
     old_cat = stored_emb.select(*cols)
-    # both sides are unique per entity_id, so two semantic EXCEPTs
-    # decide set equality; limit(1).count() short-circuits
-    if new_cat.exceptAll(old_cat).limit(1).count():
-        return None
-    if old_cat.exceptAll(new_cat).limit(1).count():
+    # both sides are unique per entity_id, so the symmetric difference
+    # decides set equality; one UNION plan evaluates both EXCEPT legs
+    # inside a single job (the probe is on every cycle's hot path —
+    # one barrier, not two) and limit(1) short-circuits
+    diff = new_cat.exceptAll(old_cat).unionAll(old_cat.exceptAll(new_cat))
+    if diff.limit(1).count():
         return None
     return tables
 

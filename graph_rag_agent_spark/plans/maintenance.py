@@ -128,7 +128,9 @@ def vacuum_turn_log(spark: SparkSession, warehouse: str) -> dict:
     latest = log.groupBy("conv_id").agg(
         F.max("ingest_batch").alias("__live_batch")
     )
-    tagged = log.join(F.broadcast(latest), "conv_id")
+    # no broadcast hint: latest is conversation-count-scale, which a
+    # 100 TB log cannot pin driver-side — AQE broadcasts it when small
+    tagged = log.join(latest, "conv_id")
     superseded = tagged.where(F.col("ingest_batch") != F.col("__live_batch"))
     # bounded collect: ≤ one id per batch partition
     touched = sorted(
