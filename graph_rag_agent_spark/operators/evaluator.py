@@ -573,9 +573,15 @@ def referenced_path_counts(
     sample_entities: DataFrame, triples: DataFrame
 ) -> DataFrame:
     """(sample_id, entity_id) + triples → (sample_id, path_count) with
-    Cypher -[*1..3]- path semantics between the sample's ids."""
+    Cypher -[*1..3]- path semantics between the sample's ids.
+
+    The id set is deduped per sample (Cypher ``a.id IN $ids`` set
+    semantics — a duplicated id in the list must not multiply matched
+    paths through the join), keeping this variant and
+    referenced_path_counts_grouped equal on ALL inputs, duplicates
+    included."""
     sym = _sym_edges(triples)
-    ids = sample_entities.select("sample_id", "entity_id")
+    ids = sample_entities.select("sample_id", "entity_id").distinct()
 
     def ends(walk: DataFrame) -> DataFrame:
         return (

@@ -127,6 +127,17 @@ class BuildResult:
 LINK_PARAMS_FILE = "_link_params.json"
 
 
+def link_fingerprint(cfg) -> dict:
+    """The linking-config fingerprint persisted beside canonical_map —
+    the ONE place that decides which BuildConfig knobs the linking
+    chain's output depends on. Every canonical_map writer sets
+    ``wh.link_params = link_fingerprint(cfg)`` and the
+    catalog-unchanged reuse in plans/incremental.py compares against
+    the stored copy; adding a linking-relevant knob here invalidates
+    stale warehouses automatically at every call site."""
+    return {"similarity_method": cfg.similarity_method}
+
+
 class _Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -176,12 +187,15 @@ class _Warehouse:
 
     def stored_link_params(self) -> dict | None:
         """Fingerprint persisted with the last canonical_map write, or
-        None for warehouses that predate the sidecar."""
-        p = os.path.join(self.root, LINK_PARAMS_FILE)
-        if not os.path.exists(p):
+        None for warehouses that predate the sidecar. A corrupt/partial
+        sidecar (crash mid-dump) also reads as None — the safe
+        direction: reuse is declined and the chain recomputes (same
+        fallback shape as merge.table_bucket_spec)."""
+        try:
+            with open(os.path.join(self.root, LINK_PARAMS_FILE)) as fh:
+                return json.load(fh)
+        except Exception:
             return None
-        with open(p) as fh:
-            return json.load(fh)
 
     def append_lineage(
         self,
@@ -332,7 +346,7 @@ def build_all(
     spark: SparkSession, transcripts: DataFrame, cfg: BuildConfig
 ) -> BuildResult:
     wh = _Warehouse(spark, cfg.warehouse)
-    wh.link_params = {"similarity_method": cfg.similarity_method}
+    wh.link_params = link_fingerprint(cfg)
     os.makedirs(cfg.warehouse, exist_ok=True)
     res = BuildResult()
     t_start = time.time()

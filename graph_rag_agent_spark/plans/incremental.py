@@ -122,13 +122,13 @@ def incremental_update(
         parse_extractions,
         triples_raw,
     )
-    from .build import BuildConfig, _Warehouse
+    from .build import BuildConfig, _Warehouse, link_fingerprint
 
     import time as _time
 
     cfg = cfg or BuildConfig(warehouse=warehouse, resume=False)
     wh = _Warehouse(spark, warehouse)
-    wh.link_params = {"similarity_method": cfg.similarity_method}
+    wh.link_params = link_fingerprint(cfg)
 
     if _delta_capable(wh):
         return _incremental_update_delta(spark, new_transcripts, wh, cfg)

@@ -245,8 +245,11 @@ def vacuum_extraction_cache(spark: SparkSession, warehouse: str) -> dict:
 
 #: append-mode tables whose file count grows with cycle count; the
 #: bucketed MERGE tables stay one-file-per-bucket by construction and
-#: need no compaction.
-COMPACT_TABLES = ("lineage", "closed_sessions")
+#: need no compaction. extraction_cache is listed too: its vacuum
+#: rewrites it to one file only when rows were actually reclaimed, so
+#: the steady no-deletion state (one appended file per extraction
+#: bucket per build) still needs the bin-pack.
+COMPACT_TABLES = ("lineage", "closed_sessions", "extraction_cache")
 
 
 def maintain_warehouse(spark: SparkSession, warehouse: str) -> dict:

@@ -856,6 +856,38 @@ def test_grouped_path_counts_equal_global(dfs):
     assert got == want
 
 
+def test_path_counts_dedupe_duplicate_ids(dfs):
+    """Cypher ``IN $ids`` set semantics: a duplicated sample id must
+    not multiply matched paths, in EITHER variant — the global joins
+    dedupe the id frame for exactly this reason."""
+    from graph_rag_agent_spark.operators.evaluator import (
+        referenced_path_counts,
+        referenced_path_counts_grouped,
+    )
+
+    _, triples, _ = dfs
+    spark = triples.sparkSession
+    base = [("sdup", e) for s, q, ids in SAMPLES[:1] for e in ids]
+    dup = spark.createDataFrame(
+        base + base, "sample_id string, entity_id string"
+    )
+    nodup = spark.createDataFrame(
+        base, "sample_id string, entity_id string"
+    )
+    ref = {
+        (r["sample_id"], r["path_count"])
+        for r in referenced_path_counts(nodup, triples).collect()
+    }
+    assert ref == {
+        (r["sample_id"], r["path_count"])
+        for r in referenced_path_counts(dup, triples).collect()
+    }
+    assert ref == {
+        (r["sample_id"], r["path_count"])
+        for r in referenced_path_counts_grouped(dup, triples).collect()
+    }
+
+
 def test_graph_coverage_per_sample_equals_global(dfs):
     from graph_rag_agent_spark.operators.evaluator import (
         graph_coverage,

@@ -127,6 +127,13 @@ def test_vacuum_orphans_and_maintain_warehouse(spark, tmp_path_factory):
         cfg,
     )
 
+    # fresh build, zero orphans: the cache vacuum reclaims nothing but
+    # the compaction still bin-packs its per-extraction-bucket files
+    report0 = maintain_warehouse(spark, wh)
+    assert report0["extraction_cache"]["rows_deleted"] == 0
+    assert report0["compact_extraction_cache"]["files_before"] == 2
+    assert report0["compact_extraction_cache"]["files_after"] == 1
+
     # v2: delete conv-000002, rewrite conv-000001's text (new chunk ids)
     v2_rows = [
         dict(r, text=r["text"] + " rewritten")
@@ -193,16 +200,17 @@ def test_vacuum_orphans_and_maintain_warehouse(spark, tmp_path_factory):
     }
     assert cache_ids == cache_before & live
 
-    # a maintenance lineage row landed with the reclaimed-row total
+    # maintenance lineage rows landed with the reclaimed-row totals
+    # (first pass reclaimed 0, this one the orphan total)
     maint = (
         spark.read.parquet(f"{wh}/lineage")
         .where(F.col("stage") == "maintenance")
         .collect()
     )
-    assert len(maint) == 1
-    assert maint[0]["rows"] == sum(
-        step.get("rows_deleted", 0) for step in report.values()
-    )
+    assert sorted(r["rows"] for r in maint) == [
+        0,
+        sum(step.get("rows_deleted", 0) for step in report.values()),
+    ]
 
     # second pass reclaims nothing; later cycles still green
     report2 = maintain_warehouse(spark, wh)
@@ -241,6 +249,22 @@ def test_compact_table_merges_small_files(spark, tmp_path):
 
     report2 = compact_table(spark, path)
     assert report2["units_compacted"] == 0 and report2["files_after"] == 1
+
+
+def test_corrupt_link_sidecar_reads_as_none(spark, tmp_path):
+    """A truncated/corrupt _link_params.json (crash mid-dump) must
+    read as None — declining linking reuse — not crash every later
+    incremental cycle."""
+    from graph_rag_agent_spark.plans.build import (
+        LINK_PARAMS_FILE,
+        _Warehouse,
+    )
+
+    wh_dir = str(tmp_path / "wh")
+    os.makedirs(wh_dir)
+    with open(os.path.join(wh_dir, LINK_PARAMS_FILE), "w") as fh:
+        fh.write('{"similarity_method": "ex')  # partial dump
+    assert _Warehouse(spark, wh_dir).stored_link_params() is None
 
 
 def test_vacuum_missing_tables_noop(spark, tmp_path):
