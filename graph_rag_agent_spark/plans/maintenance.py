@@ -81,16 +81,16 @@ def compact_table(
     (bin-pack) over the parquet stand-in layout. Row content and the
     partition layout are preserved exactly; units already at or under
     the target are not read at all."""
+    from .build import _run_parallel
+
     if not os.path.isdir(path):
         return {"units_compacted": 0, "files_before": 0, "files_after": 0}
     units = _partition_dirs(path) or [path]
-    before = after = compacted = 0
-    for unit in units:
+
+    def _compact_unit(unit: str) -> tuple[int, int, int]:
         files = _data_files(unit)
-        before += len(files)
         if len(files) <= target_files:
-            after += len(files)
-            continue
+            return len(files), len(files), 0
         # eager localCheckpoint materializes the rows so the unit can
         # be overwritten while "being read" (same pattern as merge.py)
         df = (
@@ -99,12 +99,18 @@ def compact_table(
             .localCheckpoint(eager=True)
         )
         df.write.mode("overwrite").parquet(unit)
-        compacted += 1
-        after += len(_data_files(unit))
+        return len(files), len(_data_files(unit)), 1
+
+    # units are independent directories — run them from the shared
+    # driver pool so a 1024-bucket table doesn't pay 1024 serial
+    # read+write barriers
+    results = _run_parallel(
+        [(lambda u=u: _compact_unit(u)) for u in units]
+    )
     return {
-        "units_compacted": compacted,
-        "files_before": before,
-        "files_after": after,
+        "units_compacted": sum(c for _, _, c in results),
+        "files_before": sum(b for b, _, _ in results),
+        "files_after": sum(a for _, a, _ in results),
     }
 
 
