@@ -244,7 +244,8 @@ def main() -> None:
             "executor JVMs at both cluster sizes — the shape the rule",
             "names — and a larger fixture that amortizes the",
             "loop-scheduling floor. (Run history of this window:",
-            "0.877 / 0.903 raw across two runs — both clear the gate.)",
+            "raw 0.877 / 0.903 / 0.873 across three runs — all clear",
+            "the gate; BENCH/spark_submit.json holds the latest run.)",
         ]
     lines += [
         "",

@@ -283,9 +283,11 @@ def incremental_update(
             )
             merged_writes[name] = wh.read(name)
 
+    # registry LAST: change detection keys off the stored registry, so
+    # a cycle that dies mid-write must re-detect its conversations as
+    # changed when retried (same rationale as the delta path)
     tables = {
         "transcripts": transcripts,
-        "registry": new_registry,
         "chunks": chunks,
         "extractions": extractions,
         "parsed": parsed,
@@ -304,6 +306,7 @@ def incremental_update(
         "communities": communities,
         "chunk_embeddings": chunk_embeddings,
     }
+    tables["registry"] = new_registry
     out = {
         name: (
             merged_writes[name]
@@ -600,7 +603,6 @@ def _incremental_update_delta(
 
     per_conv = {
         "transcripts": changed_transcripts,
-        "registry": new_registry.join(changed, "conv_id", "left_semi"),
         "chunks": new_chunks,
         "extractions": new_extractions,
         "parsed": parsed_new,
@@ -662,6 +664,18 @@ def _incremental_update_delta(
             for n, d in per_conv.items()
         ]
         + [_merge_entity_index, _merge_chunk_index]
+    )
+    # the registry commits LAST, sequentially, after every data-table
+    # merge above has succeeded: change detection keys solely off the
+    # stored registry, so under foreachBatch's at-least-once retry a
+    # cycle that died mid-merge must re-detect its conversations as
+    # changed on the retry (the conv-keyed upserts are idempotent).
+    # Committing the registry first would make the retry a no-op and
+    # leave any failed table stale forever. The global stages (6-12)
+    # need no such ordering — they reconcile from the merged raw
+    # tables and the stored canonical map on every cycle.
+    _merge_conv_table(
+        "registry", new_registry.join(changed, "conv_id", "left_semi")
     )
 
     _mark("4+5 conv merges + indexes")

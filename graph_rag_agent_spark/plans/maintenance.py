@@ -238,13 +238,16 @@ def vacuum_extraction_cache(spark: SparkSession, warehouse: str) -> dict:
         return {"rows_deleted": 0}
     live = wh.read("chunks").select("chunk_id").distinct()
     cache = wh.read("extraction_cache")
+    # count the orphans BEFORE materializing anything: the steady
+    # no-orphan state must cost two counts, not a single-task rewrite
+    # of the whole cache (coalesce(1) funnels it through one core)
     n_before = cache.count()
+    n_kept = cache.join(live, "chunk_id", "left_semi").count()
+    if n_kept == n_before:
+        return {"rows_deleted": 0}
     kept = cache.join(live, "chunk_id", "left_semi").coalesce(1).localCheckpoint(
         eager=True
     )
-    n_kept = kept.count()
-    if n_kept == n_before:
-        return {"rows_deleted": 0}
     kept.write.mode("overwrite").parquet(cache_path)
     return {"rows_deleted": n_before - n_kept}
 

@@ -63,7 +63,13 @@ def read_binary_documents(
     )
     exts = [e.lower() for e in (extensions or sorted(SUPPORTED_EXTENSIONS))]
     if len(exts) == 1:
-        reader = reader.option("pathGlobFilter", f"*{exts[0]}")
+        # case-insensitive glob ("*.pdf" -> "*.[pP][dD][fF]") so the
+        # single-extension fast path admits exactly the same files as
+        # the lowercased-path predicate below
+        glob = "*" + "".join(
+            f"[{ch}{ch.upper()}]" if ch.isalpha() else ch for ch in exts[0]
+        )
+        reader = reader.option("pathGlobFilter", glob)
         df = reader.load(directory)
     else:
         df = reader.load(directory)

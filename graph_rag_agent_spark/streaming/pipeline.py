@@ -83,12 +83,24 @@ def _migrate_legacy_turn_log(spark: SparkSession, turn_log: str) -> None:
     # checkpoint restarts stream batch ids at 0, and the dynamic
     # overwrite of a new batch 0 would silently wipe a migrated
     # partition parked at ingest_batch=0
-    shift = old.agg(F.max("ingest_batch")).first()[0] + 1
+    max_batch = old.agg(F.max("ingest_batch")).first()[0]
+    if max_batch is None:  # 0-row legacy part files: nothing to park
+        for f in legacy:
+            os.remove(os.path.join(turn_log, f))
+        return
     old = old.withColumn(
-        "ingest_batch", (F.col("ingest_batch") - F.lit(shift)).cast("long")
+        "ingest_batch",
+        (F.col("ingest_batch") - F.lit(max_batch + 1)).cast("long"),
     )
+    # dynamic partition OVERWRITE, not append: the shift is a pure
+    # function of the legacy files, so a migration retried after a
+    # crash between this write and the removes below rewrites the
+    # SAME negative partitions with the same rows instead of
+    # duplicating them (only pre-partitioning writers produce root
+    # files, so at most one legacy generation ever exists)
     (
-        old.write.mode("append")
+        old.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch")
         .parquet(turn_log)
     )

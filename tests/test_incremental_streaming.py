@@ -699,3 +699,114 @@ def test_legacy_turn_log_migrates_to_partitioned_layout(
         if f.endswith(".parquet") and not f.startswith("_")
     ]
     assert root_files == []
+
+
+def test_legacy_turn_log_migration_empty_and_crash_retry(
+    spark, tmp_path_factory
+):
+    """Two legacy-migration edge cases: (a) a 0-row legacy root part
+    file (an empty micro-batch once appended by the pre-partitioning
+    sink) must not crash the migration — max(ingest_batch) is NULL
+    there; (b) a crash between the partitioned write and the root-file
+    removal must be retryable without duplicating rows (the shift is
+    deterministic and the write is a dynamic partition OVERWRITE)."""
+    import os
+
+    from graph_rag_agent_spark.streaming.pipeline import (
+        _migrate_legacy_turn_log,
+    )
+
+    # (a) 0-row legacy file: no TypeError, file dropped
+    log0 = str(tmp_path_factory.mktemp("mig_empty")) + "/turn_log"
+    (
+        spark.createDataFrame([], schema=schemas.TRANSCRIPTS)
+        .withColumn("ingest_batch", F.lit(0))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(log0)
+    )
+    _migrate_legacy_turn_log(spark, log0)
+    assert [
+        f
+        for f in os.listdir(log0)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ] == []
+
+    # (b) crash-before-remove retry: same rows, no duplicates
+    log = str(tmp_path_factory.mktemp("mig_retry")) + "/turn_log"
+    rows = generate_transcripts(3)
+    (
+        spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+        .withColumn("ingest_batch", F.lit(0))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(log)
+    )
+    legacy = [
+        f
+        for f in os.listdir(log)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    saved = {}
+    for f in legacy:
+        with open(os.path.join(log, f), "rb") as fh:
+            saved[f] = fh.read()
+    _migrate_legacy_turn_log(spark, log)
+    assert spark.read.parquet(log).count() == len(rows)
+    # restore the root files, as if os.remove never ran, and retry
+    for f, payload in saved.items():
+        with open(os.path.join(log, f), "wb") as fh:
+            fh.write(payload)
+    _migrate_legacy_turn_log(spark, log)
+    assert spark.read.parquet(log).count() == len(rows)
+
+
+def test_failed_delta_cycle_retry_self_heals(
+    spark, transcripts_df, tmp_path_factory, monkeypatch
+):
+    """The registry must commit LAST: a delta cycle that dies after
+    some conv-table merges committed (injected triples_raw merge
+    failure) must leave the stored registry untouched, so the retried
+    cycle re-detects the same conversations as changed, re-runs the
+    idempotent conv-keyed merges, and converges to the oracle state."""
+    import graph_rag_agent_spark.plans.merge as merge_mod
+
+    wh = str(tmp_path_factory.mktemp("wh_retry"))
+    cfg = BuildConfig(
+        warehouse=wh,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    build_all(spark, transcripts_df, cfg)
+
+    v2_rows = [
+        r
+        for r in generate_transcripts(12)
+        if r["conv_id"] != "conv-000003"
+        and not (r["conv_id"] == "conv-000001" and r["turn_idx"] >= 5)
+    ]
+    v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+
+    real_upsert = merge_mod.upsert_groups
+
+    def dying_upsert(spark_, path, *a, **k):
+        if path.rstrip("/").endswith("triples_raw"):
+            raise RuntimeError("injected merge failure")
+        return real_upsert(spark_, path, *a, **k)
+
+    monkeypatch.setattr(merge_mod, "upsert_groups", dying_upsert)
+    with pytest.raises(Exception, match="injected merge failure"):
+        incremental_update(spark, v2_df, wh, cfg=cfg)
+    monkeypatch.undo()
+
+    # the failed cycle must NOT have committed the registry, or this
+    # retry would detect zero changes and never repair triples_raw
+    tables = incremental_update(spark, v2_df, wh, cfg=cfg)
+    want = oracle_build(v2_rows).triple_set()
+    got = {
+        (r["subj"], r["pred"], r["obj"]) for r in tables["triples"].collect()
+    }
+    assert got == want
+    reg = {r["conv_id"] for r in tables["registry"].collect()}
+    assert reg == {r["conv_id"] for r in v2_rows}
