@@ -470,6 +470,48 @@ def _q_chunk_vector_topk(spark, sf_dir):
     )
 
 
+def _q_local_search_batch(spark, sf_dir):
+    """J8 BATCHED: the local-search retrieval fan-out for a whole
+    query SET in one plan (operators/search.local_search_batch —
+    vector seed top-k → mention-frequency chunk fan-out → per-query
+    windows; reference runs this per request, search/local_search.py:
+    88-133). Proxies: part as the entity catalog (letter-count integer
+    embeddings of p_name — exact cross-engine arithmetic), lineitem as
+    the mentions table (l_orderkey=chunk, l_partkey=entity), every
+    50th part as a query."""
+    from graph_rag_agent_spark.operators.search import local_search_batch
+
+    part = _t(spark, sf_dir, "part")
+    low = F.lower("p_name")
+    charvec = F.array(
+        *[
+            (F.length(low) - F.length(F.regexp_replace(low, c, ""))).cast("long")
+            for c in _CHARVEC_ALPHABET
+        ]
+    )
+    entities = part.select(
+        F.col("p_partkey").alias("entity_id"), charvec.alias("embedding")
+    ).localCheckpoint()
+    queries = (
+        part.where(F.col("p_partkey") % 50 == 7)
+        .select(F.col("p_partkey").alias("query_id"), charvec.alias("qvec"))
+        .localCheckpoint()
+    )
+    mentions = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("chunk_id"),
+        F.col("l_partkey").alias("entity_id"),
+    )
+    out = local_search_batch(
+        queries,
+        entities,
+        mentions=mentions,
+        top_entities=5,
+        top_chunks=3,
+        metric="dot",
+    )
+    return out["chunks"]
+
+
 def _q_entity_canonical_map(spark, sf_dir):
     """The DISTRIBUTED linking chain end-to-end (SURVEY §2 J3/G1/G2/
     J4/L4/SO1-2): pattern-entity catalog (id space ∝ corpus) → stub
@@ -1436,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exploration_visited": _q_exploration,
         "sllpa_overlap": _q_sllpa,
         "lpa_labels": _q_lpa_level,
+        "local_search_batch": _q_local_search_batch,  # J8 batched fan-out
         "paged_batches": _q_paged_batches,  # W7 one-pass SKIP/LIMIT
         "document_text_routing": _q_document_text_routing,  # S3/S4 plumbing
     }
@@ -2074,6 +2117,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, chunk_key, CAST(rank AS INTEGER) AS rank, score
             FROM ranked WHERE rank <= 3
+        """,
+        "local_search_batch": """
+            WITH emb AS (
+                SELECT p_partkey, ["""
+            + ", ".join(
+                f"CAST(length(lower(p_name)) - length(regexp_replace(lower(p_name), '{c}', '', 'g')) AS BIGINT)"
+                for c in _CHARVEC_ALPHABET
+            )
+            + """] AS v
+                FROM part
+            ),
+            q AS (SELECT p_partkey AS query_id, v AS qv
+                  FROM emb WHERE p_partkey % 50 = 7),
+            scored AS (
+                SELECT q.query_id, e.p_partkey AS entity_id,
+                       list_dot_product(q.qv, e.v) AS score
+                FROM q, emb e
+            ),
+            seeds AS (
+                SELECT query_id, entity_id FROM (
+                    SELECT query_id, entity_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY score DESC, entity_id ASC) AS rk
+                    FROM scored)
+                WHERE rk <= 5
+            ),
+            freqs AS (
+                SELECT s.query_id, l.l_orderkey AS chunk_id,
+                       COUNT(DISTINCT l.l_partkey) AS freq
+                FROM lineitem l JOIN seeds s ON l.l_partkey = s.entity_id
+                GROUP BY s.query_id, l.l_orderkey
+            )
+            SELECT query_id, chunk_id, freq, CAST(rk AS INTEGER) AS rank
+            FROM (
+                SELECT query_id, chunk_id, freq,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY freq DESC, chunk_id ASC) AS rk
+                FROM freqs)
+            WHERE rk <= 3
         """,
         # Full SQL replay of the MinHash-LSH plan: md5-based 31-bit
         # shingle hashes → 64 formulaic permutations → 16×4 band

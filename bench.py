@@ -108,6 +108,7 @@ def main() -> None:
         "minhash_pairs",
         "simhash_pairs",
         "graph_coverage_per_sample",
+        "local_search_batch",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

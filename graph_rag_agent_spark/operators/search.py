@@ -16,6 +16,9 @@ Reference behavior reproduced:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -108,12 +111,16 @@ def local_search(
         .limit(top_rels)
         .select("subj", "pred", "obj", "weight")
     )
-    one_side = triples.join(s_subj, "subj", "left_semi").union(
-        triples.join(s_obj, "obj", "left_semi")
+    # unionByName, never positional union: a USING join hoists its key
+    # column first (obj-leg rows come back as (obj, subj, pred, …)),
+    # so a positional union silently MIRRORS subj/obj for every
+    # obj-leg row — caught by the batch-vs-loop parity test
+    one_side = triples.join(s_subj, "subj", "left_semi").unionByName(
+        triples.join(s_obj, "obj", "left_semi"), allowMissingColumns=False
     )
     outside = (
         one_side.join(s_subj, "subj", "left_anti")
-        .union(one_side.join(s_obj, "obj", "left_anti"))
+        .unionByName(one_side.join(s_obj, "obj", "left_anti"))
         .dropDuplicates(["subj", "pred", "obj"])
         .orderBy(F.desc("weight"), "subj", "pred", "obj")
         .limit(top_rels)
@@ -129,6 +136,149 @@ def local_search(
     }
     if vector_chunks is not None:
         out["vector_chunks"] = vector_chunks
+    return out
+
+
+def embed_query_batch(
+    queries: DataFrame, text_col: str = "query_text"
+) -> DataFrame:
+    """(…, query_text) → + ``qvec``: the pluggable embedding slot as
+    an Arrow-batched pandas UDF (same boundary as entity/chunk
+    embeddings — never per-row Python)."""
+
+    @F.pandas_udf("array<double>")
+    def _emb(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            yield pd.Series([embed_text(t or "") for t in texts])
+
+    return queries.withColumn("qvec", _emb(F.col(text_col)))
+
+
+def local_search_batch(
+    queries: DataFrame,
+    entities: DataFrame,
+    mentions: DataFrame | None = None,
+    chunks: DataFrame | None = None,
+    triples: DataFrame | None = None,
+    membership: DataFrame | None = None,
+    communities: DataFrame | None = None,
+    top_entities: int = 10,
+    top_chunks: int = 3,
+    top_communities: int = 3,
+    top_rels: int = 10,
+    metric: str = "cosine",
+) -> dict[str, DataFrame]:
+    """BATCHED local search: every query in ``queries`` (query_id,
+    qvec — see ``embed_query_batch``) runs the reference's retrieval
+    fan-out (local_search.py:88-133) in ONE declarative plan, keyed by
+    query_id. ``local_search`` above is the single-query shape (one
+    driver round-trip per query, mirroring the reference's request
+    loop); this is the serving/evaluation shape — the reference's
+    evaluator replays hundreds of questions through the same fan-out
+    one at a time (evaluator/*), which at cluster scale is hundreds of
+    driver barriers for work one plan can share.
+
+    Scale shape (the 100 TB path):
+      - the query set broadcasts (thousands of rows × small vectors);
+      - seed scoring is one JVM pass over the entity table — no UDF,
+        no per-query scan: ``chunk_topk`` evaluates all queries
+        against each entity partition in place;
+      - every top-k is a window PARTITIONED BY query_id — parallel
+        across queries, never a single-partition global sort;
+      - the chunk / community / relationship fan-outs join the
+        (|Q|·k)-row seed set (broadcast) against mentions / triples —
+        one shuffle each, shared by ALL queries, instead of |Q|
+        sequential jobs.
+
+    Facets are computed lazily from what is passed: ``seeds`` always;
+    ``chunks`` needs ``mentions`` (+texts when ``chunks`` given);
+    ``communities`` needs ``membership``+``communities``;
+    ``inside_rels``/``outside_rels`` need ``triples``. Tie-breaks
+    match ``local_search`` exactly (score/freq/weight desc, id asc),
+    so the batch result row-for-row equals the per-query loop."""
+    from .chunk_index import chunk_topk
+
+    seeds = chunk_topk(
+        entities.where(F.col("embedding").isNotNull()).select(
+            "entity_id", "embedding"
+        ),
+        queries.select("query_id", "qvec"),
+        k=top_entities,
+        metric=metric,
+        id_col="entity_id",
+    )
+    seed_ids = seeds.select("query_id", "entity_id")
+    out: dict[str, DataFrame] = {"seeds": seeds}
+
+    if mentions is not None:
+        w_chunk = Window.partitionBy("query_id").orderBy(
+            F.desc("freq"), F.asc("chunk_id")
+        )
+        chunk_freq = (
+            mentions.select("chunk_id", "entity_id")
+            .join(F.broadcast(seed_ids), "entity_id")
+            .groupBy("query_id", "chunk_id")
+            .agg(F.countDistinct("entity_id").alias("freq"))
+            .withColumn("rank", F.row_number().over(w_chunk))
+            .where(F.col("rank") <= top_chunks)
+        )
+        if chunks is not None and "text" in chunks.columns:
+            chunk_freq = chunk_freq.join(
+                chunks.select("chunk_id", "text"), "chunk_id"
+            ).select("query_id", "chunk_id", "freq", "rank", "text")
+        out["chunks"] = chunk_freq
+
+    if membership is not None and communities is not None:
+        w_comm = Window.partitionBy("query_id").orderBy(
+            F.desc("community_rank"), F.asc("community_id")
+        )
+        out["communities"] = (
+            membership.join(F.broadcast(seed_ids), "entity_id")
+            .select("query_id", "community_id")
+            .distinct()
+            .join(communities, "community_id")
+            .withColumn("rank", F.row_number().over(w_comm))
+            .where(F.col("rank") <= top_communities)
+            .select(
+                "query_id", "community_id", "community_rank", "summary", "rank"
+            )
+        )
+
+    if triples is not None:
+        s_subj = seed_ids.select(
+            "query_id", F.col("entity_id").alias("subj")
+        )
+        s_obj = seed_ids.select("query_id", F.col("entity_id").alias("obj"))
+        w_rel = Window.partitionBy("query_id").orderBy(
+            F.desc("weight"), "subj", "pred", "obj"
+        )
+        t = triples.select("subj", "pred", "obj", "weight")
+        inside = (
+            t.join(F.broadcast(s_subj), "subj")
+            .join(F.broadcast(s_obj), ["query_id", "obj"], "left_semi")
+            .withColumn("rank", F.row_number().over(w_rel))
+            .where(F.col("rank") <= top_rels)
+            .select("query_id", "subj", "pred", "obj", "weight", "rank")
+        )
+        one_side = t.join(F.broadcast(s_subj), "subj").unionByName(
+            t.join(F.broadcast(s_obj), "obj")
+        )
+        outside = (
+            one_side.join(
+                F.broadcast(s_subj), ["query_id", "subj"], "left_anti"
+            )
+            .unionByName(
+                one_side.join(
+                    F.broadcast(s_obj), ["query_id", "obj"], "left_anti"
+                )
+            )
+            .dropDuplicates(["query_id", "subj", "pred", "obj"])
+            .withColumn("rank", F.row_number().over(w_rel))
+            .where(F.col("rank") <= top_rels)
+            .select("query_id", "subj", "pred", "obj", "weight", "rank")
+        )
+        out["inside_rels"] = inside
+        out["outside_rels"] = outside
     return out
 
 

@@ -96,7 +96,11 @@ def _run_parallel(tasks):
 
     if not tasks:
         return []
-    with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as ex:
+    # cap 16: the widest pool (delta step 4+5) holds 10 conv-table
+    # merges + 2 index merges — one wave, not two; each task is a
+    # short chain of small jobs, so driver-thread count, not executor
+    # contention, is the binding resource
+    with ThreadPoolExecutor(max_workers=min(16, len(tasks))) as ex:
         futures = [ex.submit(fn) for fn in tasks]
         return [f.result() for f in futures]
 

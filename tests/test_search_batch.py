@@ -80,3 +80,90 @@ def test_keyword_extractor_stub():
     assert "Sony Inc" in kw["low_level"]
     assert "Shanghai" in kw["low_level"]
     assert all(len(t) > 3 for t in kw["high_level"])
+
+
+def test_local_search_batch_equals_per_query_loop(spark, kg):
+    """J8 batched: N queries through ONE plan must reproduce the
+    single-query local_search fan-out (same tie-breaks) per query."""
+    from graph_rag_agent_spark.operators.search import (
+        embed_query_batch,
+        local_search,
+        local_search_batch,
+    )
+
+    qtexts = [
+        "Tell me about Sony and Alice Zhang",
+        "华东大学与张伟有合作。",
+        "What happened in Shanghai",
+    ]
+    qdf = embed_query_batch(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(qtexts)],
+            "query_id int, query_text string",
+        )
+    ).localCheckpoint()
+    batch = local_search_batch(
+        qdf,
+        kg["entities"],
+        mentions=kg["mentions"],
+        chunks=kg["chunks"],
+        triples=kg["triples"],
+        membership=kg["membership"],
+        communities=kg["communities"],
+    )
+    for facet in ("seeds", "chunks", "communities", "inside_rels", "outside_rels"):
+        assert facet in batch
+
+    for i, text in enumerate(qtexts):
+        single = local_search(
+            kg["entities"],
+            kg["mentions"],
+            kg["triples"],
+            kg["membership"],
+            kg["communities"],
+            kg["chunks"],
+            query=text,
+        )
+        b_seeds = [
+            r["entity_id"]
+            for r in batch["seeds"]
+            .where(F.col("query_id") == i)
+            .orderBy("rank")
+            .collect()
+        ]
+        s_seeds = [r["entity_id"] for r in single["seeds"].collect()]
+        assert b_seeds == s_seeds
+
+        b_chunks = [
+            (r["chunk_id"], r["freq"])
+            for r in batch["chunks"]
+            .where(F.col("query_id") == i)
+            .orderBy("rank")
+            .collect()
+        ]
+        s_chunks = [
+            (r["chunk_id"], r["freq"]) for r in single["chunks"].collect()
+        ]
+        assert b_chunks == s_chunks
+
+        b_comms = {
+            r["community_id"]
+            for r in batch["communities"]
+            .where(F.col("query_id") == i)
+            .collect()
+        }
+        s_comms = {
+            r["community_id"] for r in single["communities"].collect()
+        }
+        assert b_comms == s_comms
+
+        for facet in ("inside_rels", "outside_rels"):
+            b_rels = {
+                (r["subj"], r["pred"], r["obj"])
+                for r in batch[facet].where(F.col("query_id") == i).collect()
+            }
+            s_rels = {
+                (r["subj"], r["pred"], r["obj"])
+                for r in single[facet].collect()
+            }
+            assert b_rels == s_rels
