@@ -281,7 +281,13 @@ def rewrite_triples(
     dedup, so the incremental delta path can recompute winners for
     exactly its affected key set; correctness requires triples_raw to
     contain EVERY contributor of each requested key (the caller
-    assembles that via the entity→conv index)."""
+    assembles that via the entity→conv index).
+
+    The winner pick is min(struct(...)) — struct comparison is
+    lexicographic in field order, so it equals a window ordered by
+    (description, weight, conv_id, chunk_id) asc (nulls-first on both
+    paths) while staying a grouped aggregate: partial min runs
+    map-side, no full shuffle-and-sort of the rewritten triples."""
     rewritten = _canonize(_canonize(triples_raw, "subj", cmap), "obj", cmap)
     if keys is not None:
         rewritten = rewritten.join(
@@ -289,13 +295,21 @@ def rewrite_triples(
             ["subj", "pred", "obj"],
             "left_semi",
         )
-    w = Window.partitionBy("subj", "pred", "obj").orderBy(
-        "description", "weight", "conv_id", "chunk_id"
-    )
+    winner = F.min(
+        F.struct("description", "weight", "conv_id", "chunk_id")
+    ).alias("__p")
     return (
-        rewritten.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        rewritten.groupBy("subj", "pred", "obj")
+        .agg(winner)
+        .select(
+            F.col("__p.chunk_id").alias("chunk_id"),
+            F.col("__p.conv_id").alias("conv_id"),
+            "subj",
+            "pred",
+            "obj",
+            F.col("__p.description").alias("description"),
+            F.col("__p.weight").alias("weight"),
+        )
     )
 
 
@@ -306,13 +320,14 @@ def rewrite_mentions(mentions_raw: DataFrame, cmap: DataFrame) -> DataFrame:
     MINIMUM conv_id (the oracle's first-seen order), which makes the
     dedup a pure function of the input set and therefore safe to
     recompute over any superset-of-contributors slice in the
-    incremental delta path."""
+    incremental delta path. The min is a grouped aggregate (partial,
+    map-side combinable) rather than a window — same result, no
+    full shuffle-and-sort of the mentions table."""
     rewritten = _canonize(mentions_raw, "entity_id", cmap)
-    w = Window.partitionBy("chunk_id", "entity_id").orderBy("conv_id")
     return (
-        rewritten.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        rewritten.groupBy("chunk_id", "entity_id")
+        .agg(F.min("conv_id").alias("conv_id"))
+        .select("chunk_id", "conv_id", "entity_id")
     )
 
 

@@ -11,9 +11,12 @@ Spark-first shape: the embedding is ONE Arrow-batched pandas-UDF
 column on the chunks table (prod swaps a batched model client into the
 same slot — identical contract to entity embeddings in
 operators/linking.with_embeddings). The "index" IS the embedded
-column: top-k retrieval for a (small) query set is a broadcast join
-against the chunk table with a JVM-side score and a per-query top-k
-window — no collect, parallel over the chunks' existing partitioning.
+column: top-k retrieval for a (small-by-contract, collectable) query
+set scores the stored side in place — integer-dot queries via a
+per-batch numpy matmul emitting only partial top-k candidates
+(``_topk_integral_partial``), float metrics via a broadcast join with
+a JVM-side score — then one per-query top-k window over the
+candidates; the stored table is never collected.
 Corpus-scale chunk↔chunk similarity reuses operators/knn (LSH/IVF).
 """
 
@@ -67,6 +70,10 @@ def chunk_topk(
     """
     elem = chunks_emb.schema[vec_col].dataType.elementType.simpleString()
     integral = metric == "dot" and elem in ("int", "bigint", "smallint", "tinyint")
+    if integral:
+        return _topk_integral_partial(
+            chunks_emb, queries, k, id_col, query_id_col, vec_col, qvec_col
+        )
     joined = chunks_emb.join(F.broadcast(queries))
     dot = _dot(vec_col, qvec_col, integral)
     if metric == "dot":
@@ -84,6 +91,88 @@ def chunk_topk(
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         joined.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "score")
+    )
+
+
+def _topk_integral_partial(
+    chunks_emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+    qvec_col: str,
+) -> DataFrame:
+    """Exact integer-dot top-k via PARTIAL top-k then merge — the
+    scale shape for a big stored side × small query set.
+
+    The naive plan (broadcast cross join + per-query window) pays a
+    higher-order-function dot on every (row × query) pair and shuffles
+    |rows|·|queries| scored rows into the window sort. Here each Arrow
+    batch scores against the whole (collected, small-by-contract)
+    query matrix with one int64 numpy matmul and emits only its
+    per-query top-k — kept as the ``score >= kth-best`` SUPERSET so
+    score ties are never cut before the global id tie-break — and the
+    final window sorts batches·|queries|·k rows instead of
+    |rows|·|queries|. Integer arithmetic keeps scores bit-exact across
+    numpy / JVM / DuckDB, so results equal the naive plan row for row.
+    """
+    import numpy as np
+
+    q_rows = queries.select(query_id_col, qvec_col).collect()
+    if not q_rows:
+        spark = chunks_emb.sparkSession
+        q_id_type = queries.schema[query_id_col].dataType.simpleString()
+        id_type = chunks_emb.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} {q_id_type}, {id_col} {id_type}, "
+            "rank int, score long",
+        )
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.int64).T  # dim×Q
+    out_fields = [
+        ("qi", "int"),
+        (id_col, chunks_emb.schema[id_col].dataType.simpleString()),
+        ("score", "long"),
+    ]
+    out_schema = ", ".join(f"{n} {t}" for n, t in out_fields)
+
+    def score_batches(it):
+        for pdf in it:
+            pdf = pdf[pdf[vec_col].notna()]
+            n = len(pdf)
+            if n == 0:
+                continue
+            emb = np.asarray(list(pdf[vec_col]), dtype=np.int64)
+            scores = emb @ q_mat  # n×Q, exact int64
+            ids = pdf[id_col].to_numpy()
+            take = min(k, n)
+            # kth-best score per query; keep every row at or above it
+            kth = np.partition(scores, n - take, axis=0)[n - take, :]
+            rows_i, cols_q = np.nonzero(scores >= kth[None, :])
+            yield pd.DataFrame(
+                {
+                    "qi": cols_q.astype("int32"),
+                    id_col: ids[rows_i],
+                    "score": scores[rows_i, cols_q],
+                }
+            )
+
+    spark = chunks_emb.sparkSession
+    qid_df = spark.createDataFrame(
+        list(enumerate(q_ids)),
+        f"qi int, {query_id_col} {queries.schema[query_id_col].dataType.simpleString()}",
+    )
+    cand = chunks_emb.select(id_col, vec_col).mapInPandas(
+        score_batches, schema=out_schema
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.join(F.broadcast(qid_df), "qi")
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "score")

@@ -92,8 +92,17 @@ def mentions_raw(parsed: DataFrame) -> DataFrame:
     # every parsed node (incl. 未知 endpoints) is a chunk-level mention,
     # matching add_graph_documents(include_source=True) → MENTIONS
     # (graph_writer.py:226-231, 272-281)
+    # dedup INCLUDES conv_id: chunk ids are content hashes, so the
+    # same (chunk, entity) pair can be contributed by several
+    # conversations. Keeping one row PER CONTRIBUTING CONV makes this
+    # table conv-complete — the delta incremental path merges it by
+    # conv_id (plans/incremental.py), and a corpus-wide dedup here
+    # would let a conv deletion drop a pair another conv still holds
+    # (and pick its surviving conv_id nondeterministically). The
+    # canonical mentions table dedups to one row per (chunk, entity)
+    # downstream with a deterministic min-conv pin (rewrite_mentions).
     return (
         parsed.where(F.col("kind") == "node")
         .select("chunk_id", "conv_id", F.col("a").alias("entity_id"))
-        .dropDuplicates(["chunk_id", "entity_id"])
+        .dropDuplicates(["conv_id", "chunk_id", "entity_id"])
     )

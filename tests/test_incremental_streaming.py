@@ -590,6 +590,77 @@ def test_delta_incremental_noop_cycle_rewrites_nothing(
     assert after3 == before
 
 
+def test_delta_incremental_shared_chunk_survives_conv_delete(
+    spark, tmp_path_factory
+):
+    """Two conversations share identical chunk text (content-hash
+    chunk ids collide by design). Deleting EITHER one incrementally
+    must leave every (chunk, entity) mention the surviving twin still
+    holds — i.e. incremental == fresh rebuild for mentions/triples.
+
+    Guards the mentions_raw dedup scope: a corpus-wide
+    dropDuplicates(chunk_id, entity_id) stores the pair under only ONE
+    (arbitrary) conv, so the conv-keyed delta MERGE loses it when that
+    conv is deleted. mentions_raw must stay conv-complete (dedup per
+    conv), with the one-row-per-pair dedup applied only in the
+    canonical rewrite (deterministic min-conv pin)."""
+    base = generate_transcripts(6)
+    clone = [
+        {**r, "conv_id": "conv-clone"}
+        for r in base
+        if r["conv_id"] == "conv-000002"
+    ]
+    v1 = base + clone
+
+    # deleting either twin must converge to the same rebuilt state
+    for victim in ["conv-000002", "conv-clone"]:
+        wh = str(tmp_path_factory.mktemp(f"wh_twin_{victim}"))
+        cfg = BuildConfig(
+            warehouse=wh,
+            similarity_method="exact",
+            extraction_buckets=2,
+            bucket_convs=8,
+        )
+        build_all(
+            spark, spark.createDataFrame(v1, schema=schemas.TRANSCRIPTS), cfg
+        )
+        v2_rows = [r for r in v1 if r["conv_id"] != victim]
+        v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+        tables = incremental_update(spark, v2_df, wh, cfg=cfg)
+
+        wh2 = str(tmp_path_factory.mktemp(f"wh_twin_ref_{victim}"))
+        rebuilt = build_all(
+            spark,
+            v2_df,
+            BuildConfig(
+                warehouse=wh2,
+                similarity_method="exact",
+                extraction_buckets=2,
+                bucket_convs=8,
+            ),
+        )
+        for name in ["mentions", "mentions_raw", "triples", "chunks"]:
+            cols = sorted(tables[name].columns)
+            a = {tuple(r) for r in tables[name].select(*cols).collect()}
+            b = {
+                tuple(r)
+                for r in rebuilt.tables[name].select(*cols).collect()
+            }
+            assert a == b, f"{name} diverged after deleting {victim}"
+        # the surviving twin still holds every shared chunk's mentions
+        twin = "conv-clone" if victim == "conv-000002" else "conv-000002"
+        twin_chunks = {
+            r["chunk_id"]
+            for r in tables["chunks"]
+            .where(F.col("conv_id") == twin)
+            .collect()
+        }
+        mention_chunks = {
+            r["chunk_id"] for r in tables["mentions"].collect()
+        }
+        assert twin_chunks and twin_chunks <= mention_chunks
+
+
 def test_delta_extraction_cache_hits_across_conversations(
     spark, transcripts_df, tmp_path_factory
 ):
