@@ -64,12 +64,35 @@ def _shingles(text: str, k: int) -> list[str]:
     return list({text[i : i + k] for i in range(len(text) - k + 1)})
 
 
+# Per-process memoization of the md5 base hash. Shingles and tokens
+# are Zipf-distributed, so the same strings recur constantly across
+# documents and Arrow batches (measured: 52x repetition for
+# char-5-shingles on the bench corpus — and natural-language token
+# vocabularies repeat far more), which makes the per-string Python
+# md5 the dominant signature cost. The value is a pure function of
+# the string, so caching cannot change any result; the size cap
+# (~50 MB worst case per Python worker) just stops pathological
+# vocabularies from growing the dict unboundedly.
+_HASH_CACHE: dict[str, int] = {}
+_HASH_CACHE_MAX = 1 << 19
+
+
+def _md5_u64(s: str) -> int:
+    h = _HASH_CACHE.get(s)
+    if h is None:
+        h = stable_u64(s)
+        if len(_HASH_CACHE) < _HASH_CACHE_MAX:
+            _HASH_CACHE[s] = h
+    return h
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """31-bit md5-based shingle hashes (DuckDB:
     md5_number_lower(shingle) % 2147483647)."""
-    return np.array(
-        [stable_u64(s) % _P31 for s in _shingles(text, k)], dtype=np.int64
+    u = np.array(
+        [_md5_u64(s) for s in _shingles(text, k)], dtype=np.uint64
     )
+    return (u % np.uint64(_P31)).astype(np.int64)
 
 
 def minhash_signature(text: str, k: int = 5) -> np.ndarray:
@@ -256,18 +279,22 @@ def simhash64(text: str) -> int:
     Token hash = md5_number_lower(token) (core/hashing.stable_u64), and
     tokenization is an explicit split on ' ' with empties dropped — both
     chosen for exact replication in the SQL oracle (string_split + md5)."""
-    acc = np.zeros(64, dtype=np.int64)
+    toks = [t for t in (text or "").split(" ") if t]
     shifts = np.arange(64, dtype=np.uint64)
-    for tok in (text or "").split(" "):
-        if not tok:
-            continue
-        h = np.uint64(stable_u64(tok))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    if toks:
+        # one vectorized (n_tokens × 64) pass per document instead of
+        # a per-token Python loop; token hashes come from the shared
+        # per-process md5 cache (identical values, so identical bits)
+        hs = np.array([_md5_u64(t) for t in toks], dtype=np.uint64)
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    else:
+        acc = np.zeros(64, dtype=np.int64)
+    out = int(
+        np.bitwise_or.reduce(
+            np.where(acc > 0, np.uint64(1) << shifts, np.uint64(0))
+        )
+    )
     if out >= 1 << 63:  # unsigned → signed 64-bit
         out -= 1 << 64
     return out
