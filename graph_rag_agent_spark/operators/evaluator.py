@@ -419,9 +419,11 @@ def community_relevance(
     # non-naive paths share corpus-global community text (the
     # reference queries ignore the sample's ids): top-5 with members
     # (summary + full_content) vs top-10 summary-only fallback
-    w_all = Window.orderBy("community_id")
-    ranked = communities.withColumn("rn", F.row_number().over(w_all))
-    info5 = ranked.where(F.col("rn") <= top_other).agg(
+    # global top-k by community_id: orderBy().limit() plans as
+    # TakeOrderedAndProject (per-partition top-k + driver merge of k
+    # rows) — a bare Window.orderBy here would funnel the whole
+    # community catalog through one partition
+    info5 = communities.orderBy("community_id").limit(top_other).agg(
         F.concat_ws(
             " ",
             F.flatten(
@@ -443,8 +445,8 @@ def community_relevance(
         F.length(F.coalesce("summary", F.lit(""))) > 0
     )
     info10 = (
-        with_summary.withColumn("rn", F.row_number().over(w_all))
-        .where(F.col("rn") <= top_fallback)
+        with_summary.orderBy("community_id")
+        .limit(top_fallback)
         .agg(
             F.concat_ws(
                 " ",
