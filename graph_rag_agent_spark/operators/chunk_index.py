@@ -118,11 +118,21 @@ def _topk_integral_partial(
     score ties are never cut before the global id tie-break — and the
     final window sorts batches·|queries|·k rows instead of
     |rows|·|queries|. Integer arithmetic keeps scores bit-exact across
-    numpy / JVM / DuckDB, so results equal the naive plan row for row.
+    numpy / JVM / DuckDB, so results equal the naive plan row for row
+    on non-null vectors; rows/queries whose vector is null or has a
+    null element are excluded (the broadcast plan gives them null
+    scores, ranking them past every scoreable candidate — they could
+    only surface when a query has fewer than k scoreable rows).
     """
     import numpy as np
 
-    q_rows = queries.select(query_id_col, qvec_col).collect()
+    q_rows = [
+        r
+        for r in queries.select(query_id_col, qvec_col).collect()
+        # null / null-element query vectors can't be scored integrally;
+        # drop them here (the float broadcast path nulls their scores)
+        if r[1] is not None and all(v is not None for v in r[1])
+    ]
     if not q_rows:
         spark = chunks_emb.sparkSession
         q_id_type = queries.schema[query_id_col].dataType.simpleString()
@@ -141,26 +151,42 @@ def _topk_integral_partial(
     ]
     out_schema = ", ".join(f"{n} {t}" for n, t in out_fields)
 
+    # bound the per-worker score matrix: n_batch × Q_BLOCK int64, not
+    # n_batch × |queries| — peak memory stays O(batch·block) however
+    # large the query set grows (each query's top-k superset is
+    # computed within its own block, so per-block emission is exact)
+    q_block = 256
+
     def score_batches(it):
         for pdf in it:
-            pdf = pdf[pdf[vec_col].notna()]
-            n = len(pdf)
+            vals = pdf[vec_col].tolist()
+            keep = [
+                i
+                for i, v in enumerate(vals)
+                # rows whose embedding is null or has a null element
+                # can't be scored integrally; the float broadcast path
+                # nulls their scores, which ranks them past every real
+                # candidate — dropping them here matches that top-k
+                if v is not None and not any(e is None for e in v)
+            ]
+            n = len(keep)
             if n == 0:
                 continue
-            emb = np.asarray(list(pdf[vec_col]), dtype=np.int64)
-            scores = emb @ q_mat  # n×Q, exact int64
-            ids = pdf[id_col].to_numpy()
+            emb = np.asarray([vals[i] for i in keep], dtype=np.int64)
+            ids = pdf[id_col].to_numpy()[keep]
             take = min(k, n)
-            # kth-best score per query; keep every row at or above it
-            kth = np.partition(scores, n - take, axis=0)[n - take, :]
-            rows_i, cols_q = np.nonzero(scores >= kth[None, :])
-            yield pd.DataFrame(
-                {
-                    "qi": cols_q.astype("int32"),
-                    id_col: ids[rows_i],
-                    "score": scores[rows_i, cols_q],
-                }
-            )
+            for q0 in range(0, q_mat.shape[1], q_block):
+                scores = emb @ q_mat[:, q0 : q0 + q_block]
+                # kth-best score per query; keep all rows at/above it
+                kth = np.partition(scores, n - take, axis=0)[n - take, :]
+                rows_i, cols_q = np.nonzero(scores >= kth[None, :])
+                yield pd.DataFrame(
+                    {
+                        "qi": (cols_q + q0).astype("int32"),
+                        id_col: ids[rows_i],
+                        "score": scores[rows_i, cols_q],
+                    }
+                )
 
     spark = chunks_emb.sparkSession
     qid_df = spark.createDataFrame(

@@ -77,11 +77,19 @@ _HASH_CACHE: dict[str, int] = {}
 _HASH_CACHE_MAX = 1 << 19
 
 
+_HASH_CACHE_MAX_LEN = 64
+
+
 def _md5_u64(s: str) -> int:
     h = _HASH_CACHE.get(s)
     if h is None:
         h = stable_u64(s)
-        if len(_HASH_CACHE) < _HASH_CACHE_MAX:
+        # cap cached-key LENGTH too: the entry cap alone bounds count,
+        # not bytes — space-free text (CJK prose, base64 blobs) makes
+        # arbitrarily long single "tokens" that never recur, so caching
+        # them costs memory for zero hit rate. Shingles are k chars and
+        # natural tokens are short; both stay well under the cap.
+        if len(s) <= _HASH_CACHE_MAX_LEN and len(_HASH_CACHE) < _HASH_CACHE_MAX:
             _HASH_CACHE[s] = h
     return h
 
@@ -281,15 +289,21 @@ def simhash64(text: str) -> int:
     chosen for exact replication in the SQL oracle (string_split + md5)."""
     toks = [t for t in (text or "").split(" ") if t]
     shifts = np.arange(64, dtype=np.uint64)
-    if toks:
-        # one vectorized (n_tokens × 64) pass per document instead of
-        # a per-token Python loop; token hashes come from the shared
-        # per-process md5 cache (identical values, so identical bits)
-        hs = np.array([_md5_u64(t) for t in toks], dtype=np.uint64)
+    # vectorized (block × 64) passes instead of a per-token Python
+    # loop; token hashes come from the shared per-process md5 cache
+    # (identical values, so identical bits). Blocking the token axis
+    # keeps the bit-matrix temporaries L2-resident — same reasoning
+    # as minhash_signature's per-permutation loop above — so 32
+    # concurrent Arrow workers don't saturate memory bandwidth on
+    # long documents.
+    acc = np.zeros(64, dtype=np.int64)
+    block = 1024
+    for t0 in range(0, len(toks), block):
+        hs = np.array(
+            [_md5_u64(t) for t in toks[t0 : t0 + block]], dtype=np.uint64
+        )
         bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
-        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    else:
-        acc = np.zeros(64, dtype=np.int64)
+        acc += (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = int(
         np.bitwise_or.reduce(
             np.where(acc > 0, np.uint64(1) << shifts, np.uint64(0))

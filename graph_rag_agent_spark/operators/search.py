@@ -179,10 +179,13 @@ def local_search_batch(
     driver barriers for work one plan can share.
 
     Scale shape (the 100 TB path):
-      - the query set broadcasts (thousands of rows × small vectors);
-      - seed scoring is one JVM pass over the entity table — no UDF,
-        no per-query scan: ``chunk_topk`` evaluates all queries
-        against each entity partition in place;
+      - the query set is small-by-contract (thousands of rows × small
+        vectors): float metrics broadcast it into one JVM scoring
+        pass; the integer-dot path instead collects it driver-side
+        and scores each stored Arrow batch with one blocked numpy
+        matmul, emitting only per-query partial top-k candidates
+        (``chunk_index._topk_integral_partial``) — either way the
+        stored side is scored in place, never collected;
       - every top-k is a window PARTITIONED BY query_id — parallel
         across queries, never a single-partition global sort;
       - the chunk / community / relationship fan-outs join the

@@ -130,6 +130,12 @@ class BuildResult:
 
 LINK_PARAMS_FILE = "_link_params.json"
 
+FORMAT_FILE = "_format_version.json"
+# 2: mentions_raw is conv-complete — one row per CONTRIBUTING conv for
+#    a shared content-hash chunk (operators/parsing.mentions_raw), the
+#    invariant the delta incremental path's conv-keyed MERGE relies on
+FORMAT_VERSION = 2
+
 
 def link_fingerprint(cfg) -> dict:
     """The linking-config fingerprint persisted beside canonical_map —
@@ -201,6 +207,21 @@ class _Warehouse:
         except Exception:
             return None
 
+    def write_format_version(self) -> None:
+        with open(os.path.join(self.root, FORMAT_FILE), "w") as fh:
+            json.dump({"version": FORMAT_VERSION}, fh)
+
+    def stored_format_version(self) -> int:
+        """Version stamped at the end of the last completed
+        build/cycle; warehouses predating the marker (or a corrupt
+        marker) read as 1 — the safe direction: the one-time repairs
+        in ensure_mentions_raw_conv_complete re-run idempotently."""
+        try:
+            with open(os.path.join(self.root, FORMAT_FILE)) as fh:
+                return int(json.load(fh).get("version", 1))
+        except Exception:
+            return 1
+
     def append_lineage(
         self,
         stage: str,
@@ -257,6 +278,45 @@ class _Warehouse:
         except Exception:
             return set()
         return {r["partition_id"] for r in rows}
+
+
+def ensure_mentions_raw_conv_complete(wh: _Warehouse) -> bool:
+    """One-time repair for warehouses written before format v2.
+
+    Pre-v2 ``mentions_raw`` used a corpus-wide dropDuplicates(chunk_id,
+    entity_id): a (chunk, entity) pair contributed by several
+    conversations (content-hash chunk ids collide by design) was
+    stored under ONE arbitrary conv, so the delta path's conv-keyed
+    MERGE lost the pair when that conv was deleted even though another
+    conversation still held the chunk. ``entities_raw`` is stored
+    WITHOUT dedup (every parsed node occurrence), so the conv-complete
+    table is exactly its distinct (conv, chunk, entity) projection —
+    rebuild mentions_raw from it through the table's own bucketed
+    layout, then stamp the format marker. Idempotent; returns True
+    when a rebuild happened."""
+    from .merge import table_bucket_spec, write_bucketed
+
+    if wh.stored_format_version() >= FORMAT_VERSION:
+        return False
+    if not wh.exists("mentions_raw") or not wh.exists("entities_raw"):
+        # nothing to repair (fresh or partial warehouse) — stamp so
+        # later cycles don't re-probe
+        wh.write_format_version()
+        return False
+    rebuilt = (
+        wh.read("entities_raw")
+        .select("chunk_id", "conv_id", "entity_id")
+        .dropDuplicates(["conv_id", "chunk_id", "entity_id"])
+    )
+    spec = table_bucket_spec(wh.path("mentions_raw"))
+    if spec is not None:
+        write_bucketed(
+            rebuilt, wh.path("mentions_raw"), spec["key"], spec["num_buckets"]
+        )
+    else:
+        rebuilt.write.mode("overwrite").parquet(wh.path("mentions_raw"))
+    wh.write_format_version()
+    return True
 
 
 def _stage(
@@ -422,6 +482,16 @@ def build_all(
         ]
     )
     res.tables.update(entities_raw=e_raw, triples_raw=t_raw, mentions_raw=m_raw)
+
+    # format-v2 guarantee: a resume may have reused a pre-upgrade
+    # mentions_raw (corpus-wide dedup) — repair it before anything
+    # downstream consumes it; a fresh write is v2 by construction
+    if cfg.resume:
+        if ensure_mentions_raw_conv_complete(wh):
+            m_raw = wh.read("mentions_raw")
+            res.tables["mentions_raw"] = m_raw
+    else:
+        wh.write_format_version()
 
     # inverted pair indexes (bucketed warehouses only): entity→conv and
     # chunk→conv. These are the Spark analogue of Neo4j's adjacency

@@ -130,6 +130,13 @@ def incremental_update(
     wh = _Warehouse(spark, warehouse)
     wh.link_params = link_fingerprint(cfg)
 
+    # one-time repair of pre-v2 warehouses: a corpus-wide-deduped
+    # mentions_raw would make the delta path's conv-keyed MERGE drop
+    # shared-chunk pairs on conv delete (build.py docstring)
+    from .build import ensure_mentions_raw_conv_complete
+
+    ensure_mentions_raw_conv_complete(wh)
+
     if _delta_capable(wh):
         return _incremental_update_delta(spark, new_transcripts, wh, cfg)
 

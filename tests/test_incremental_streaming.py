@@ -661,6 +661,84 @@ def test_delta_incremental_shared_chunk_survives_conv_delete(
         assert twin_chunks and twin_chunks <= mention_chunks
 
 
+def test_pre_v2_warehouse_mentions_raw_repair(spark, tmp_path_factory):
+    """A warehouse written by pre-v2 code (corpus-wide mentions_raw
+    dedup, no format marker) is repaired on the next incremental
+    cycle: mentions_raw is rebuilt conv-complete from the undeduped
+    entities_raw, the format marker is stamped, and deleting the conv
+    the old dedup had pinned a shared pair to no longer loses it."""
+    import os
+
+    from pyspark.sql import Window
+
+    from graph_rag_agent_spark.plans.build import (
+        FORMAT_FILE,
+        FORMAT_VERSION,
+        _Warehouse,
+    )
+    from graph_rag_agent_spark.plans.merge import (
+        table_bucket_spec,
+        write_bucketed,
+    )
+
+    base = generate_transcripts(6)
+    clone = [
+        {**r, "conv_id": "conv-clone"}
+        for r in base
+        if r["conv_id"] == "conv-000002"
+    ]
+    v1 = base + clone
+    wh_path = str(tmp_path_factory.mktemp("wh_prev2"))
+    cfg = BuildConfig(
+        warehouse=wh_path,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    build_all(spark, spark.createDataFrame(v1, schema=schemas.TRANSCRIPTS), cfg)
+
+    # simulate the pre-v2 layout: pin each (chunk, entity) pair to its
+    # minimum conv (what dropDuplicates could have kept) and drop the
+    # format marker
+    wh = _Warehouse(spark, wh_path)
+    mr_path = wh.path("mentions_raw")
+    spec = table_bucket_spec(mr_path)
+    w = Window.partitionBy("chunk_id", "entity_id").orderBy("conv_id")
+    old_style = (
+        wh.read("mentions_raw")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint()  # materialize before overwriting its source
+    )
+    write_bucketed(old_style, mr_path, spec["key"], spec["num_buckets"])
+    os.remove(os.path.join(wh_path, FORMAT_FILE))
+    assert wh.stored_format_version() < FORMAT_VERSION
+
+    # delete the conv the old dedup pinned shared pairs to (min conv)
+    v2_rows = [r for r in v1 if r["conv_id"] != "conv-000002"]
+    v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+    tables = incremental_update(spark, v2_df, wh_path, cfg=cfg)
+    assert wh.stored_format_version() >= FORMAT_VERSION
+
+    wh2 = str(tmp_path_factory.mktemp("wh_prev2_ref"))
+    rebuilt = build_all(
+        spark,
+        v2_df,
+        BuildConfig(
+            warehouse=wh2,
+            similarity_method="exact",
+            extraction_buckets=2,
+            bucket_convs=8,
+        ),
+    )
+    for name in ["mentions", "mentions_raw", "triples"]:
+        cols = sorted(tables[name].columns)
+        a = {tuple(r) for r in tables[name].select(*cols).collect()}
+        b = {tuple(r) for r in rebuilt.tables[name].select(*cols).collect()}
+        assert a == b, f"{name} diverged after pre-v2 repair"
+
+
 def test_delta_extraction_cache_hits_across_conversations(
     spark, transcripts_df, tmp_path_factory
 ):
