@@ -30,7 +30,6 @@ partition"):
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -62,6 +61,7 @@ from ..operators.parsing import (
     triples_raw,
 )
 from ..sources.transcripts import conversation_registry
+from . import fsio
 
 
 @dataclass
@@ -164,7 +164,7 @@ class _Warehouse:
         return os.path.join(self.root, name)
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+        return fsio.exists(os.path.join(self.path(name), "_SUCCESS"))
 
     def read(self, name: str) -> DataFrame:
         from ..operators.canonicalize import TRIPLE_KEY_COL
@@ -191,8 +191,9 @@ class _Warehouse:
         else:
             df.write.mode(mode).parquet(self.path(name))
         if name == "canonical_map" and self.link_params is not None:
-            with open(os.path.join(self.root, LINK_PARAMS_FILE), "w") as fh:
-                json.dump(self.link_params, fh)
+            fsio.write_json(
+                os.path.join(self.root, LINK_PARAMS_FILE), self.link_params
+            )
         return self.read(name)
 
     def stored_link_params(self) -> dict | None:
@@ -202,14 +203,14 @@ class _Warehouse:
         direction: reuse is declined and the chain recomputes (same
         fallback shape as merge.table_bucket_spec)."""
         try:
-            with open(os.path.join(self.root, LINK_PARAMS_FILE)) as fh:
-                return json.load(fh)
+            return fsio.read_json(os.path.join(self.root, LINK_PARAMS_FILE))
         except Exception:
             return None
 
     def write_format_version(self) -> None:
-        with open(os.path.join(self.root, FORMAT_FILE), "w") as fh:
-            json.dump({"version": FORMAT_VERSION}, fh)
+        fsio.write_json(
+            os.path.join(self.root, FORMAT_FILE), {"version": FORMAT_VERSION}
+        )
 
     def stored_format_version(self) -> int:
         """Version stamped at the end of the last completed
@@ -217,8 +218,11 @@ class _Warehouse:
         marker) read as 1 — the safe direction: the one-time repairs
         in ensure_mentions_raw_conv_complete re-run idempotently."""
         try:
-            with open(os.path.join(self.root, FORMAT_FILE)) as fh:
-                return int(json.load(fh).get("version", 1))
+            return int(
+                fsio.read_json(os.path.join(self.root, FORMAT_FILE)).get(
+                    "version", 1
+                )
+            )
         except Exception:
             return 1
 
@@ -265,7 +269,7 @@ class _Warehouse:
         lineage.write.mode("append").parquet(self.path("lineage"))
 
     def completed_partitions(self, stage: str) -> set[int]:
-        if not os.path.exists(self.path("lineage")):
+        if not fsio.exists(self.path("lineage")):
             return set()
         try:
             rows = (
@@ -352,15 +356,13 @@ def _extraction_stage(
 
     cache_path = wh.path("extraction_cache")
     done = wh.completed_partitions("extract") if cfg.resume else set()
-    if not cfg.resume and os.path.exists(cache_path):
+    if not cfg.resume and fsio.exists(cache_path):
         # fresh rebuild must not reuse a stale cache: a changed
         # extractor/config would otherwise survive via the
         # dropDuplicates(chunk_id) pick (nondeterministic winner)
-        import shutil
-
-        shutil.rmtree(cache_path, ignore_errors=True)
+        fsio.rmtree(cache_path)
     cache = None
-    if os.path.exists(cache_path):
+    if fsio.exists(cache_path):
         try:
             cache = wh.read("extraction_cache")
         except Exception:
@@ -411,7 +413,7 @@ def build_all(
 ) -> BuildResult:
     wh = _Warehouse(spark, cfg.warehouse)
     wh.link_params = link_fingerprint(cfg)
-    os.makedirs(cfg.warehouse, exist_ok=True)
+    fsio.makedirs(cfg.warehouse)
     res = BuildResult()
     t_start = time.time()
 

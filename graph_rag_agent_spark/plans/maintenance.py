@@ -44,32 +44,25 @@ Scale notes:
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsio
+
 
 def _data_files(d: str) -> list[str]:
-    try:
-        return [
-            f
-            for f in os.listdir(d)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        ]
-    except FileNotFoundError:
-        return []
+    return [
+        f
+        for f in fsio.listdir(d)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
 
 
 def _partition_dirs(path: str) -> list[str]:
-    try:
-        return sorted(
-            os.path.join(path, n)
-            for n in os.listdir(path)
-            if "=" in n and os.path.isdir(os.path.join(path, n))
-        )
-    except FileNotFoundError:
-        return []
+    return sorted(
+        os.path.join(path, n) for n in fsio.list_dirs(path) if "=" in n
+    )
 
 
 def compact_table(
@@ -83,7 +76,7 @@ def compact_table(
     the target are not read at all."""
     from .build import _run_parallel
 
-    if not os.path.isdir(path):
+    if not fsio.is_dir(path):
         return {"units_compacted": 0, "files_before": 0, "files_after": 0}
     units = _partition_dirs(path) or [path]
 
@@ -127,7 +120,7 @@ def vacuum_turn_log(spark: SparkSession, warehouse: str) -> dict:
     SOURCE files, not the log, so vacuuming between passes is safe.
     """
     turn_log = os.path.join(warehouse, "turn_log")
-    if not os.path.isdir(turn_log) or not _partition_dirs(turn_log):
+    if not fsio.is_dir(turn_log) or not _partition_dirs(turn_log):
         return {"rows_deleted": 0, "partitions_rewritten": 0,
                 "partitions_removed": 0}
     log = spark.read.parquet(turn_log)
@@ -170,10 +163,7 @@ def vacuum_turn_log(spark: SparkSession, warehouse: str) -> dict:
     removed = 0
     for b in touched:
         if b not in surviving:
-            shutil.rmtree(
-                os.path.join(turn_log, f"ingest_batch={b}"),
-                ignore_errors=True,
-            )
+            fsio.rmtree(os.path.join(turn_log, f"ingest_batch={b}"))
             removed += 1
     return {
         "rows_deleted": n_deleted,
@@ -198,7 +188,7 @@ def vacuum_chunk_embeddings(spark: SparkSession, warehouse: str) -> dict:
 
     wh = _Warehouse(spark, warehouse)
     ce_path = wh.path("chunk_embeddings")
-    if not os.path.isdir(ce_path) or not os.path.isdir(wh.path("chunks")):
+    if not fsio.is_dir(ce_path) or not fsio.is_dir(wh.path("chunks")):
         return {"rows_deleted": 0}
     live = wh.read("chunks").select("chunk_id").distinct()
     orphans = (
@@ -234,7 +224,7 @@ def vacuum_extraction_cache(spark: SparkSession, warehouse: str) -> dict:
 
     wh = _Warehouse(spark, warehouse)
     cache_path = wh.path("extraction_cache")
-    if not os.path.isdir(cache_path) or not os.path.isdir(wh.path("chunks")):
+    if not fsio.is_dir(cache_path) or not fsio.is_dir(wh.path("chunks")):
         return {"rows_deleted": 0}
     live = wh.read("chunks").select("chunk_id").distinct()
     cache = wh.read("extraction_cache")
@@ -279,12 +269,12 @@ def maintain_warehouse(spark: SparkSession, warehouse: str) -> dict:
     }
     for name in COMPACT_TABLES:
         path = os.path.join(warehouse, name)
-        if os.path.isdir(path):
+        if fsio.is_dir(path):
             report[f"compact_{name}"] = compact_table(spark, path)
     rows_deleted = sum(
         step.get("rows_deleted", 0) for step in report.values()
     )
     wh = _Warehouse(spark, warehouse)
-    if os.path.isdir(wh.path("lineage")):
+    if fsio.is_dir(wh.path("lineage")):
         wh.append_lineage("maintenance", -1, rows_deleted, t0)
     return report

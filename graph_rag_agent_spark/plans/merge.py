@@ -26,25 +26,24 @@ Merge semantics follow Iceberg/ANSI MERGE INTO:
 Source rows must be unique per key (enforced — ANSI MERGE raises on
 multiple matches; we dropDuplicates after an explicit check hook).
 
-LOCAL-FS CONSTRAINT: table state (bucket spec, partition listing,
-emptied-bucket removal) is probed with os/​shutil, so this module —
-and the warehouse/registry probes in plans/build.py and
-streaming/pipeline.py — assumes a POSIX-visible warehouse path
-(local disk, NFS, FUSE-mounted object store). Running against raw
-HDFS/S3 URIs requires routing these probes through the Hadoop
-FileSystem API (spark._jvm.org.apache.hadoop.fs.FileSystem) — a
-mechanical swap kept out of the sandbox build, where only local
-paths exist; real deployments would use actual Iceberg MERGE INTO
-anyway (see module intro).
+Table state (bucket spec sidecar, partition listing, emptied-bucket
+removal) is probed through plans/fsio, which resolves the
+scheme-appropriate Hadoop FileSystem from the active session — the
+same code drives local disk, HDFS, or any object store whose
+connector is on the classpath. These are metadata ops (O(buckets)
+listings, O(bytes) sidecar reads), never data reads. Real
+deployments would use actual Iceberg MERGE INTO anyway (see module
+intro).
 """
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import fsio
 
 BUCKET_COL = "__bucket"
 
@@ -55,15 +54,16 @@ def table_bucket_spec(path: str) -> dict | None:
     transform in table metadata for the same reason: the modulus must
     match the layout exactly or keys map to the wrong partitions)."""
     try:
-        with open(os.path.join(path, "_bucket_spec.json")) as fh:
-            return json.load(fh)
+        return fsio.read_json(os.path.join(path, "_bucket_spec.json"))
     except Exception:
         return None
 
 
 def _write_spec(path: str, key: str, num_buckets: int) -> None:
-    with open(os.path.join(path, "_bucket_spec.json"), "w") as fh:
-        json.dump({"key": key, "num_buckets": num_buckets}, fh)
+    fsio.write_json(
+        os.path.join(path, "_bucket_spec.json"),
+        {"key": key, "num_buckets": num_buckets},
+    )
 
 
 def _resolve_buckets(path: str, key: str, num_buckets: int | None) -> int:
@@ -114,7 +114,7 @@ def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
 
 def _table_buckets(path: str) -> list[int]:
     out = []
-    for name in os.listdir(path):
+    for name in fsio.listdir(path):
         if name.startswith(f"{BUCKET_COL}="):
             out.append(int(name.split("=", 1)[1]))
     return sorted(out)
@@ -158,7 +158,7 @@ def merge_into(
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete: {when_matched}")
-    if not os.path.exists(path):
+    if not fsio.exists(path):
         # WHEN NOT MATCHED over an absent table = CREATE TABLE AS
         if when_matched == "delete":
             return {"touched_buckets": [], "total_buckets": 0}
@@ -225,13 +225,9 @@ def merge_into(
         )
         _write_spec(path, key, num_buckets)
     if when_matched == "delete":
-        import shutil
-
         for b in read_buckets:
             if b not in surviving:
-                shutil.rmtree(
-                    os.path.join(path, f"{BUCKET_COL}={b}"), ignore_errors=True
-                )
+                fsio.rmtree(os.path.join(path, f"{BUCKET_COL}={b}"))
         _keep_readable(merged, path, key, num_buckets)
     return {
         "touched_buckets": touched,
@@ -254,7 +250,7 @@ def upsert_groups(
     (a conversation's chunk/extraction rows are a group, not one row).
     Copy-on-write at bucket granularity exactly as merge_into: only
     partitions holding affected keys are read or rewritten."""
-    if not os.path.exists(path):
+    if not fsio.exists(path):
         write_bucketed(new_rows, path, key, num_buckets or 64)
         bs = _table_buckets(path)
         return {"touched_buckets": bs, "total_buckets": len(bs)}
@@ -299,13 +295,9 @@ def upsert_groups(
             .parquet(path)
         )
         _write_spec(path, key, num_buckets)
-    import shutil
-
     for b in read_buckets:
         if b not in surviving:
-            shutil.rmtree(
-                os.path.join(path, f"{BUCKET_COL}={b}"), ignore_errors=True
-            )
+            fsio.rmtree(os.path.join(path, f"{BUCKET_COL}={b}"))
     _keep_readable(merged, path, key, num_buckets)
     return {
         "touched_buckets": touched,

@@ -67,11 +67,13 @@ def _migrate_legacy_turn_log(spark: SparkSession, turn_log: str) -> None:
     their ingest_batch=<id> partitions once, then drop them."""
     import os
 
-    if not os.path.isdir(turn_log):
+    from ..plans import fsio
+
+    if not fsio.is_dir(turn_log):
         return
     legacy = [
         f
-        for f in os.listdir(turn_log)
+        for f in fsio.listdir(turn_log)
         if f.endswith(".parquet") and not f.startswith("_")
     ]
     if not legacy:
@@ -86,7 +88,7 @@ def _migrate_legacy_turn_log(spark: SparkSession, turn_log: str) -> None:
     max_batch = old.agg(F.max("ingest_batch")).first()[0]
     if max_batch is None:  # 0-row legacy part files: nothing to park
         for f in legacy:
-            os.remove(os.path.join(turn_log, f))
+            fsio.remove(os.path.join(turn_log, f))
         return
     old = old.withColumn(
         "ingest_batch",
@@ -105,7 +107,7 @@ def _migrate_legacy_turn_log(spark: SparkSession, turn_log: str) -> None:
         .parquet(turn_log)
     )
     for f in legacy:
-        os.remove(os.path.join(turn_log, f))
+        fsio.remove(os.path.join(turn_log, f))
 
 
 def stream_incremental_build(
@@ -143,9 +145,9 @@ def stream_incremental_build(
         snapshot = latest_conversation_snapshot(
             spark.read.parquet(turn_log)
         ).localCheckpoint()
-        import os
+        from ..plans import fsio
 
-        if os.path.exists(f"{warehouse}/registry"):
+        if fsio.exists(f"{warehouse}/registry"):
             incremental_update(spark, snapshot, warehouse, build_cfg)
         else:
             build_all(spark, snapshot, build_cfg)
@@ -192,8 +194,7 @@ def gated_stream_build(
     Returns the number of closed conversations built over so far
     (0 → no build ran yet: everything is still inside the gap).
     """
-    import os
-
+    from ..plans import fsio
     from ..plans.build import BuildConfig, build_all
     from ..plans.incremental import incremental_update
     from .sessionize import conversation_sessions
@@ -253,7 +254,7 @@ def gated_stream_build(
         .drop("_file_mtime", "_file_path", "_rn")
         .localCheckpoint()
     )
-    if os.path.exists(f"{warehouse}/registry"):
+    if fsio.exists(f"{warehouse}/registry"):
         incremental_update(spark, snapshot, warehouse, build_cfg)
     else:
         build_all(spark, snapshot, build_cfg)
