@@ -6,13 +6,15 @@ Images/audio/video are opaque ``binary`` columns with typed metadata:
            width int, height int, sample_rate int, duration_ms int)
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shapes,
-mapInPandas signatures — is real and tested. The actual codec work
-(image decode, resize, audio features, frame sampling) is STUBBED:
-the container has no image/audio libraries, so each transform either
-raises NotImplementedError (mode='real') or produces a deterministic
-fake derived from the payload hash (mode='stub', used in tests).
-Swapping in Pillow/torchaudio/pyav is a body-only change inside the
-clearly-marked _decode_* functions.
+mapInPandas signatures — is real and tested. Codec bodies resolve
+from extras/codecs.py as a per-modality ladder: the full-coverage
+library rung (Pillow / soundfile / PyAV) when installed, else a
+stdlib+numpy BASELINE rung that genuinely decodes the uncompressed
+container formats (BMP/PGM/PPM images, PCM WAV audio, YUV4MPEG2
+video) and quarantines compressed formats per-row with an install
+hint. ``mode='stub'`` (the CI default for the synthetic md5-payload
+assets) keeps a deterministic byte-arithmetic fake that the DuckDB
+oracle can replay.
 """
 
 from __future__ import annotations
@@ -82,40 +84,6 @@ def _stub_feature(payload: bytes) -> list[float]:
     ]
 
 
-def _decode_image_features(payload: bytes, mode: str) -> list[float]:
-    if mode == "real":
-        raise NotImplementedError(
-            "image decode requires Pillow/opencv — not in this container; "
-            "plug the real decoder here"
-        )
-    return _stub_feature(payload)
-
-
-def _decode_audio_features(payload: bytes, mode: str) -> list[float]:
-    if mode == "real":
-        raise NotImplementedError(
-            "audio feature extraction requires torchaudio/librosa — "
-            "plug the real extractor here"
-        )
-    return _stub_feature(payload)
-
-
-def _decode_video_features(payload: bytes, mode: str) -> list[float]:
-    if mode == "real":
-        raise NotImplementedError(
-            "video frame sampling requires pyav/ffmpeg — plug the real "
-            "sampler here"
-        )
-    return _stub_feature(payload)
-
-
-_DECODERS = {
-    "image": _decode_image_features,
-    "audio": _decode_audio_features,
-    "video": _decode_video_features,
-}
-
-
 def extract_features(assets: DataFrame, mode: str = "stub") -> DataFrame:
     """mapInPandas over binary payloads → fixed-dim feature vectors.
 
@@ -123,12 +91,14 @@ def extract_features(assets: DataFrame, mode: str = "stub") -> DataFrame:
     bytes; errors are captured per-row into decode_status (mirrors the
     pipeline's empty-on-error policy rather than failing the stage).
 
-    ``mode='real'`` resolves per-modality decoders from
-    extras/codecs.py DRIVER-SIDE: if a modality's library (Pillow /
-    soundfile / PyAV) is missing, the call fails here with an install
-    hint instead of shipping a latent NotImplementedError into
-    executors. The stub mode is the CI default and exercises the
-    identical Spark plumbing.
+    ``mode='real'`` resolves per-modality decoder ladders from
+    extras/codecs.py DRIVER-SIDE (library rung when installed, always-
+    available stdlib+numpy baseline rung for uncompressed formats);
+    a modality whose ladder fails to construct fails the call here
+    with an install hint instead of shipping a latent error into
+    executors, while per-PAYLOAD format failures quarantine row-level
+    into decode_status. The stub mode is the CI default for synthetic
+    assets and exercises the identical Spark plumbing.
     """
     if mode == "real":
         from ..extras.codecs import load_decoders
@@ -143,10 +113,13 @@ def extract_features(assets: DataFrame, mode: str = "stub") -> DataFrame:
         def decode(kind, payload):
             return real_decoders[kind](payload)
 
-    else:
+    elif mode == "stub":
 
         def decode(kind, payload):
-            return _DECODERS[kind](payload, mode)
+            return _stub_feature(payload)
+
+    else:
+        raise ValueError(f"mode must be 'real' or 'stub': {mode!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -157,8 +130,6 @@ def extract_features(assets: DataFrame, mode: str = "stub") -> DataFrame:
                 try:
                     feat = decode(kind, payload)
                     out.append((asset_id, kind, feat, len(feat), "ok"))
-                except NotImplementedError as e:
-                    out.append((asset_id, kind, None, 0, f"stubbed: {e}"))
                 except Exception as e:  # decode failure → quarantine row
                     out.append((asset_id, kind, None, 0, f"error: {e}"))
             yield pd.DataFrame(
