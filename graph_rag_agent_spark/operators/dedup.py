@@ -198,13 +198,18 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Candidates + exact shingle-Jaccard verification ≥ threshold.
 
-    The verify step is pure JVM: per-DOC distinct shingle arrays
-    (computed once, 5k-300k candidate pairs reuse them through the id
-    join) and array_intersect/array_union sizes inside whole-stage
-    codegen — the earlier per-PAIR Python set construction rebuilt
-    each document's shingles |candidates|/|docs| times through an
-    Arrow boundary. The SQL oracle's DISTINCT-substring join computes
-    the identical quantity."""
+    The verify step is pure JVM: per-DOC shingle sets hashed once to
+    xxhash64 LONG arrays (5k-300k candidate pairs reuse them through
+    the id join — a long array shuffles and intersects several times
+    cheaper than the equivalent small-string array, which matters
+    when a self-similar corpus makes the band join emit 100k+
+    candidates), intersection via array_intersect in whole-stage
+    codegen, union by |a|+|b|−inter arithmetic on per-doc sizes
+    computed once (array_union would allocate a fresh array per
+    PAIR). The SQL oracle verifies over the raw shingle strings; the
+    counts agree unless xxhash64 collides two distinct shingles of a
+    candidate pair (p ≈ |sh|²/2⁶⁵ per doc — negligible even at
+    corpus scale)."""
     # the candidate list shuffles as tiny id pairs, so AQE coalesces it
     # to a couple of partitions — but the verify below does |candidates|
     # array intersections, which is CPU-proportional to pairs, not
@@ -214,15 +219,28 @@ def minhash_near_duplicates(
         partitions
     )
     sh = df.select(
-        F.col(id_col).alias("doc"), shingle_array(text_col, shingle_k).alias("sh")
+        F.col(id_col).alias("doc"),
+        F.transform(
+            shingle_array(text_col, shingle_k), lambda s: F.xxhash64(s)
+        ).alias("sh"),
     )
     paired = cands.join(
-        sh.select(F.col("doc").alias("a_id"), F.col("sh").alias("a_sh")), "a_id"
+        sh.select(
+            F.col("doc").alias("a_id"),
+            F.col("sh").alias("a_sh"),
+            F.size("sh").alias("a_n"),
+        ),
+        "a_id",
     ).join(
-        sh.select(F.col("doc").alias("b_id"), F.col("sh").alias("b_sh")), "b_id"
+        sh.select(
+            F.col("doc").alias("b_id"),
+            F.col("sh").alias("b_sh"),
+            F.size("sh").alias("b_n"),
+        ),
+        "b_id",
     )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size(F.array_union("a_sh", "b_sh"))
+    union = F.col("a_n") + F.col("b_n") - inter
     jaccard = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
     return (
         paired.withColumn("jaccard", jaccard)
