@@ -115,6 +115,10 @@ def _parse_bmp(payload: bytes):
 
 
 def _baseline_image_decoder():
+    import numpy  # noqa: F401 — construction-time probe: a missing
+    # numpy must land in load_decoders' missing-map (driver-side
+    # fail-fast), not surface per-row on executors at decode time
+
     def decode(payload: bytes) -> list[float]:
         if payload[:2] == b"BM":
             gray = _parse_bmp(payload)
@@ -163,10 +167,17 @@ def _baseline_audio_decoder():
     import numpy as np
 
     def decode(payload: bytes) -> list[float]:
-        with wave.open(io.BytesIO(payload), "rb") as wf:
-            sw = wf.getsampwidth()
-            ch = wf.getnchannels()
-            raw = wf.readframes(wf.getnframes())
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                sw = wf.getsampwidth()
+                ch = wf.getnchannels()
+                raw = wf.readframes(wf.getnframes())
+        except wave.Error as e:
+            raise ValueError(
+                f"unsupported audio format for the baseline decoder "
+                f"(PCM WAV only; {e}) — install soundfile for "
+                "FLAC/OGG/float-PCM"
+            ) from e
         if sw == 2:
             data = np.frombuffer(raw, "<i2").astype("float32") / 32768.0
         elif sw == 1:  # WAV 8-bit is unsigned

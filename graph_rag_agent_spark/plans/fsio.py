@@ -106,22 +106,25 @@ def is_dir(path: str) -> bool:
 
 
 def listdir(path: str) -> list[str]:
-    """Child names of a directory; [] when the path is missing (the
-    FileNotFoundError-tolerant shape every caller wants)."""
+    """Child names of a DIRECTORY; [] when the path is missing or is
+    a regular file (the tolerant shape every caller wants — and made
+    explicit so both backends agree: Hadoop's listStatus on a file
+    would return the file's own status, os.listdir would raise
+    NotADirectoryError)."""
     h = _hadoop(path)
     if h is None:
         try:
             return sorted(os.listdir(path))
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
             return []
     fs, p, _ = h
-    if not fs.exists(p):
+    if not fs.exists(p) or not fs.getFileStatus(p).isDirectory():
         return []
     return sorted(st.getPath().getName() for st in fs.listStatus(p))
 
 
 def list_dirs(path: str) -> list[str]:
-    """Child names that are directories; [] when missing."""
+    """Child names that are directories; [] when missing or a file."""
     h = _hadoop(path)
     if h is None:
         try:
@@ -129,10 +132,10 @@ def list_dirs(path: str) -> list[str]:
                 n for n in os.listdir(path)
                 if os.path.isdir(os.path.join(path, n))
             )
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
             return []
     fs, p, _ = h
-    if not fs.exists(p):
+    if not fs.exists(p) or not fs.getFileStatus(p).isDirectory():
         return []
     return sorted(
         st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
@@ -151,18 +154,20 @@ def makedirs(path: str) -> None:
 
 def rmtree(path: str) -> None:
     """Recursive delete, silent when missing (shutil.rmtree
-    ignore_errors semantics — the only mode the warehouse uses)."""
+    ignore_errors semantics — the only mode the warehouse uses).
+    No exists() precheck: FS.delete returns false (doesn't throw) on
+    a missing path, and the MERGE paths call this once per emptied
+    bucket — one RPC, not two, on object stores."""
     h = _hadoop(path)
     if h is None:
         shutil.rmtree(path, ignore_errors=True)
         return
     fs, p, _ = h
-    if fs.exists(p):
-        fs.delete(p, True)
+    fs.delete(p, True)
 
 
 def remove(path: str) -> None:
-    """Delete one file, silent when missing."""
+    """Delete one file, silent when missing (single RPC — see rmtree)."""
     h = _hadoop(path)
     if h is None:
         try:
@@ -171,8 +176,7 @@ def remove(path: str) -> None:
             pass
         return
     fs, p, _ = h
-    if fs.exists(p):
-        fs.delete(p, False)
+    fs.delete(p, False)
 
 
 def read_text(path: str) -> str:

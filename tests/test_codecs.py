@@ -114,7 +114,7 @@ def test_unsupported_formats_raise_with_hint(decoders):
     jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 64
     with pytest.raises(ValueError, match="Pillow"):
         decoders["image"](jpeg_ish)
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError, match="soundfile"):
         decoders["audio"](b"OggS" + b"\x00" * 64)
     with pytest.raises(ValueError, match="PyAV"):
         decoders["video"](b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)

@@ -26,6 +26,12 @@ def _exercise(root: str) -> None:
     os.makedirs(os.path.join(tbl, "__bucket=1"))
     fsio.write_text(os.path.join(tbl, "_spec.json"), '{"k": 1}')
 
+    # listing a regular FILE is [] on both backends (Hadoop listStatus
+    # would return the file's own status; os.listdir would raise
+    # NotADirectoryError — both are normalized away)
+    assert fsio.listdir(os.path.join(tbl, "_spec.json")) == []
+    assert fsio.list_dirs(os.path.join(tbl, "_spec.json")) == []
+
     assert fsio.exists(tbl)
     assert fsio.is_dir(tbl)
     assert not fsio.is_dir(os.path.join(tbl, "_spec.json"))
