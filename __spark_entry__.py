@@ -512,6 +512,46 @@ def _q_local_search_batch(spark, sf_dir):
     return out["chunks"]
 
 
+def _q_global_search_map(spark, sf_dir):
+    """L6 MAP PHASE (global map-reduce QA, reference
+    search/global_search.py:56-125 + the top-200-by-rank community cap
+    at community/summary/leiden.py:36-39) as a driver-gated query.
+
+    Communities are proxied from documents — rank = n_chars,
+    full_content = text plus TWO deterministically planted vocabulary
+    aliases, so the stub term-overlap scorer produces 0/1/2-point
+    rows. The operator under test is search.global_search_map: level
+    filter → (rank DESC, id ASC) top-200 cap → per-term contains
+    scoring → points>0 cut. The oracle replays all four in closed
+    form. The reduce phase collapses to one driver-side string
+    (global_search_reduce) and stays pytest-gated
+    (tests/test_search_batch.py::test_global_search)."""
+    from graph_rag_agent_spark.core.vocab import ALL_ALIASES
+    from graph_rag_agent_spark.operators.search import global_search_map
+
+    docs = _t(spark, sf_dir, "documents")
+    n = len(ALL_ALIASES)
+    aliases = F.array(*[F.lit(a) for a in ALL_ALIASES])
+    communities = docs.select(
+        F.concat(F.lit("0-"), F.col("doc_id").cast("string")).alias(
+            "community_id"
+        ),
+        (F.col("doc_id") % 3).cast("int").alias("level"),
+        F.col("n_chars").alias("community_rank"),
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.element_at(aliases, (F.col("doc_id") % n + 1).cast("int")),
+            F.element_at(
+                aliases, ((F.col("doc_id") * 7 + 3) % n + 1).cast("int")
+            ),
+        ).alias("full_content"),
+        F.substring("text", 1, 40).alias("summary"),
+    )
+    query = f"{ALL_ALIASES[0]} 与 {ALL_ALIASES[3]} 的合作"
+    return global_search_map(communities, query, level=0, limit=200)
+
+
 def _q_entity_canonical_map(spark, sf_dir):
     """The DISTRIBUTED linking chain end-to-end (SURVEY §2 J3/G1/G2/
     J4/L4/SO1-2): pattern-entity catalog (id space ∝ corpus) → stub
@@ -1481,7 +1521,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_search_batch": _q_local_search_batch,  # J8 batched fan-out
         "paged_batches": _q_paged_batches,  # W7 one-pass SKIP/LIMIT
         "document_text_routing": _q_document_text_routing,  # S3/S4 plumbing
+        "global_search_map": _q_global_search_map,  # L6 map phase
     }
+
+
+def _global_search_map_oracle() -> str:
+    """DuckDB replica of _q_global_search_map: rebuild the communities
+    proxy (documents + two planted aliases), then replay the map
+    operator — level filter, (rank DESC, id ASC) top-200 cap,
+    per-term `contains` scoring, points>0 cut. Terms come from the
+    same extract_query_keywords call the operator makes, so the two
+    engines score the identical term set by construction."""
+    from graph_rag_agent_spark.core.vocab import ALL_ALIASES
+    from graph_rag_agent_spark.operators.search import extract_query_keywords
+
+    n = len(ALL_ALIASES)
+    alias_rows = ", ".join(
+        f"({i}, '{a}')" for i, a in enumerate(ALL_ALIASES)
+    )
+    query = f"{ALL_ALIASES[0]} 与 {ALL_ALIASES[3]} 的合作"
+    terms = extract_query_keywords(query)["low_level"]
+    score = " + ".join(
+        f"(CASE WHEN contains(full_content, '{t}') THEN 1 ELSE 0 END)"
+        for t in terms
+    )
+    return f"""
+        WITH aliases(i, a) AS (VALUES {alias_rows}),
+        comm AS (
+            SELECT '0-' || CAST(d.doc_id AS VARCHAR) AS community_id,
+                   CAST(d.doc_id % 3 AS INT) AS level,
+                   d.n_chars AS community_rank,
+                   d.text || ' ' || a1.a || ' ' || a2.a AS full_content,
+                   substr(d.text, 1, 40) AS summary
+            FROM documents d
+            JOIN aliases a1 ON a1.i = d.doc_id % {n}
+            JOIN aliases a2 ON a2.i = (d.doc_id * 7 + 3) % {n}
+        ),
+        capped AS (
+            SELECT community_id, full_content, summary
+            FROM comm WHERE level = 0
+            ORDER BY community_rank DESC, community_id ASC
+            LIMIT 200
+        ),
+        scored AS (
+            SELECT community_id, {score} AS points, summary
+            FROM capped
+        )
+        SELECT community_id, points, summary FROM scored WHERE points > 0
+    """
 
 
 def _answer_metrics_oracle() -> str:
@@ -2623,6 +2710,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE text || chr(10) || chr(10) END AS content
             FROM documents
         """,
+        "global_search_map": _global_search_map_oracle(),
         "graph_coverage_per_sample": """
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
             -- node-space modulus scales with the corpus (same formula
