@@ -42,28 +42,41 @@ def main() -> None:
         shuffle_partitions=cpus,
     )
 
+    # Repeat count for the DETERMINISTIC read-only rows (best-of-N);
+    # the stateful stream_build row is always single-shot. Override
+    # with SPARK_GRAFT_BENCH_REPEATS=1 for a strictly single-shot run
+    # (e.g. to compare against pre-round-3 single-shot records).
+    n_repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     extra["loadavg_start"] = round(os.getloadavg()[0], 2)
-    extra["bench_repeats"] = 2
+    # metadata: repeats applies to the repeatable query rows only;
+    # stream_build (stateful) is single-shot by construction
+    extra["bench_repeats"] = n_repeats
+    extra["single_shot_rows"] = ["stream_build"]
 
     def timed(name: str, fn, repeats: int = 1):
-        """Time fn; with repeats=2 record the best of two runs.
+        """Time fn; with repeats=N record the best of N runs.
 
         This box carries external co-tenant load (documented swings of
         3-7x on individual rows in BENCH/BASELINE.md), so single-shot
         timings of deterministic read-only queries are noise-dominated
-        at the tail. Best-of-2 is the standard steady-state measure:
-        both runs execute the identical plan on identical input; the
-        min is the number the code actually costs. Stateful rows
-        (stream_build) stay single-shot. The JSON reports repeats and
-        the start loadavg so the context is visible."""
+        at the tail. Best-of-N is the standard steady-state measure:
+        all runs execute the identical plan on identical input; the
+        min is the number the code actually costs. The first run's
+        time is reported separately (first_run_s) so single-shot
+        history stays comparable. Stateful rows (stream_build) stay
+        single-shot."""
         best = None
         out = None
-        for _ in range(max(1, repeats)):
+        for i in range(max(1, repeats)):
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
+            if i == 0 and repeats > 1:
+                first_run[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         return out
@@ -97,7 +110,7 @@ def main() -> None:
             tables["membership"].count(),
         )
 
-    n_triples, _ = timed("kg_build_synthetic", kg_build, repeats=2)
+    n_triples, _ = timed("kg_build_synthetic", kg_build, repeats=n_repeats)
     extra["turns_per_sec"] = round(n_turns / timings["kg_build_synthetic"], 1)
     extra["kg_triples"] = n_triples
     extra["n_turns"] = n_turns
@@ -106,7 +119,7 @@ def main() -> None:
     timed(
         "kg_triples_docs",
         lambda: entrymod._kg_triples(spark, sf_dir).count(),
-        repeats=2,
+        repeats=n_repeats,
     )
 
     # the distributed linking chain alone (LSH → CC → judge → map),
@@ -115,7 +128,7 @@ def main() -> None:
     timed(
         "link_chain_distributed",
         lambda: qs["entity_canonical_map"](spark, sf_dir).count(),
-        repeats=2,
+        repeats=n_repeats,
     )
 
     # relational + pipeline-extension headliners
@@ -133,7 +146,7 @@ def main() -> None:
         "local_search_batch",
         "global_search_map",
     ]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count(), repeats=2)
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count(), repeats=n_repeats)
 
     # streaming → incremental build (the delta path), measured LAST so
     # its stream/warehouse state can't perturb the query timings above.
@@ -195,6 +208,10 @@ def main() -> None:
         "sf": sf,
         **extra,
     }
+    if first_run:
+        # single-shot (cold) timings of the repeated rows, for
+        # comparison against pre-round-3 single-shot records
+        result["first_run_s"] = first_run
     print(json.dumps(result))
 
 
