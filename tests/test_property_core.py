@@ -1,0 +1,253 @@
+"""Property-based tests (hypothesis) for the pure-Python core.
+
+These pin the INVARIANTS the Spark operators rely on, over arbitrary
+inputs rather than fixtures:
+
+  - tokenizer losslessness (``''.join(tokenize(t)) == t``) — the chunk
+    windows reconstruct text by joining token slices
+    (operators/chunking.py), so any lossy tokenization silently
+    corrupts chunk text;
+  - chunk-span coverage/ordering/bounds — gaps would DROP text from
+    extraction, overruns beyond the +100 sentence allowance would
+    break the transcribed window contract
+    (reference processor/text_chunker.py:211-266);
+  - segment size bounds of the oversized pre-split
+    (text_chunker.py:43-163) — the mega-conversation path shards on
+    these segments, so an over-target segment re-creates the straggler
+    the two-phase chunking exists to kill;
+  - record-grammar roundtrip + never-raise totality
+    (reference graph/extraction/graph_writer.py:36-131) — the parser
+    is the LLM boundary: arbitrary model output must parse or yield
+    the empty-chunk result, never throw inside a Spark UDF batch.
+
+No SparkSession; these run in milliseconds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graph_rag_agent_spark.core.records import (
+    UNKNOWN_DESC,
+    UNKNOWN_TYPE,
+    format_entity_record,
+    format_relationship_record,
+    parse_extraction,
+    split_batch_response,
+)
+from graph_rag_agent_spark.core.textchunk import (
+    chunk_segment_spans,
+    chunk_text,
+    conversation_text,
+    preprocess_large_text,
+    safe_tokenize,
+    split_long_paragraph,
+    tokenize,
+)
+
+# Text with CJK, ASCII, sentence enders, and whitespace so every
+# tokenizer branch and the sentence-snapping paths get exercised.
+MIXED_TEXT = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ 09-_\t\n。！？!?.,;:()[]") + list("张伟在华东大学读书奖学金")
+    ),
+    max_size=400,
+)
+ANY_TEXT = st.text(max_size=300)
+
+
+# ---------------------------------------------------------------- tokenize
+
+
+@given(ANY_TEXT)
+def test_tokenize_lossless_any_text(t):
+    assert "".join(tokenize(t)) == t
+
+
+@given(MIXED_TEXT)
+def test_tokenize_lossless_mixed(t):
+    toks = tokenize(t)
+    assert "".join(toks) == t
+    assert all(toks)  # no empty tokens
+
+
+@given(MIXED_TEXT)
+def test_safe_tokenize_ladder_falls_back_to_chars(t):
+    def broken(_):
+        raise RuntimeError("model down")
+
+    assert safe_tokenize(t, tokenizer=broken) == list(t)
+    # oversized input short-circuits to char tokens before the call
+    if t:
+        assert safe_tokenize(t, tokenizer=broken, max_text_length=0) == list(t)
+
+
+# ------------------------------------------------------------ chunk spans
+
+
+@given(
+    tokens=st.lists(
+        st.sampled_from(["张", "a", "bc", " ", "。", "！", "."]), max_size=600
+    ),
+    chunk_size=st.integers(min_value=2, max_value=200),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(max_examples=200)
+def test_chunk_spans_cover_exactly_in_order(tokens, chunk_size, overlap_frac):
+    # reference usage keeps overlap < chunk_size (500/100); the loop's
+    # forward-progress guarantee relies on it
+    overlap = int(chunk_size * overlap_frac)
+    spans = chunk_segment_spans(tokens, chunk_size=chunk_size, overlap=overlap)
+    n = len(tokens)
+    if n == 0:
+        assert spans == []
+        return
+    # every span is a nonempty, in-bounds [start, end)
+    assert all(0 <= s < e <= n for s, e in spans)
+    # first chunk starts the segment, last chunk ends it
+    assert spans[0][0] == 0
+    assert spans[-1][1] == n
+    # ordered with NO GAP: the next window starts at or before the
+    # previous end (overlap allowed, dropped text not)
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert s0 < s1 and e0 <= e1
+        assert s1 <= e0
+    # window bound: chunk_size plus the +100 sentence-overrun allowance
+    assert all(e - s <= chunk_size + 100 for s, e in spans)
+
+
+@given(MIXED_TEXT)
+def test_chunk_text_slices_are_token_exact(t):
+    chunks = chunk_text(t, chunk_size=20, overlap=5, max_text_length=500_000)
+    if not t:
+        assert chunks == []
+        return
+    for c in chunks:
+        assert c["tokens"] == c["token_end"] - c["token_start"]
+        assert len(c["text"]) > 0 or t == ""
+    # short-text path: single chunk reconstructs the whole text
+    if len(t) < 20 / 10:
+        assert len(chunks) == 1 and chunks[0]["text"] == t
+
+
+@given(st.lists(st.one_of(st.none(), MIXED_TEXT), max_size=8))
+def test_conversation_text_matches_join_semantics(turns):
+    joined = conversation_text(turns)
+    assert joined == "\n\n".join("" if x is None else x for x in turns)
+
+
+# ------------------------------------------------- oversized pre-split
+
+
+@given(MIXED_TEXT, st.integers(min_value=5, max_value=60))
+def test_split_long_paragraph_respects_max_size(t, max_size):
+    segs = split_long_paragraph(t, max_size)
+    assert all(len(s) <= max_size for s in segs)
+    if len(t) <= max_size:
+        assert segs == [t]
+    elif t:
+        assert segs  # oversized nonempty text never vanishes entirely
+
+
+@given(
+    st.lists(MIXED_TEXT, min_size=1, max_size=30).map("\n\n".join),
+    st.integers(min_value=10_000, max_value=40_000),
+)
+@settings(max_examples=50)
+def test_preprocess_short_text_is_identity(t, mtl):
+    # all generated texts are far below max_text_length → identity
+    assert preprocess_large_text(t, max_text_length=mtl) == [t]
+
+
+def test_preprocess_oversized_segments_bounded():
+    # deterministic oversized case (hypothesis shrinks giant strings
+    # poorly, so build the >max_text_length corpus directly): 2k
+    # paragraphs of mixed sentences, max_text_length forced low
+    para = "张伟在华东大学读书。Alice works at Acme Corp. 奖学金管理规定！"
+    text = "\n\n".join(para * 3 for _ in range(400))
+    mtl = 20_000
+    target = min(mtl, max(10_000, mtl // 2))
+    segs = preprocess_large_text(text, max_text_length=mtl)
+    assert len(segs) > 1
+    assert all(0 < len(s) <= target for s in segs)
+
+
+# ------------------------------------------------------- record grammar
+
+FIELD = st.text(
+    alphabet=st.sampled_from(list("abcXYZ09 _-张伟大学()[],;")),
+    min_size=1,
+    max_size=30,
+).filter(lambda s: s.strip())
+
+
+@given(FIELD, FIELD, FIELD)
+def test_entity_record_roundtrip(name, etype, desc):
+    nodes, rels = parse_extraction(format_entity_record(name, etype, desc))
+    assert nodes == [(name, etype, desc)]
+    assert rels == []
+
+
+@given(
+    FIELD,
+    FIELD,
+    FIELD,
+    FIELD,
+    st.floats(min_value=0.01, max_value=99.0, allow_nan=False),
+)
+def test_relationship_record_roundtrip_and_unknown_endpoints(
+    src, tgt, rt, desc, w
+):
+    nodes, rels = parse_extraction(
+        format_relationship_record(src, tgt, rt, desc, w)
+    )
+    # undeclared endpoints become 未知 nodes (graph_writer.py:86-99)
+    ids = {n[0] for n in nodes}
+    assert src in ids and tgt in ids
+    assert all(
+        n[1:] == (UNKNOWN_TYPE, UNKNOWN_DESC) for n in nodes if n[0] in (src, tgt)
+    )
+    assert len(rels) == 1
+    psrc, ptgt, prt, pdesc, pw = rels[0]
+    assert (psrc, ptgt, prt, pdesc) == (src, tgt, rt, desc)
+    assert math.isclose(pw, float(f"{w:g}"), rel_tol=1e-9)
+
+
+@given(st.lists(st.tuples(FIELD, FIELD, FIELD), min_size=1, max_size=6))
+def test_duplicate_entities_first_description_wins(recs):
+    body = "\n".join(format_entity_record(*r) for r in recs)
+    nodes, _ = parse_extraction(body)
+    first: dict = {}
+    for r in recs:
+        first.setdefault(r[0], r)
+    assert nodes == list(first.values())
+
+
+@given(ANY_TEXT)
+def test_parse_extraction_is_total(garbage):
+    # arbitrary model output never raises inside the UDF batch
+    nodes, rels = parse_extraction(garbage)
+    assert isinstance(nodes, list) and isinstance(rels, list)
+
+
+@given(FIELD, FIELD)
+def test_bad_weight_aborts_whole_chunk(src, tgt):
+    # float() failure yields the reference's empty-GraphDocument path
+    # for the ENTIRE chunk, dropping even well-formed earlier records
+    body = (
+        format_entity_record("ok", "T", "d")
+        + "\n"
+        + f'("relationship" : "{src}" : "{tgt}" : "r" : "d" : not_a_number)'
+    )
+    assert parse_extraction(body) == ([], [])
+
+
+@given(st.lists(FIELD, min_size=1, max_size=5))
+def test_split_batch_response_roundtrip(parts):
+    from graph_rag_agent_spark.core.records import BATCH_SEPARATOR
+
+    joined = BATCH_SEPARATOR.join(parts)
+    assert split_batch_response(joined) == [p.strip() for p in parts]
