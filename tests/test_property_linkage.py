@@ -1,0 +1,213 @@
+"""Property-based tests (hypothesis) for the linking / hashing /
+embedding / BPE cores.
+
+These cores are the SPEC the distributed operators are tested equal
+to (operators/linking.py, components.py, canonicalize.py), so a
+property violated here would propagate to every fixture-equality
+test while looking "consistent". Pinned invariants:
+
+  - levenshtein is a metric (identity/symmetry/triangle) with the
+    standard length bounds — the lev<3 blocking in
+    duplicate_candidate_groups silently over/under-merges otherwise
+    (reference similar_entity.py:318-331);
+  - connected_components equals BFS reachability, labels with the
+    component's min node id, and is edge-order invariant — the
+    distributed min-label/pointer-halving loop asserts equality
+    against this spec;
+  - wcc_ids emits consecutive 0..k-1 ids ordered by min member
+    (similar_entity.py:240-244, consecutiveIds=True);
+  - merge_overlapping_groups yields a disjoint cover, merges any two
+    groups sharing a member, and is idempotent
+    (entity_merger.py:233-280);
+  - resolve_canonical_map picks an in-group survivor that maps to
+    itself and is minimal by (length, lexical) among its members —
+    the deterministic 'discard' policy (entity_merger.py:348-360);
+  - stable hashes are deterministic and in-range; the stub embedder
+    emits unit vectors with cosine(v, v) == 1;
+  - the in-repo BPE tokenizer keeps the seam's reconstruction
+    contract ``''.join(tokens) == text`` on ARBITRARY text, trained
+    merges or not (struct_builder.py:81).
+
+No SparkSession; milliseconds per test.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graph_rag_agent_spark.core.bpe import BPETokenizer, train_bpe
+from graph_rag_agent_spark.core.hashing import stable_int, stable_u64
+from graph_rag_agent_spark.core.linkage import (
+    connected_components,
+    levenshtein,
+    merge_overlapping_groups,
+    resolve_canonical_map,
+    wcc_ids,
+)
+from graph_rag_agent_spark.core.stub_embed import cosine, embed_text
+
+SHORT = st.text(
+    alphabet=st.sampled_from(list("abcde张伟 .")), max_size=12
+)
+
+NODE = st.integers(min_value=0, max_value=14).map(lambda i: f"n{i:02d}")
+EDGES = st.lists(st.tuples(NODE, NODE), max_size=25)
+NODES = st.lists(NODE, min_size=1, max_size=15, unique=True)
+
+
+# ------------------------------------------------------------ levenshtein
+
+
+@given(SHORT, SHORT)
+def test_levenshtein_identity_symmetry_bounds(a, b):
+    assert levenshtein(a, a) == 0
+    d = levenshtein(a, b)
+    assert d == levenshtein(b, a)
+    assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))
+
+
+@given(SHORT, SHORT, SHORT)
+@settings(max_examples=150)
+def test_levenshtein_triangle(a, b, c):
+    assert levenshtein(a, c) <= levenshtein(a, b) + levenshtein(b, c)
+
+
+@given(SHORT, st.integers(min_value=0, max_value=12), st.sampled_from("xyz"))
+def test_levenshtein_single_insert_is_one(a, pos, ch):
+    pos = min(pos, len(a))
+    assert levenshtein(a, a[:pos] + ch + a[pos:]) == 1
+
+
+# --------------------------------------------------- connected components
+
+
+def _bfs_partition(nodes, edges):
+    adj: dict[str, set[str]] = {n: set() for n in nodes}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen: dict[str, str] = {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        stack, comp = [start], []
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen[x] = start
+            comp.append(x)
+            stack.extend(adj[x] - seen.keys())
+        label = min(comp)
+        for x in comp:
+            seen[x] = label
+    return seen
+
+
+@given(NODES, EDGES)
+@settings(max_examples=200)
+def test_cc_matches_bfs_and_min_labels(nodes, edges):
+    got = connected_components(nodes, edges)
+    want = _bfs_partition(nodes, edges)
+    assert got == want
+    # label is the component's min member
+    for n, label in got.items():
+        assert label in got and got[label] == label and label <= n
+
+
+@given(NODES, EDGES, st.randoms(use_true_random=False))
+def test_cc_edge_order_invariant(nodes, edges, rng):
+    base = connected_components(nodes, edges)
+    shuffled = list(edges)
+    rng.shuffle(shuffled)
+    assert connected_components(nodes, shuffled) == base
+
+
+@given(NODES, EDGES)
+def test_wcc_ids_consecutive_and_ordered(nodes, edges):
+    ids = wcc_ids(nodes, edges)
+    comp = connected_components(nodes, edges)
+    k = len(set(comp.values()))
+    assert set(ids.values()) == set(range(k))
+    # id order == sorted min-member label order
+    min_member = {}
+    for n, c in ids.items():
+        min_member.setdefault(c, n)
+        min_member[c] = min(min_member[c], n)
+    ordered = [min_member[i] for i in range(k)]
+    assert ordered == sorted(ordered)
+
+
+# ------------------------------------------------------------ merge groups
+
+GROUPS = st.lists(
+    st.lists(NODE, min_size=2, max_size=5, unique=True), max_size=8
+)
+
+
+@given(GROUPS)
+def test_merge_overlapping_groups_disjoint_cover(groups):
+    merged = merge_overlapping_groups(groups)
+    all_in = {m for g in groups for m in g}
+    all_out = [m for g in merged for m in g]
+    # exact cover, no duplicates across output groups
+    assert set(all_out) == all_in and len(all_out) == len(set(all_out))
+    # any two input groups sharing a member land in one output group
+    where = {m: i for i, g in enumerate(merged) for m in g}
+    for g in groups:
+        assert len({where[m] for m in g}) == 1
+    # idempotent
+    assert merge_overlapping_groups(merged) == merged
+
+
+@given(GROUPS)
+def test_resolve_canonical_survivor_policy(groups):
+    mapping = resolve_canonical_map(groups)
+    for member, canon in mapping.items():
+        # survivor maps to itself and is minimal by (length, lexical)
+        assert mapping[canon] == canon
+        assert (len(canon), canon) <= (len(member), member)
+
+
+# ------------------------------------------------------- hashing / embed
+
+
+@given(st.lists(SHORT, min_size=1, max_size=3), st.sampled_from(["", "s1"]))
+def test_stable_hashes_deterministic_in_range(parts, salt):
+    a = stable_int(*parts, salt=salt)
+    assert a == stable_int(*parts, salt=salt)
+    u = stable_u64(*parts, salt=salt)
+    assert u == stable_u64(*parts, salt=salt)
+    assert 0 <= u < 2**64
+
+
+@given(SHORT.filter(lambda s: s.strip()))
+def test_stub_embeddings_unit_norm(t):
+    v = embed_text(t)
+    assert math.isclose(math.sqrt(sum(x * x for x in v)), 1.0, rel_tol=1e-9)
+    assert math.isclose(cosine(v, v), 1.0, rel_tol=1e-9)
+    assert v == embed_text(t)
+
+
+# ----------------------------------------------------------------- BPE
+
+_MERGES = train_bpe(
+    ["张伟在华东大学读书。Alice works at Acme Corp again and again."] * 3,
+    num_merges=50,
+)
+_BPE = BPETokenizer(_MERGES)
+
+
+@given(st.text(max_size=200))
+def test_bpe_tokenizer_lossless_on_any_text(t):
+    assert "".join(_BPE(t)) == t
+
+
+@given(st.text(alphabet=st.sampled_from(list("Alice works at Acme 张伟。")), max_size=120))
+def test_bpe_tokenizer_lossless_on_trained_vocab(t):
+    toks = _BPE(t)
+    assert "".join(toks) == t
+    assert all(toks) or not t
