@@ -184,6 +184,19 @@ class _Warehouse:
         group_key: str | None = None,
         num_buckets: int = 0,
     ) -> DataFrame:
+        if name == "entity_embeddings":
+            # entering the linking-table overwrite window: the four
+            # linking tables (entity_embeddings/similar/wcc/
+            # canonical_map) are only mutually consistent once ALL are
+            # written, and the catalog-unchanged reuse probe
+            # (plans/incremental.py) compares the catalog against
+            # entity_embeddings while handing back canonical_map — so a
+            # crash between the two overwrites would otherwise let the
+            # probe pair a NEW catalog with an OLD map. Deleting the
+            # sidecar here and re-creating it only with the
+            # canonical_map write (the last of the four on every path)
+            # makes the probe decline for the whole torn window.
+            fsio.remove(os.path.join(self.root, LINK_PARAMS_FILE))
         if group_key and num_buckets > 0:
             from .merge import write_bucketed
 

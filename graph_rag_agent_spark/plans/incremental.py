@@ -913,16 +913,23 @@ def _incremental_update_delta(
     _mark("8-10,12 delta rewrites")
 
     # ---- 11. entity-scale side tables: overwrite (parallel writes);
-    # nothing to write when the stored tables were reused verbatim ----
+    # nothing to write when the stored tables were reused verbatim.
+    # canonical_map goes LAST, sequentially: writing entity_embeddings
+    # invalidates the link-params sidecar and the canonical_map write
+    # restores it (plans/build.py _Warehouse.write), so the
+    # catalog-unchanged reuse probe declines for any crash inside this
+    # window instead of pairing the new embeddings with a stale map.
+    # Running cmap inside the parallel group would let its sidecar
+    # restore race ahead of the embeddings overwrite it guards. -------
     if reuse is None:
         _run_parallel(
             [
                 lambda: wh.write(embedded, "entity_embeddings"),
                 lambda: wh.write(similar, "similar"),
                 lambda: wh.write(wcc, "wcc"),
-                lambda: wh.write(cmap, "canonical_map"),
             ]
         )
+        wh.write(cmap, "canonical_map")
 
     _mark("11 side-table writes")
 

@@ -959,3 +959,80 @@ def test_failed_delta_cycle_retry_self_heals(
     assert got == want
     reg = {r["conv_id"] for r in tables["registry"].collect()}
     assert reg == {r["conv_id"] for r in v2_rows}
+
+
+def test_torn_linking_write_declines_reuse_on_retry(
+    spark, transcripts_df, tmp_path_factory, monkeypatch
+):
+    """A delta cycle that dies between the entity_embeddings overwrite
+    and the canonical_map overwrite (step 11) leaves the stored linking
+    tables torn: NEW embeddings beside the OLD map. The retry detects
+    zero registry changes, so its rebuilt catalog is bit-identical to
+    the just-written embeddings — without the sidecar invalidation the
+    catalog-unchanged probe would hand back the STALE canonical_map and
+    freeze the warehouse inconsistent forever. The embeddings write
+    deletes _link_params.json and only the canonical_map write restores
+    it, so the retry must decline reuse, recompute the chain, and
+    converge to the same canonical_map a fresh rebuild produces."""
+    import graph_rag_agent_spark.plans.build as build_mod
+
+    wh = str(tmp_path_factory.mktemp("wh_torn_link"))
+    cfg = BuildConfig(
+        warehouse=wh,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    build_all(spark, transcripts_df, cfg)
+
+    v2_rows = [
+        r
+        for r in generate_transcripts(12)
+        if r["conv_id"] != "conv-000003"
+        and not (r["conv_id"] == "conv-000001" and r["turn_idx"] >= 5)
+    ]
+    v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+
+    real_write = build_mod._Warehouse.write
+
+    def dying_write(self, df, name, *a, **k):
+        if name == "canonical_map":
+            raise RuntimeError("injected cmap write failure")
+        return real_write(self, df, name, *a, **k)
+
+    monkeypatch.setattr(build_mod._Warehouse, "write", dying_write)
+    with pytest.raises(Exception, match="injected cmap write failure"):
+        incremental_update(spark, v2_df, wh, cfg=cfg)
+    monkeypatch.undo()
+
+    # torn window: new embeddings on disk, old canonical_map, and the
+    # reuse sidecar must be GONE so the retry cannot trust the pair
+    import os
+
+    assert not os.path.exists(os.path.join(wh, "_link_params.json"))
+
+    tables = incremental_update(spark, v2_df, wh, cfg=cfg)
+
+    wh2 = str(tmp_path_factory.mktemp("wh_fresh_v2"))
+    cfg2 = BuildConfig(
+        warehouse=wh2,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    fresh = build_all(spark, v2_df, cfg2)
+    want_cmap = {
+        (r["entity_id"], r["canonical_id"])
+        for r in fresh.tables["canonical_map"].collect()
+    }
+    got_cmap = {
+        (r["entity_id"], r["canonical_id"])
+        for r in tables["canonical_map"].collect()
+    }
+    assert got_cmap == want_cmap
+    # sidecar restored by the completed retry → future cycles may reuse
+    assert os.path.exists(os.path.join(wh, "_link_params.json"))
+    got = {
+        (r["subj"], r["pred"], r["obj"]) for r in tables["triples"].collect()
+    }
+    assert got == oracle_build(v2_rows).triple_set()
