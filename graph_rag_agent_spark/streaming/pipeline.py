@@ -58,6 +58,18 @@ def latest_conversation_snapshot(turn_log: DataFrame) -> DataFrame:
     )
 
 
+# Where legacy root-file batches are parked: ingest_batch b maps to
+# partition b - _LEGACY_PARK_SHIFT. A per-ROW pure function (unlike a
+# shift derived from max(ingest_batch) over whichever root files
+# remain), so a migration retried after a crash at ANY point re-parks
+# every surviving row onto the same partition. Negative (a reset
+# checkpoint restarts stream batch ids at 0, which must not collide
+# with parked partitions) and order-preserving (the snapshot picks the
+# max ingest_batch per conversation). 2^33 is far above any real
+# stream batch id while leaving the full long range collision-free.
+_LEGACY_PARK_SHIFT = 1 << 33
+
+
 def _migrate_legacy_turn_log(spark: SparkSession, turn_log: str) -> None:
     """A turn log written by a pre-partitioning version of this sink
     (plain append, ingest_batch as a data column) holds root-level
@@ -81,25 +93,37 @@ def _migrate_legacy_turn_log(spark: SparkSession, turn_log: str) -> None:
     old = spark.read.parquet(*[os.path.join(turn_log, f) for f in legacy])
     if "ingest_batch" not in old.columns:
         old = old.withColumn("ingest_batch", F.lit(0))
-    # shift migrated batches NEGATIVE (order-preserving): a reset
-    # checkpoint restarts stream batch ids at 0, and the dynamic
-    # overwrite of a new batch 0 would silently wipe a migrated
-    # partition parked at ingest_batch=0
-    max_batch = old.agg(F.max("ingest_batch")).first()[0]
-    if max_batch is None:  # 0-row legacy part files: nothing to park
+    old = old.withColumn(
+        "ingest_batch",
+        (F.col("ingest_batch").cast("long") - F.lit(_LEGACY_PARK_SHIFT)).cast(
+            "long"
+        ),
+    )
+    ids = [r[0] for r in old.select("ingest_batch").distinct().collect()]
+    if not ids:  # 0-row legacy part files: nothing to park
         for f in legacy:
             fsio.remove(os.path.join(turn_log, f))
         return
-    old = old.withColumn(
-        "ingest_batch",
-        (F.col("ingest_batch") - F.lit(max_batch + 1)).cast("long"),
-    )
-    # dynamic partition OVERWRITE, not append: the shift is a pure
-    # function of the legacy files, so a migration retried after a
-    # crash between this write and the removes below rewrites the
-    # SAME negative partitions with the same rows instead of
-    # duplicating them (only pre-partitioning writers produce root
-    # files, so at most one legacy generation ever exists)
+    # crash-retry healing: a batch's rows can span several root files
+    # (the legacy sink appended one file per task), and a crash midway
+    # through the removal loop below leaves some of a batch's files
+    # gone while its parked partition already holds the COMPLETE batch.
+    # A bare overwrite from the remaining files would shrink that
+    # partition, so union the already-parked rows back in first and
+    # collapse the exact duplicates this creates on the healthy path.
+    # basePath keeps the partition column while dodging the mixed
+    # root-file/partition-dir discovery conflict being migrated away.
+    parked_dirs = [
+        d
+        for d in (os.path.join(turn_log, f"ingest_batch={i}") for i in ids)
+        if fsio.is_dir(d)
+    ]
+    if parked_dirs:
+        parked = spark.read.option("basePath", turn_log).parquet(*parked_dirs)
+        old = old.unionByName(parked.select(*old.columns)).dropDuplicates()
+    # materialize before the dynamic partition OVERWRITE — the plan
+    # reads the very partitions the write replaces
+    old = old.localCheckpoint()
     (
         old.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

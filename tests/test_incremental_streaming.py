@@ -1036,3 +1036,81 @@ def test_torn_linking_write_declines_reuse_on_retry(
         (r["subj"], r["pred"], r["obj"]) for r in tables["triples"].collect()
     }
     assert got == oracle_build(v2_rows).triple_set()
+
+
+def test_legacy_migration_partial_remove_crash_is_lossless(
+    spark, tmp_path_factory
+):
+    """Crash mid-way through the legacy root-file removal loop: some of
+    the migrated files are gone, others remain. The retry must not lose
+    or duplicate any turn. The old shift — derived from
+    max(ingest_batch) over the REMAINING files — re-parked surviving
+    batches onto partitions already holding newer batches' rows,
+    silently replacing them; the park target is now a per-row constant
+    shift and the rewrite unions the already-parked rows back in."""
+    import os
+
+    from graph_rag_agent_spark.streaming.pipeline import (
+        _LEGACY_PARK_SHIFT,
+        _migrate_legacy_turn_log,
+        latest_conversation_snapshot,
+    )
+
+    log = str(tmp_path_factory.mktemp("mig_partial")) + "/turn_log"
+    rows = generate_transcripts(3)
+    convs = sorted({r["conv_id"] for r in rows})
+    # batches 0-2 in one root file (old text for conv 0), batch 3 in
+    # another (NEW text for conv 0 — the version that must survive)
+    early = [
+        dict(r, text=f"old::{r['text']}") if r["conv_id"] == convs[0] else r
+        for r in rows
+    ]
+    batch_of = {c: i for i, c in enumerate(convs)}
+    df_early = spark.createDataFrame(
+        [dict(r, ingest_batch=batch_of[r["conv_id"]]) for r in early],
+        schema=schemas.TRANSCRIPTS.add("ingest_batch", "long"),
+    )
+    df_early.coalesce(1).write.mode("append").parquet(log)
+    redelivered = [r for r in rows if r["conv_id"] == convs[0]]
+    (
+        spark.createDataFrame(redelivered, schema=schemas.TRANSCRIPTS)
+        .withColumn("ingest_batch", F.lit(3).cast("long"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(log)
+    )
+
+    legacy = sorted(
+        f
+        for f in os.listdir(log)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    assert len(legacy) == 2
+    saved = {}
+    for f in legacy:
+        with open(os.path.join(log, f), "rb") as fh:
+            saved[f] = fh.read()
+
+    _migrate_legacy_turn_log(spark, log)
+
+    # simulate the crash window: restore ONLY the first root file, as
+    # if the removal loop died after deleting the second
+    first = legacy[0]
+    with open(os.path.join(log, first), "wb") as fh:
+        fh.write(saved[first])
+    _migrate_legacy_turn_log(spark, log)
+
+    merged = spark.read.parquet(log)
+    assert merged.count() == len(early) + len(redelivered)
+    # every batch parked at its constant-shift partition, none clobbered
+    batches = {
+        r[0] for r in merged.select("ingest_batch").distinct().collect()
+    }
+    assert batches == {b - _LEGACY_PARK_SHIFT for b in (0, 1, 2, 3)}
+    # latest-batch-wins snapshot: conv 0 reads back with batch-3 text
+    snap = latest_conversation_snapshot(merged)
+    texts = {
+        r["text"] for r in snap.where(F.col("conv_id") == convs[0]).collect()
+    }
+    assert texts == {r["text"] for r in redelivered}
+    assert not any(t.startswith("old::") for t in texts)
