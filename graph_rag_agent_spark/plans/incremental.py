@@ -402,6 +402,16 @@ def _incremental_update_delta(
     compute (the LLM boundary) is delta-only via (entity_id,
     description) reuse.
 
+    Crash-retryability across the WHOLE cycle: the conv-keyed merges
+    destroy the pre-merge evidence the canonical rewrites need, and the
+    registry (the change detector's only input) commits right after
+    them — so a rewrite-intent journal (step 3.5: pending conv ids /
+    old-map triple keys / chunk ids, all delta-proportional) is
+    persisted before the first merge and cleared only after the last
+    table commits. A retry after ANY crash point re-derives the full
+    rewrite scope from detection ∪ journal; all merges and keyed
+    upserts are idempotent.
+
     Lineage rows (stage='incr_*') record the rows each delta stage
     actually processed; tests assert they scale with the delta, not
     the corpus.
@@ -588,6 +598,47 @@ def _incremental_update_delta(
 
     _mark("3 per-conv deltas")
 
+    # ---- 3.5. rewrite-intent journal --------------------------------
+    # The conv-keyed merges below DESTROY the old-state evidence the
+    # canonical rewrites (steps 8-10) need: once a deleted conv's raw
+    # rows are merged away, nothing in the warehouse says which winner
+    # rows in `triples`/`mentions` it contributed to. The registry then
+    # commits at the end of step 4+5, so a crash anywhere between that
+    # commit and the step 8-10 upserts would otherwise orphan those
+    # winner rows forever — the retry detects zero changes and the
+    # stale/delta scopes all come up empty. Journaling the rewrite
+    # obligations FIRST (stale+changed conv ids, the stale convs' old
+    # canonical triple keys, the stale+new chunk ids — all
+    # delta-proportional) lets any retry re-derive the full rewrite
+    # scope from the journal alone; the journal is cleared only after
+    # the whole cycle commits. Unioning with a previous crashed cycle's
+    # journal (instead of overwriting it) keeps obligations alive even
+    # when the retry's own change detection is empty.
+    journal = _read_journal(spark, wh)
+    k_old_stale = ck(_triple_keys(old_traw_stale, old_cmap))
+    pending_convs = ck(
+        journal["pending_rewrite_convs"].union(stale).distinct()
+    )
+    pending_tkeys = ck(
+        journal["pending_rewrite_tkeys"].union(k_old_stale).distinct()
+    )
+    pending_chunks = ck(
+        journal["pending_rewrite_chunks"]
+        .union(old_chunks_stale.select("chunk_id"))
+        .union(new_chunks.select("chunk_id"))
+        .distinct()
+    )
+    _write_journal(
+        wh,
+        {
+            "pending_rewrite_convs": pending_convs,
+            "pending_rewrite_tkeys": pending_tkeys,
+            "pending_rewrite_chunks": pending_chunks,
+        },
+    )
+
+    _mark("3.5 rewrite journal")
+
     # ---- 4+5. conv-keyed MERGEs + inverted-index maintenance, all
     # mutually independent (distinct paths, inputs checkpointed) → one
     # driver-thread pool so their ~4 barrier jobs each overlap -------
@@ -672,15 +723,17 @@ def _incremental_update_delta(
         ]
         + [_merge_entity_index, _merge_chunk_index]
     )
-    # the registry commits LAST, sequentially, after every data-table
-    # merge above has succeeded: change detection keys solely off the
-    # stored registry, so under foreachBatch's at-least-once retry a
-    # cycle that died mid-merge must re-detect its conversations as
-    # changed on the retry (the conv-keyed upserts are idempotent).
-    # Committing the registry first would make the retry a no-op and
-    # leave any failed table stale forever. The global stages (6-12)
-    # need no such ordering — they reconcile from the merged raw
-    # tables and the stored canonical map on every cycle.
+    # the registry commits LAST among the conv tables, after every
+    # data-table merge above has succeeded: change detection keys
+    # solely off the stored registry, so under foreachBatch's
+    # at-least-once retry a cycle that died mid-merge must re-detect
+    # its conversations as changed on the retry (the conv-keyed
+    # upserts are idempotent). Committing the registry first would
+    # make the retry a no-op and leave any failed table stale forever.
+    # The global stages (6-12) are covered past this point by the
+    # rewrite-intent journal (step 3.5): a crash after this commit
+    # leaves the retry with zero detected changes, and the journal is
+    # what re-derives the canonical rewrite scope.
     _merge_conv_table(
         "registry", new_registry.join(changed, "conv_id", "left_semi")
     )
@@ -770,7 +823,8 @@ def _incremental_update_delta(
         .select("conv_id")
         .distinct()
     )
-    affected_convs = ck(stale.union(delta_convs).distinct())
+    # pending_convs ⊇ stale, plus any crashed cycle's unfinished scope
+    affected_convs = ck(pending_convs.union(delta_convs).distinct())
     wh.append_lineage(
         "incr_affected_convs", -1, affected_convs.count(), _time.time(),
         defer=True,
@@ -787,11 +841,9 @@ def _incremental_update_delta(
         chunks_repointed = m_raw_delta.join(
             delta_entities, "entity_id", "left_semi"
         ).select("chunk_id")
+        # pending_chunks ⊇ stale ∪ new chunk ids (journaled step 3.5)
         affected_chunks = ck(
-            old_chunks_stale.select("chunk_id")
-            .union(new_chunks.select("chunk_id"))
-            .union(chunks_repointed)
-            .distinct()
+            pending_chunks.union(chunks_repointed).distinct()
         )
         contrib_convs_m = (
             read_pruned(spark, wh.path("chunk_conv_index"), affected_chunks)
@@ -816,12 +868,21 @@ def _incremental_update_delta(
             read_pruned(spark, wh.path("triples_raw"), affected_convs)
         )
         k_new = _triple_keys(t_raw_aff, cmap)
-        k_old_stale = _triple_keys(old_traw_stale, old_cmap)
+        # pending_tkeys ⊇ k_old_stale (journaled in step 3.5, including
+        # any crashed cycle's keys whose pre-merge evidence is gone);
+        # re-pointed and journaled convs also contribute their CURRENT
+        # raw keys under the stored map — the winner rows those keys
+        # name are superseded by the rewrite under the new map
         k_old_repointed = _triple_keys(
-            t_raw_aff.join(delta_convs, "conv_id", "left_semi"), old_cmap
+            t_raw_aff.join(
+                delta_convs.union(pending_convs).distinct(),
+                "conv_id",
+                "left_semi",
+            ),
+            old_cmap,
         )
         affected_keys = ck(
-            k_new.union(k_old_stale).union(k_old_repointed).distinct()
+            k_new.union(pending_tkeys).union(k_old_repointed).distinct()
         )
         aff_canon = (
             affected_keys.select(F.col("subj").alias("entity_id"))
@@ -882,12 +943,32 @@ def _incremental_update_delta(
         )
 
     def _chunk_embeddings_task():
-        new_chunk_ids = new_chunks.select("chunk_id").distinct()
+        # scope = new chunk ids ∪ the journal's pending ids: a retry
+        # after the registry committed has empty new_chunks, and the
+        # journal is what names the chunks whose embeddings the crashed
+        # cycle never wrote. Texts for missing ids come from the MERGED
+        # chunks table (conv-bucketed, so the id set routes through the
+        # chunk→conv index first) — both paths embed identically.
+        # Already-stored rows are kept VERBATIM, orphans included:
+        # reclaiming content-hash ids needs the global liveness check
+        # the periodic vacuum does (plans/maintenance.py), not the hot
+        # cycle.
+        want_ids = ck(
+            new_chunks.select("chunk_id").union(pending_chunks).distinct()
+        )
         cur_ce = ck(
-            read_pruned(spark, wh.path("chunk_embeddings"), new_chunk_ids)
+            read_pruned(spark, wh.path("chunk_embeddings"), want_ids)
+        )
+        holder_convs = (
+            read_pruned(spark, wh.path("chunk_conv_index"), want_ids)
+            .select("conv_id")
+            .distinct()
+        )
+        live = read_pruned(spark, wh.path("chunks"), holder_convs).join(
+            want_ids, "chunk_id", "left_semi"
         )
         todo_ce = (
-            new_chunks.select("chunk_id", "text")
+            live.select("chunk_id", "text")
             .dropDuplicates(["chunk_id"])
             .join(cur_ce.select("chunk_id"), "chunk_id", "left_anti")
         )
@@ -897,7 +978,7 @@ def _incremental_update_delta(
             )
         )
         upsert_groups(
-            spark, wh.path("chunk_embeddings"), ce_delta, new_chunk_ids,
+            spark, wh.path("chunk_embeddings"), ce_delta, want_ids,
             "chunk_id",
         )
 
@@ -954,6 +1035,10 @@ def _incremental_update_delta(
 
     _mark("communities")
     wh.flush_lineage()
+    # every table is committed — the rewrite obligations are met, so
+    # the journal can go. A crash BEFORE this point leaves it in place
+    # and the next cycle re-winners the journaled scope (idempotent).
+    _clear_journal(wh)
 
     out_names = (
         "transcripts",
@@ -1035,6 +1120,45 @@ def _stored_linking_if_catalog_unchanged(wh, catalog: DataFrame):
     if diff.limit(1).count():
         return None
     return tables
+
+
+# rewrite-intent journal (step 3.5 of the delta cycle): the
+# delta-proportional obligations a retry needs after the conv merges
+# have destroyed the pre-merge evidence and the registry has committed
+_JOURNAL_TABLES = {
+    "pending_rewrite_convs": "conv_id string",
+    "pending_rewrite_tkeys": "subj string, pred string, obj string",
+    "pending_rewrite_chunks": "chunk_id string",
+}
+
+
+def _read_journal(spark: SparkSession, wh) -> dict[str, DataFrame]:
+    """The surviving journal of a crashed cycle, empty frames when the
+    last cycle completed (or none ever ran)."""
+    return {
+        name: (
+            wh.read(name)
+            if wh.exists(name)
+            else spark.createDataFrame([], schema)
+        )
+        for name, schema in _JOURNAL_TABLES.items()
+    }
+
+
+def _write_journal(wh, updates: dict[str, DataFrame]) -> None:
+    """Persist the journal BEFORE the first destructive merge. Inputs
+    are checkpointed by the caller (they union the stored journal being
+    overwritten). A crash mid-write is safe: no merge has run yet, so
+    the retry re-derives everything from its own change detection."""
+    for name, df in updates.items():
+        wh.write(df, name)
+
+
+def _clear_journal(wh) -> None:
+    from . import fsio
+
+    for name in _JOURNAL_TABLES:
+        fsio.rmtree(wh.path(name))
 
 
 def _triple_keys(t_raw: DataFrame, cmap: DataFrame) -> DataFrame:

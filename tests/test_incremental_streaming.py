@@ -1114,3 +1114,86 @@ def test_legacy_migration_partial_remove_crash_is_lossless(
     }
     assert texts == {r["text"] for r in redelivered}
     assert not any(t.startswith("old::") for t in texts)
+
+
+def test_post_registry_crash_rewrites_recover_via_journal(
+    spark, transcripts_df, tmp_path_factory, monkeypatch
+):
+    """The registry commits BEFORE the canonical triple/mention
+    rewrites, and the conv merges destroy the pre-merge evidence those
+    rewrites need — so a cycle that dies in that window leaves a retry
+    with zero detected changes and (without the step-3.5 journal) no
+    way to learn which winner rows went stale: a deleted conversation's
+    sole-contributor triples would survive in `triples` forever. The
+    rewrite-intent journal persisted before the first merge must let
+    the retry re-derive the scope and converge to the oracle state,
+    then be cleared."""
+    import os
+
+    import graph_rag_agent_spark.plans.merge as merge_mod
+
+    wh = str(tmp_path_factory.mktemp("wh_journal"))
+    cfg = BuildConfig(
+        warehouse=wh,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    build_all(spark, transcripts_df, cfg)
+
+    v2_rows = [
+        r
+        for r in generate_transcripts(12)
+        if r["conv_id"] != "conv-000003"
+        and not (r["conv_id"] == "conv-000001" and r["turn_idx"] >= 5)
+    ]
+    v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+    # the deleted conv must have winner rows to orphan, or the test
+    # can't tell the journal recovered anything
+    v1_triples = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(f"{wh}/triples").collect()
+    }
+    want = oracle_build(v2_rows).triple_set()
+    assert v1_triples - want, "fixture must delete sole-contributor triples"
+
+    real_upsert = merge_mod.upsert_groups
+
+    def dying_upsert(spark_, path, *a, **k):
+        # the canonical triples table is only touched by the step 8-10
+        # rewrites — AFTER the conv merges and the registry commit
+        if path.rstrip("/").endswith("/triples"):
+            raise RuntimeError("injected rewrite failure")
+        return real_upsert(spark_, path, *a, **k)
+
+    monkeypatch.setattr(merge_mod, "upsert_groups", dying_upsert)
+    with pytest.raises(Exception, match="injected rewrite failure"):
+        incremental_update(spark, v2_df, wh, cfg=cfg)
+    monkeypatch.undo()
+
+    # the crash window is real: registry already committed (retry will
+    # detect zero changes) and the journal is still on disk
+    reg = {
+        r["conv_id"]
+        for r in spark.read.parquet(f"{wh}/registry").collect()
+    }
+    assert reg == {r["conv_id"] for r in v2_rows}
+    assert os.path.exists(f"{wh}/pending_rewrite_tkeys/_SUCCESS")
+
+    tables = incremental_update(spark, v2_df, wh, cfg=cfg)
+    got = {
+        (r["subj"], r["pred"], r["obj"]) for r in tables["triples"].collect()
+    }
+    assert got == want
+    # mentions follow the same scope — no canonical rows for dropped convs
+    m_convs = {
+        r["conv_id"] for r in tables["mentions"].select("conv_id").collect()
+    }
+    assert "conv-000003" not in m_convs
+    # completed cycle clears the journal
+    for t in (
+        "pending_rewrite_convs",
+        "pending_rewrite_tkeys",
+        "pending_rewrite_chunks",
+    ):
+        assert not os.path.exists(f"{wh}/{t}")
