@@ -68,8 +68,15 @@ def chunk_topk(
     vectors stays in exact integer arithmetic (score long), which is
     what makes the driver oracle hash-exact across engines.
     """
+    _int_types = ("int", "bigint", "smallint", "tinyint")
     elem = chunks_emb.schema[vec_col].dataType.elementType.simpleString()
-    integral = metric == "dot" and elem in ("int", "bigint", "smallint", "tinyint")
+    q_elem = queries.schema[qvec_col].dataType.elementType.simpleString()
+    # the integer fast path is only exact when BOTH sides are integral
+    # — routing on the stored side alone would int64-cast double query
+    # vectors in the numpy matmul and silently truncate them to the
+    # floor (0.73 → 0); a double query against an integral store takes
+    # the JVM broadcast path, where zip_with widens to double
+    integral = metric == "dot" and elem in _int_types and q_elem in _int_types
     if integral:
         return _topk_integral_partial(
             chunks_emb, queries, k, id_col, query_id_col, vec_col, qvec_col

@@ -101,3 +101,24 @@ def test_build_all_materializes_chunk_embeddings(spark, transcripts_df, tmp_path
         "chunk_id",
     ).first()
     assert row["embedding"] == pytest.approx(embed_text(row["text"]))
+
+
+def test_chunk_topk_double_query_on_integral_store_is_not_truncated(spark):
+    """A double-typed query vector against an integral stored table must
+    take the float path, not the int64 fast path — casting 0.75 to int64
+    floors it to 0 and silently reorders the top-k."""
+    chunks = spark.createDataFrame(
+        [("c1", [1, 0, 0]), ("c2", [0, 1, 0])],
+        "chunk_id string, embedding array<long>",
+    )
+    # under int64 truncation this query becomes [0, 0, 0]: every score 0
+    # and the id tie-break would rank c1 first; the true dot ranks c2
+    queries = spark.createDataFrame(
+        [("q1", [0.25, 0.75, 0.0])], "query_id string, qvec array<double>"
+    )
+    got = {
+        r["chunk_id"]: (r["rank"], r["score"])
+        for r in chunk_topk(chunks, queries, k=2, metric="dot").collect()
+    }
+    assert got["c2"][0] == 1 and got["c2"][1] == pytest.approx(0.75)
+    assert got["c1"][0] == 2 and got["c1"][1] == pytest.approx(0.25)
