@@ -248,34 +248,16 @@ def dense_number_labels(
     then add per-partition offsets (a collect of one count per
     partition — bounded by the partition count, not the data). A bare
     Window.orderBy would funnel every label through a single-partition
-    global sort — the textbook WindowExec scale trap."""
-    from pyspark.sql import Window
+    global sort — the textbook WindowExec scale trap.
 
-    distinct = (
-        labels.select(col).distinct().repartitionByRange(col).localCheckpoint()
-    )
-    part_counts = (
-        distinct.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
-    counts = {r["pid"]: r["count"] for r in part_counts}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    spark = labels.sparkSession
-    off = spark.createDataFrame(
-        list(offsets.items()) or [(0, 0)], "pid int, offset long"
-    )
-    w = Window.partitionBy("pid").orderBy(col)
-    return (
-        distinct.withColumn("pid", F.spark_partition_id())
-        .withColumn("rk", F.row_number().over(w).cast("long") - 1)
-        .join(F.broadcast(off), "pid")
-        .select(col, (F.col("offset") + F.col("rk")).alias(out))
+    Thin wrapper over pagination.with_global_positions — the ONE
+    implementation of the two-phase numbering (offset bookkeeping is
+    subtle enough that two copies would drift)."""
+    from .pagination import with_global_positions
+
+    distinct = labels.select(col).distinct()
+    return with_global_positions(distinct, [F.col(col)], out=out).select(
+        col, out
     )
 
 

@@ -133,6 +133,7 @@ def sllpa_membership_table(
     max_iterations: int = MAX_ITERATIONS,
     min_association_strength: float = MIN_ASSOCIATION_STRENGTH,
     driver_threshold: int = DRIVER_THRESHOLD,
+    edge_driver_threshold: int = EDGE_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """→ membership(entity_id, community_id, level) with level-0
     '0-<n>' ids and OVERLAPPING rows, matching the reference's SLLPA
@@ -142,7 +143,12 @@ def sllpa_membership_table(
     nodes = entities.select(F.col("entity_id").alias("node")).distinct()
     edges = projection_edges(triples).select("a", "b")
     labeled = sllpa_communities(
-        nodes, edges, max_iterations, min_association_strength, driver_threshold
+        nodes,
+        edges,
+        max_iterations,
+        min_association_strength,
+        driver_threshold,
+        edge_driver_threshold,
     )
     # two-phase range-partitioned numbering — same rationale as
     # components.consecutive_component_ids (no global-sort Window)

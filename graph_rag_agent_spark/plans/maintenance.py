@@ -228,18 +228,20 @@ def vacuum_extraction_cache(spark: SparkSession, warehouse: str) -> dict:
         return {"rows_deleted": 0}
     live = wh.read("chunks").select("chunk_id").distinct()
     cache = wh.read("extraction_cache")
-    # count the orphans BEFORE materializing anything: the steady
-    # no-orphan state must cost two counts, not a single-task rewrite
-    # of the whole cache (coalesce(1) funnels it through one core)
-    n_before = cache.count()
-    n_kept = cache.join(live, "chunk_id", "left_semi").count()
-    if n_kept == n_before:
+    # probe for orphans with ONE extra job: anti-join limit(1) — the
+    # steady no-orphan state costs a short-circuiting scan, not a
+    # single-task rewrite of the whole cache (coalesce(1) funnels it
+    # through one core)
+    if not cache.join(live, "chunk_id", "left_anti").limit(1).count():
         return {"rows_deleted": 0}
+    # orphans exist: evaluate the semi-join ONCE (checkpoint), derive
+    # both the rewrite and the reclaim count from the materialized rows
+    n_before = cache.count()
     kept = cache.join(live, "chunk_id", "left_semi").coalesce(1).localCheckpoint(
         eager=True
     )
     kept.write.mode("overwrite").parquet(cache_path)
-    return {"rows_deleted": n_before - n_kept}
+    return {"rows_deleted": n_before - kept.count()}
 
 
 #: append-mode tables whose file count grows with cycle count; the
