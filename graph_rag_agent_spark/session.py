@@ -35,6 +35,14 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus else 32
 
+    # Plain local[N] runs with task maxFailures=1 — a single Python
+    # worker crash (OOM blip, co-tenant memory pressure) fails the whole
+    # job, which no real deployment does (cluster default is 4 retries).
+    # Grant local masters the same self-healing: local[N] → local[N,2].
+    # An explicit local[N,F] or any non-local master is left untouched.
+    if master.startswith("local[") and "," not in master:
+        master = master[:-1] + ",2]"
+
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
