@@ -130,6 +130,8 @@ class BuildResult:
 
 LINK_PARAMS_FILE = "_link_params.json"
 
+COMMUNITY_PARAMS_FILE = "_community_params.json"
+
 FORMAT_FILE = "_format_version.json"
 # 2: mentions_raw is conv-complete — one row per CONTRIBUTING conv for
 #    a shared content-hash chunk (operators/parsing.mentions_raw), the
@@ -146,6 +148,17 @@ def link_fingerprint(cfg) -> dict:
     the stored copy; adding a linking-relevant knob here invalidates
     stale warehouses automatically at every call site."""
     return {"similarity_method": cfg.similarity_method}
+
+
+def community_fingerprint(cfg) -> dict:
+    """The community-config fingerprint persisted beside the community
+    tables — the ONE place that decides which BuildConfig knobs the
+    detection output depends on. The no-change-cycle communities reuse
+    in plans/incremental.py compares against the stored copy; adding a
+    detection-relevant knob here invalidates stale warehouses
+    automatically. Implementation-semantics changes are covered by
+    FORMAT_VERSION, not this fingerprint."""
+    return {"max_levels": cfg.max_levels}
 
 
 class _Warehouse:
@@ -208,6 +221,33 @@ class _Warehouse:
                 os.path.join(self.root, LINK_PARAMS_FILE), self.link_params
             )
         return self.read(name)
+
+    def invalidate_community_params(self) -> None:
+        """Entering the community-table overwrite window: membership/
+        hierarchy/communities are only mutually consistent once ALL are
+        written (they're overwritten in parallel), so the sidecar the
+        no-change-cycle reuse probes is deleted first and re-created by
+        commit_community_params after the last write — a crash inside
+        the window makes the probe decline instead of pairing fresh
+        membership with a stale catalog."""
+        fsio.remove(os.path.join(self.root, COMMUNITY_PARAMS_FILE))
+
+    def commit_community_params(self, params: dict) -> None:
+        fsio.write_json(
+            os.path.join(self.root, COMMUNITY_PARAMS_FILE), params
+        )
+
+    def stored_community_params(self) -> dict | None:
+        """Fingerprint persisted with the last completed community
+        write, or None for warehouses that predate the sidecar / a
+        corrupt sidecar — the safe direction: reuse is declined and
+        detection re-runs."""
+        try:
+            return fsio.read_json(
+                os.path.join(self.root, COMMUNITY_PARAMS_FILE)
+            )
+        except Exception:
+            return None
 
     def stored_link_params(self) -> dict | None:
         """Fingerprint persisted with the last canonical_map write, or
@@ -648,8 +688,10 @@ def build_all(
 
     if cfg.resume and wh.exists("membership") and wh.exists("hierarchy"):
         membership, hierarchy = wh.read("membership"), wh.read("hierarchy")
+        fresh_detection = False
     else:
         t0 = time.time()
+        wh.invalidate_community_params()
         membership, hierarchy = _membership_hierarchy()
         membership, hierarchy = _run_parallel(
             [
@@ -658,6 +700,7 @@ def build_all(
             ]
         )
         wh.append_lineage("membership", -1, membership.count(), t0, defer=True)
+        fresh_detection = True
     res.tables.update(membership=membership, hierarchy=hierarchy)
 
     # build stage 3 (reference build/build_chunk_index.py:101-172):
@@ -687,6 +730,12 @@ def build_all(
     )
     res.tables["communities"] = communities
     res.tables["chunk_embeddings"] = chunk_embeddings
+    # the sidecar describes the detection params of the STORED tables:
+    # stamped only when this run actually detected with cfg (a resume
+    # that reused membership/hierarchy leaves whatever stamp — if any —
+    # the writing run left, which is the truthful one)
+    if fresh_detection:
+        wh.commit_community_params(community_fingerprint(cfg))
 
     wh.flush_lineage()
     res.metrics["build_seconds"] = time.time() - t_start

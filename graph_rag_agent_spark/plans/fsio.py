@@ -50,6 +50,7 @@ __all__ = [
     "list_dirs",
     "makedirs",
     "rmtree",
+    "rename",
     "remove",
     "read_text",
     "write_text",
@@ -164,6 +165,22 @@ def rmtree(path: str) -> None:
         return
     fs, p, _ = h
     fs.delete(p, True)
+
+
+def rename(src: str, dst: str) -> None:
+    """Rename src onto a NON-EXISTENT dst (callers delete dst first).
+    One FS metadata op — atomic on posix and HDFS, the property the
+    journal swap in plans/incremental.py relies on. Raises when the
+    source is missing or the move is refused (Hadoop rename returns
+    false instead of throwing)."""
+    h = _hadoop(src)
+    if h is None:
+        os.rename(src, dst)
+        return
+    fs, p_src, jvm = h
+    p_dst = jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(p_src, p_dst):
+        raise OSError(f"rename refused: {src} -> {dst}")
 
 
 def remove(path: str) -> None:

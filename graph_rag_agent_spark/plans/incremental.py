@@ -25,6 +25,8 @@ incremental_graph_builder.py:880-958 + incremental/file_change_manager
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -314,6 +316,13 @@ def incremental_update(
         "chunk_embeddings": chunk_embeddings,
     }
     tables["registry"] = new_registry
+    # the write loop overwrites membership/hierarchy/communities among
+    # the rest — bracket it with the community sidecar so a crash
+    # mid-loop can't leave a stale stamp on half-written tables (the
+    # delta path's no-change reuse probes this stamp)
+    from .build import community_fingerprint
+
+    wh.invalidate_community_params()
     out = {
         name: (
             merged_writes[name]
@@ -322,6 +331,7 @@ def incremental_update(
         )
         for name, df in tables.items()
     }
+    wh.commit_community_params(community_fingerprint(cfg))
     out["cascade_deleted_entities"] = cascade
     out["changes_added"] = changes["added"]
     out["changes_modified"] = changes["modified"]
@@ -615,6 +625,7 @@ def _incremental_update_delta(
     # journal (instead of overwriting it) keeps obligations alive even
     # when the retry's own change detection is empty.
     journal = _read_journal(spark, wh)
+    journal_on_disk = any(wh.exists(n) for n in _JOURNAL_TABLES)
     k_old_stale = ck(_triple_keys(old_traw_stale, old_cmap))
     pending_convs = ck(
         journal["pending_rewrite_convs"].union(stale).distinct()
@@ -628,14 +639,23 @@ def _incremental_update_delta(
         .union(new_chunks.select("chunk_id"))
         .distinct()
     )
-    _write_journal(
-        wh,
-        {
-            "pending_rewrite_convs": pending_convs,
-            "pending_rewrite_tkeys": pending_tkeys,
-            "pending_rewrite_chunks": pending_chunks,
-        },
-    )
+    # A no-change cycle (stale empty ⇒ every journaled union above is a
+    # no-op) adds no obligations: skip the three write jobs on the
+    # steady-state hot path. A surviving journal is left in place —
+    # this cycle still fulfils it through pending_* and clears it on
+    # commit. One limit(1) probe on the checkpointed stale frame
+    # replaces three parquet writes.
+    has_new_obligations = bool(stale.limit(1).count())
+    if has_new_obligations:
+        _write_journal(
+            wh,
+            {
+                "pending_rewrite_convs": pending_convs,
+                "pending_rewrite_tkeys": pending_tkeys,
+                "pending_rewrite_chunks": pending_chunks,
+            },
+        )
+    journal_live = has_new_obligations or journal_on_disk
 
     _mark("3.5 rewrite journal")
 
@@ -870,17 +890,11 @@ def _incremental_update_delta(
         k_new = _triple_keys(t_raw_aff, cmap)
         # pending_tkeys ⊇ k_old_stale (journaled in step 3.5, including
         # any crashed cycle's keys whose pre-merge evidence is gone);
-        # re-pointed and journaled convs also contribute their CURRENT
+        # every affected conv (= pending ∪ delta — exactly the set
+        # t_raw_aff was read pruned to) also contributes its CURRENT
         # raw keys under the stored map — the winner rows those keys
         # name are superseded by the rewrite under the new map
-        k_old_repointed = _triple_keys(
-            t_raw_aff.join(
-                delta_convs.union(pending_convs).distinct(),
-                "conv_id",
-                "left_semi",
-            ),
-            old_cmap,
-        )
+        k_old_repointed = _triple_keys(t_raw_aff, old_cmap)
         affected_keys = ck(
             k_new.union(pending_tkeys).union(k_old_repointed).distinct()
         )
@@ -1014,31 +1028,65 @@ def _incremental_update_delta(
 
     _mark("11 side-table writes")
 
-    entities_tbl = wh.read("entities")
-    triples_tbl = wh.read("triples")
-    membership, hierarchy = detect_communities(
-        entities_tbl, triples_tbl, max_levels=cfg.max_levels
+    # no-change-cycle communities reuse: detection + catalog are a
+    # deterministic function of (entities, triples, mentions,
+    # max_levels). When this cycle's linking was reused verbatim
+    # (catalog bit-identical ⇒ cmap unchanged ⇒ delta scope empty) AND
+    # no conv changed (stale empty) AND no crashed cycle's journal
+    # could have left the winner tables mid-rewrite, the stored
+    # community tables ARE this cycle's output — the steady-state
+    # no-op cycle skips the whole corpus-proportional detection loop.
+    # The sidecar fingerprint declines reuse across a max_levels change
+    # and across a crash inside the three-table overwrite window.
+    from .build import community_fingerprint
+
+    communities_reusable = (
+        reuse is not None
+        and not journal_live
+        and wh.stored_community_params() == community_fingerprint(cfg)
+        and all(
+            wh.exists(t) for t in ("membership", "hierarchy", "communities")
+        )
     )
-    membership = ck(membership)
-    hierarchy = ck(hierarchy)
-    mentions_tbl = wh.read("mentions")
-    communities = ck(
-        community_catalog(membership, entities_tbl, triples_tbl, mentions_tbl)
-    )
-    _run_parallel(
-        [
-            lambda: wh.write(membership, "membership"),
-            lambda: wh.write(hierarchy, "hierarchy"),
-            lambda: wh.write(communities, "communities"),
-        ]
-    )
+    if communities_reusable:
+        # nothing to compute or write — the stored tables are read back
+        # (with everything else) in the out-dict below
+        wh.append_lineage(
+            "incr_communities_reused", -1, 1, _time.time(), defer=True
+        )
+    else:
+        entities_tbl = wh.read("entities")
+        triples_tbl = wh.read("triples")
+        membership, hierarchy = detect_communities(
+            entities_tbl, triples_tbl, max_levels=cfg.max_levels
+        )
+        membership = ck(membership)
+        hierarchy = ck(hierarchy)
+        mentions_tbl = wh.read("mentions")
+        communities = ck(
+            community_catalog(
+                membership, entities_tbl, triples_tbl, mentions_tbl
+            )
+        )
+        wh.invalidate_community_params()
+        _run_parallel(
+            [
+                lambda: wh.write(membership, "membership"),
+                lambda: wh.write(hierarchy, "hierarchy"),
+                lambda: wh.write(communities, "communities"),
+            ]
+        )
+        wh.commit_community_params(community_fingerprint(cfg))
 
     _mark("communities")
     wh.flush_lineage()
     # every table is committed — the rewrite obligations are met, so
     # the journal can go. A crash BEFORE this point leaves it in place
     # and the next cycle re-winners the journaled scope (idempotent).
-    _clear_journal(wh)
+    # No-change cycles with no surviving journal have nothing to clear
+    # (and skip the three delete RPCs).
+    if journal_live:
+        _clear_journal(wh)
 
     out_names = (
         "transcripts",
@@ -1132,9 +1180,32 @@ _JOURNAL_TABLES = {
 }
 
 
+_JOURNAL_NEXT_SUFFIX = "__next"
+
+
+def _heal_journal(wh) -> None:
+    """Finish any swap a crash interrupted: a COMPLETE ``__next``
+    generation (its _SUCCESS exists) supersedes the main table — it is
+    always a superset (every write unions the stored journal), so
+    promoting it is monotone-safe whether the crash hit before or after
+    the main table's delete. After this, the main path is the single
+    authoritative copy and a later overwrite of ``__next`` can never
+    destroy live obligations."""
+    from . import fsio
+
+    for name in _JOURNAL_TABLES:
+        nxt = wh.path(name) + _JOURNAL_NEXT_SUFFIX
+        if fsio.exists(os.path.join(nxt, "_SUCCESS")):
+            fsio.rmtree(wh.path(name))
+            fsio.rename(nxt, wh.path(name))
+
+
 def _read_journal(spark: SparkSession, wh) -> dict[str, DataFrame]:
     """The surviving journal of a crashed cycle, empty frames when the
-    last cycle completed (or none ever ran)."""
+    last cycle completed (or none ever ran). Heals an interrupted swap
+    first so the caller (and a subsequent _write_journal) always sees
+    one authoritative generation per table."""
+    _heal_journal(wh)
     return {
         name: (
             wh.read(name)
@@ -1146,12 +1217,26 @@ def _read_journal(spark: SparkSession, wh) -> dict[str, DataFrame]:
 
 
 def _write_journal(wh, updates: dict[str, DataFrame]) -> None:
-    """Persist the journal BEFORE the first destructive merge. Inputs
-    are checkpointed by the caller (they union the stored journal being
-    overwritten). A crash mid-write is safe: no merge has run yet, so
-    the retry re-derives everything from its own change detection."""
+    """Persist the journal BEFORE the first destructive merge, without
+    ever holding the obligations in zero complete copies: each table is
+    written to a ``__next`` sibling first, then swapped in (delete main
+    + atomic rename). A plain overwrite of the main path would be
+    delete-then-write — a crash inside that window destroys a PRIOR
+    crashed cycle's obligations, which are exactly the ones the retry's
+    change detection cannot re-derive (its registry already committed).
+    Crash windows here: during the ``__next`` write the main table is
+    intact (and any complete prior ``__next`` was promoted by
+    _heal_journal before this call); between delete and rename the
+    complete ``__next`` survives and the next read heals it forward.
+    Inputs are checkpointed by the caller (they union the stored
+    journal being replaced)."""
+    from . import fsio
+
     for name, df in updates.items():
-        wh.write(df, name)
+        nxt = wh.path(name) + _JOURNAL_NEXT_SUFFIX
+        df.write.mode("overwrite").parquet(nxt)
+        fsio.rmtree(wh.path(name))
+        fsio.rename(nxt, wh.path(name))
 
 
 def _clear_journal(wh) -> None:
@@ -1159,6 +1244,7 @@ def _clear_journal(wh) -> None:
 
     for name in _JOURNAL_TABLES:
         fsio.rmtree(wh.path(name))
+        fsio.rmtree(wh.path(name) + _JOURNAL_NEXT_SUFFIX)
 
 
 def _triple_keys(t_raw: DataFrame, cmap: DataFrame) -> DataFrame:

@@ -1197,3 +1197,141 @@ def test_post_registry_crash_rewrites_recover_via_journal(
         "pending_rewrite_chunks",
     ):
         assert not os.path.exists(f"{wh}/{t}")
+
+
+def test_journal_torn_swap_heals_and_recovers(
+    spark, transcripts_df, tmp_path_factory, monkeypatch
+):
+    """_write_journal swaps each table in via write-next → delete →
+    rename. A crash between the delete and the rename leaves the main
+    path missing and a COMPLETE ``__next`` generation on disk; a plain
+    exists() read would see an empty journal and orphan the crashed
+    cycle's winner rows. _read_journal must heal the torn swap forward
+    and the retry must still converge to the oracle state."""
+    import os
+
+    import graph_rag_agent_spark.plans.merge as merge_mod
+
+    wh = str(tmp_path_factory.mktemp("wh_torn"))
+    cfg = BuildConfig(
+        warehouse=wh,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    build_all(spark, transcripts_df, cfg)
+
+    v2_rows = [
+        r for r in generate_transcripts(12) if r["conv_id"] != "conv-000003"
+    ]
+    v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+    want = oracle_build(v2_rows).triple_set()
+
+    real_upsert = merge_mod.upsert_groups
+
+    def dying_upsert(spark_, path, *a, **k):
+        if path.rstrip("/").endswith("/triples"):
+            raise RuntimeError("injected rewrite failure")
+        return real_upsert(spark_, path, *a, **k)
+
+    monkeypatch.setattr(merge_mod, "upsert_groups", dying_upsert)
+    with pytest.raises(Exception, match="injected rewrite failure"):
+        incremental_update(spark, v2_df, wh, cfg=cfg)
+    monkeypatch.undo()
+
+    # simulate the torn swap window on every journal table: main gone,
+    # complete __next present (what a kill between delete and rename
+    # leaves behind)
+    for t in (
+        "pending_rewrite_convs",
+        "pending_rewrite_tkeys",
+        "pending_rewrite_chunks",
+    ):
+        assert os.path.exists(f"{wh}/{t}/_SUCCESS")
+        os.rename(f"{wh}/{t}", f"{wh}/{t}__next")
+
+    tables = incremental_update(spark, v2_df, wh, cfg=cfg)
+    got = {
+        (r["subj"], r["pred"], r["obj"]) for r in tables["triples"].collect()
+    }
+    assert got == want
+    # heal + commit leaves neither generation behind
+    for t in (
+        "pending_rewrite_convs",
+        "pending_rewrite_tkeys",
+        "pending_rewrite_chunks",
+    ):
+        assert not os.path.exists(f"{wh}/{t}")
+        assert not os.path.exists(f"{wh}/{t}__next")
+
+
+def test_no_change_cycle_skips_journal_writes_and_reuses_communities(
+    spark, transcripts_df, tmp_path_factory, monkeypatch
+):
+    """A steady-state cycle with zero detected changes adds no rewrite
+    obligations and leaves every global table bit-identical — it must
+    not pay the three journal write jobs NOR the community detection
+    loop (the two fixed costs on the streaming hot path), and must
+    leave no journal tables behind. Changing max_levels invalidates the
+    communities reuse via the sidecar fingerprint."""
+    import os
+
+    import graph_rag_agent_spark.operators.community as comm_mod
+    import graph_rag_agent_spark.plans.incremental as incr_mod
+
+    wh = str(tmp_path_factory.mktemp("wh_nochange"))
+    cfg = BuildConfig(
+        warehouse=wh,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    build_all(spark, transcripts_df, cfg)
+    stored_members = {
+        tuple(r) for r in spark.read.parquet(f"{wh}/membership").collect()
+    }
+
+    calls = []
+    real_write = incr_mod._write_journal
+    monkeypatch.setattr(
+        incr_mod,
+        "_write_journal",
+        lambda *a, **k: (calls.append(1), real_write(*a, **k)),
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("detect_communities ran on a no-change cycle")
+
+    real_detect = comm_mod.detect_communities
+    monkeypatch.setattr(comm_mod, "detect_communities", boom)
+    tables = incremental_update(spark, transcripts_df, wh, cfg=cfg)
+    assert calls == []
+    assert not os.path.exists(f"{wh}/pending_rewrite_convs")
+    # and the cycle is still a correct no-op, stored communities reused
+    got = {
+        (r["subj"], r["pred"], r["obj"]) for r in tables["triples"].collect()
+    }
+    assert got == oracle_build(generate_transcripts(12)).triple_set()
+    assert {
+        tuple(r) for r in tables["membership"].collect()
+    } == stored_members
+
+    # a max_levels change must decline the reuse and re-detect
+    detections = []
+    monkeypatch.setattr(
+        comm_mod,
+        "detect_communities",
+        lambda *a, **k: (detections.append(1), real_detect(*a, **k))[1],
+    )
+    cfg2 = BuildConfig(
+        warehouse=wh,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+        max_levels=2,
+    )
+    incremental_update(spark, transcripts_df, wh, cfg=cfg2)
+    assert detections == [1]
+    # ... and the refreshed sidecar re-enables reuse on the next cycle
+    incremental_update(spark, transcripts_df, wh, cfg=cfg2)
+    assert detections == [1]
