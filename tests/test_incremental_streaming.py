@@ -1066,9 +1066,17 @@ def test_legacy_migration_partial_remove_crash_is_lossless(
         for r in rows
     ]
     batch_of = {c: i for i, c in enumerate(convs)}
+    # StructType.add MUTATES in place — never call it on the shared
+    # schemas.TRANSCRIPTS (it poisoned every later test's transcript
+    # schema with ingest_batch); build a fresh copy instead
+    from pyspark.sql import types as T
+
+    log_schema = T.StructType(list(schemas.TRANSCRIPTS.fields)).add(
+        "ingest_batch", "long"
+    )
     df_early = spark.createDataFrame(
         [dict(r, ingest_batch=batch_of[r["conv_id"]]) for r in early],
-        schema=schemas.TRANSCRIPTS.add("ingest_batch", "long"),
+        schema=log_schema,
     )
     df_early.coalesce(1).write.mode("append").parquet(log)
     redelivered = [r for r in rows if r["conv_id"] == convs[0]]
