@@ -193,11 +193,10 @@ def main() -> None:
 
         out = timed("stream_build", run_batch2)
 
-        # the steady-state FLOOR: a cycle that detects zero changes.
-        # Journal writes are skipped and the stored community tables are
-        # reused verbatim, leaving change detection + empty merges + one
-        # catalog scan + two EXCEPT probes — the per-cycle tax a quiet
-        # stream pays between real deltas.
+        # the steady-state FLOOR: a cycle that detects zero changes
+        # takes the unchanged-source shortcut (registry diff + metadata
+        # probes, then return stored tables) — the per-cycle tax a
+        # quiet stream pays between real deltas.
         from graph_rag_agent_spark.plans.build import _Warehouse
         from graph_rag_agent_spark.plans.incremental import (
             incremental_update,

@@ -405,7 +405,11 @@ def _incremental_update_delta(
     catalog is bit-identical to the stored one, even the linking
     recompute is skipped (_stored_linking_if_catalog_unchanged — the
     chain is deterministic in the catalog, so the stored tables ARE
-    its output). Entity-scale side
+    its output); and when the SOURCE is bit-identical (zero detected
+    changes, no surviving journal, config sidecars matching), the
+    whole cycle is the reference's early return
+    (incremental_graph_builder.py:903-905): change detection +
+    metadata probes, then the stored tables (step 1.5). Entity-scale side
     tables (embeddings/similar/wcc/canonical_map/membership/
     hierarchy/communities) are overwritten — they are
     catalog-proportional, not corpus-proportional; entity EMBEDDING
@@ -483,6 +487,43 @@ def _incremental_update_delta(
     stale = ck(dropped.union(changed).distinct())
 
     _mark("1 change detection")
+
+    # ---- 1.5. unchanged-source shortcut ------------------------------
+    # The reference's incremental cycle returns right after change
+    # detection when nothing changed (incremental_graph_builder.py:
+    # 903-905). Same here: a registry-identical source means no conv
+    # table was (or needs to be) touched, so when no crashed cycle left
+    # obligations (journal empty post-heal), the stored linking AND
+    # community tables were produced under this cfg (both sidecar
+    # fingerprints match), and every output table exists, the stored
+    # warehouse IS this cycle's output. A polling stream that finds a
+    # quiet source pays change detection + metadata probes — nothing
+    # else (no empty-frame chunk/extract/merge jobs, no catalog scan,
+    # no EXCEPT probes). Any guard failing falls through to the normal
+    # path, which handles partial reuse stage by stage.
+    from .build import community_fingerprint
+
+    _heal_journal(wh)
+    if (
+        not stale.limit(1).count()
+        and not any(wh.exists(n) for n in _JOURNAL_TABLES)
+        and wh.stored_link_params() == wh.link_params
+        and wh.stored_community_params() == community_fingerprint(cfg)
+        and all(wh.exists(n) for n in _DELTA_OUT_TABLES)
+    ):
+        wh.append_lineage(
+            "incr_noop_shortcut", -1, 1, _time.time(), defer=True
+        )
+        wh.flush_lineage()
+        out = _read_out_tables(wh)
+        out["cascade_deleted_entities"] = spark.createDataFrame(
+            [], "entity_id string"
+        )
+        out["changes_added"] = changes["added"]
+        out["changes_modified"] = changes["modified"]
+        out["changes_deleted"] = changes["deleted"]
+        _mark("1.5 unchanged-source shortcut")
+        return out
 
     # ---- 2. old-state slices (pruned reads, BEFORE any merge) --------
     old_traw_stale, old_mraw_stale, old_eraw_stale, old_chunks_stale, \
@@ -1088,38 +1129,46 @@ def _incremental_update_delta(
     if journal_live:
         _clear_journal(wh)
 
-    out_names = (
-        "transcripts",
-        "registry",
-        "chunks",
-        "extractions",
-        "parsed",
-        "entities_raw",
-        "triples_raw",
-        "mentions_raw",
-        "entity_embeddings",
-        "similar",
-        "wcc",
-        "canonical_map",
-        "triples",
-        "mentions",
-        "entities",
-        "membership",
-        "hierarchy",
-        "communities",
-        "chunk_embeddings",
-    )
-    out = dict(
-        zip(
-            out_names,
-            _run_parallel([(lambda n=n: wh.read(n)) for n in out_names]),
-        )
-    )
+    out = _read_out_tables(wh)
     out["cascade_deleted_entities"] = cascade
     out["changes_added"] = changes["added"]
     out["changes_modified"] = changes["modified"]
     out["changes_deleted"] = changes["deleted"]
     return out
+
+
+_DELTA_OUT_TABLES = (
+    "transcripts",
+    "registry",
+    "chunks",
+    "extractions",
+    "parsed",
+    "entities_raw",
+    "triples_raw",
+    "mentions_raw",
+    "entity_embeddings",
+    "similar",
+    "wcc",
+    "canonical_map",
+    "triples",
+    "mentions",
+    "entities",
+    "membership",
+    "hierarchy",
+    "communities",
+    "chunk_embeddings",
+)
+
+
+def _read_out_tables(wh) -> dict[str, DataFrame]:
+    return dict(
+        zip(
+            _DELTA_OUT_TABLES,
+            _run_parallel(
+                [(lambda n=n: wh.read(n)) for n in _DELTA_OUT_TABLES]
+            ),
+        )
+    )
 
 
 def _stored_linking_if_catalog_unchanged(wh, catalog: DataFrame):

@@ -550,12 +550,13 @@ def test_delta_incremental_noop_cycle_rewrites_nothing(
             lineage.where(F.col("stage") == stage).agg(F.sum("rows")).first()[0]
         )
 
-    assert stage_rows("incr_chunks") == 0
+    # identical corpus → the unchanged-source shortcut returns right
+    # after change detection: no per-conv stages ran AT ALL (no lineage
+    # rows, not zero-row ones), no linking, no communities
+    assert (stage_rows("incr_chunks") or 0) == 0
     assert (stage_rows("incr_triples_rewrite") or 0) == 0
     assert (stage_rows("incr_mentions_rewrite") or 0) == 0
-    # identical corpus → identical entity catalog → the deterministic
-    # linking chain was SKIPPED and the stored tables reused verbatim
-    assert stage_rows("incr_link_reused") == 1
+    assert lineage.where(F.col("stage") == "incr_noop_shortcut").count() == 1
     after = {
         (r["subj"], r["pred"], r["obj"]) for r in tables["triples"].collect()
     }
@@ -574,16 +575,19 @@ def test_delta_incremental_noop_cycle_rewrites_nothing(
     )
     tables2 = incremental_update(spark, transcripts_df, wh, cfg=cfg_lsh)
     lineage2 = spark.read.parquet(f"{wh}/lineage")
-    assert lineage2.where(F.col("stage") == "incr_link_reused").count() == 1
+    # the config mismatch declined BOTH the unchanged-source shortcut
+    # and the stored-linking reuse: the chain actually re-ran
+    assert lineage2.where(F.col("stage") == "incr_noop_shortcut").count() == 1
+    assert lineage2.where(F.col("stage") == "incr_link_reused").count() == 0
     after2 = {
         (r["subj"], r["pred"], r["obj"]) for r in tables2["triples"].collect()
     }
     assert after2 == before
-    # and the sidecar now records the lsh run, so a THIRD noop cycle
-    # under lsh reuses again
+    # and the sidecars now record the lsh run, so a THIRD noop cycle
+    # under lsh takes the shortcut again
     tables3 = incremental_update(spark, transcripts_df, wh, cfg=cfg_lsh)
     lineage3 = spark.read.parquet(f"{wh}/lineage")
-    assert lineage3.where(F.col("stage") == "incr_link_reused").count() == 2
+    assert lineage3.where(F.col("stage") == "incr_noop_shortcut").count() == 2
     after3 = {
         (r["subj"], r["pred"], r["obj"]) for r in tables3["triples"].collect()
     }
@@ -1276,14 +1280,17 @@ def test_journal_torn_swap_heals_and_recovers(
 def test_no_change_cycle_skips_journal_writes_and_reuses_communities(
     spark, transcripts_df, tmp_path_factory, monkeypatch
 ):
-    """A steady-state cycle with zero detected changes adds no rewrite
-    obligations and leaves every global table bit-identical — it must
-    not pay the three journal write jobs NOR the community detection
-    loop (the two fixed costs on the streaming hot path), and must
-    leave no journal tables behind. Changing max_levels invalidates the
-    communities reuse via the sidecar fingerprint."""
+    """A steady-state cycle with zero detected changes takes the
+    unchanged-source shortcut (the reference's early return,
+    incremental_graph_builder.py:903-905): after change detection it
+    must run NO per-conversation work, NO journal writes, NO community
+    detection — just return the stored tables. Changing max_levels
+    invalidates the shortcut (and the downstream communities reuse)
+    via the sidecar fingerprint, and the refreshed stamp re-enables it
+    on the next cycle."""
     import os
 
+    import graph_rag_agent_spark.operators.chunking as chunk_mod
     import graph_rag_agent_spark.operators.community as comm_mod
     import graph_rag_agent_spark.plans.incremental as incr_mod
 
@@ -1307,14 +1314,20 @@ def test_no_change_cycle_skips_journal_writes_and_reuses_communities(
         lambda *a, **k: (calls.append(1), real_write(*a, **k)),
     )
 
-    def boom(*a, **k):
-        raise AssertionError("detect_communities ran on a no-change cycle")
+    def boom(what):
+        def _b(*a, **k):
+            raise AssertionError(f"{what} ran on a no-change cycle")
+
+        return _b
 
     real_detect = comm_mod.detect_communities
-    monkeypatch.setattr(comm_mod, "detect_communities", boom)
+    monkeypatch.setattr(comm_mod, "detect_communities", boom("detect"))
+    monkeypatch.setattr(chunk_mod, "chunk_conversations", boom("chunking"))
     tables = incremental_update(spark, transcripts_df, wh, cfg=cfg)
     assert calls == []
     assert not os.path.exists(f"{wh}/pending_rewrite_convs")
+    lin = spark.read.parquet(f"{wh}/lineage")
+    assert lin.where(lin.stage == "incr_noop_shortcut").count() == 1
     # and the cycle is still a correct no-op, stored communities reused
     got = {
         (r["subj"], r["pred"], r["obj"]) for r in tables["triples"].collect()
@@ -1323,8 +1336,11 @@ def test_no_change_cycle_skips_journal_writes_and_reuses_communities(
     assert {
         tuple(r) for r in tables["membership"].collect()
     } == stored_members
+    assert tables["changes_added"].count() == 0
+    assert tables["cascade_deleted_entities"].count() == 0
 
-    # a max_levels change must decline the reuse and re-detect
+    # a max_levels change must decline the shortcut and re-detect
+    monkeypatch.undo()
     detections = []
     monkeypatch.setattr(
         comm_mod,
@@ -1340,6 +1356,6 @@ def test_no_change_cycle_skips_journal_writes_and_reuses_communities(
     )
     incremental_update(spark, transcripts_df, wh, cfg=cfg2)
     assert detections == [1]
-    # ... and the refreshed sidecar re-enables reuse on the next cycle
+    # ... and the refreshed sidecar re-enables the shortcut next cycle
     incremental_update(spark, transcripts_df, wh, cfg=cfg2)
     assert detections == [1]
