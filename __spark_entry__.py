@@ -552,6 +552,88 @@ def _q_global_search_map(spark, sf_dir):
     return global_search_map(communities, query, level=0, limit=200)
 
 
+def _q_cache_lookup(spark, sf_dir):
+    """CacheManage get_fast as ONE batched Spark job (reference
+    CacheManage/manager.py:155-199 — the "fast_cache_check" the
+    readme times at 0.93-1.11 s; key strategy strategies/simple.py,
+    quality predicate models/cache_item.py:41-44, vector fallback
+    vector_similarity/matcher.py with thread-id context gating).
+
+    Fixture: the cache table is documents (query=text, md5 key,
+    deterministic quality metadata from doc_id, integer letter-count
+    embeddings — exact cross-engine arithmetic; duplicate texts
+    deduped to the min-doc_id winner). Probes: every doc_id%10==3 doc
+    exactly re-asked in its own thread; %10==4 re-worded (' ??'
+    appended — new md5, unchanged letter counts) in its own thread;
+    %10==5 re-worded into thread t9 (no cache rows → guaranteed
+    misses). The oracle replays the whole ladder in closed form."""
+    from graph_rag_agent_spark.operators.query_cache import (
+        cache_lookup_batch,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower("text")
+    charvec = F.array(
+        *[
+            (F.length(low) - F.length(F.regexp_replace(low, c, ""))).cast("long")
+            for c in _CHARVEC_ALPHABET
+        ]
+    )
+    emb = docs.select("doc_id", "text", charvec.alias("v")).localCheckpoint()
+    w = Window.partitionBy("cache_key").orderBy("doc_id")
+    cache = (
+        emb.select(
+            F.md5(
+                F.encode(F.regexp_replace("text", r"^\s+|\s+$", ""), "utf-8")
+            ).alias("cache_key"),
+            "doc_id",
+            F.col("text").alias("query"),
+            F.substring("text", 1, 30).alias("content"),
+            F.concat(F.lit("t"), (F.col("doc_id") % 3).cast("string")).alias(
+                "thread_id"
+            ),
+            ((F.col("doc_id") % 7).cast("int") - 2).alias("quality_score"),
+            (F.col("doc_id") % 11 == 0).alias("user_verified"),
+            (F.col("doc_id") % 5 == 0).alias("fast_path_eligible"),
+            F.col("v").alias("embedding"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "doc_id")
+        .localCheckpoint()
+    )
+    own_thread = F.concat(F.lit("t"), (F.col("doc_id") % 3).cast("string"))
+    probes = (
+        emb.where(F.col("doc_id") % 10 == 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query"),
+            own_thread.alias("thread_id"),
+            F.col("v").alias("qvec"),
+        )
+        .unionByName(
+            emb.where(F.col("doc_id") % 10 == 4).select(
+                F.col("doc_id").alias("query_id"),
+                F.concat(F.col("text"), F.lit(" ??")).alias("query"),
+                own_thread.alias("thread_id"),
+                F.col("v").alias("qvec"),
+            )
+        )
+        .unionByName(
+            emb.where(F.col("doc_id") % 10 == 5).select(
+                F.col("doc_id").alias("query_id"),
+                F.concat(F.col("text"), F.lit(" !!")).alias("query"),
+                F.lit("t9").alias("thread_id"),
+                F.col("v").alias("qvec"),
+            )
+        )
+    )
+    return cache_lookup_batch(
+        cache, probes, threshold=500, metric="dot", fast=True
+    )
+
+
 def _q_entity_canonical_map(spark, sf_dir):
     """The DISTRIBUTED linking chain end-to-end (SURVEY §2 J3/G1/G2/
     J4/L4/SO1-2): pattern-entity catalog (id space ∝ corpus) → stub
@@ -1522,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paged_batches": _q_paged_batches,  # W7 one-pass SKIP/LIMIT
         "document_text_routing": _q_document_text_routing,  # S3/S4 plumbing
         "global_search_map": _q_global_search_map,  # L6 map phase
+        "cache_lookup": _q_cache_lookup,  # CacheManage get_fast ladder
     }
 
 
@@ -2711,6 +2794,91 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "global_search_map": _global_search_map_oracle(),
+        # Full closed-form replay of the CacheManage get_fast ladder:
+        # md5 exact-key rung gated on the high-quality predicate, then
+        # the thread-gated integer-dot vector rung with threshold cut
+        # and (score DESC, key ASC) top-1 — every rule transcribed
+        # from manager.py:155-199 / cache_item.py:41-44.
+        "cache_lookup": """
+            WITH emb AS (
+                SELECT doc_id, text, ["""
+            + ", ".join(
+                f"CAST(length(lower(text)) - length(regexp_replace(lower(text), '{c}', '', 'g')) AS BIGINT)"
+                for c in _CHARVEC_ALPHABET
+            )
+            + """] AS v
+                FROM documents
+            ),
+            cache0 AS (
+                SELECT md5(regexp_replace(text, '^\\s+|\\s+$', '', 'g'))
+                           AS cache_key,
+                       doc_id, text AS query,
+                       substr(text, 1, 30) AS content,
+                       't' || CAST(doc_id % 3 AS VARCHAR) AS thread_id,
+                       CAST(doc_id % 7 AS INT) - 2 AS quality_score,
+                       doc_id % 11 = 0 AS user_verified,
+                       doc_id % 5 = 0 AS fast_path_eligible,
+                       v
+                FROM emb
+            ),
+            cache AS (
+                SELECT *, (user_verified OR quality_score > 2
+                           OR fast_path_eligible) AS is_hq
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY cache_key ORDER BY doc_id) AS rn
+                      FROM cache0)
+                WHERE rn = 1
+            ),
+            probes AS (
+                SELECT doc_id AS query_id, text AS query,
+                       't' || CAST(doc_id % 3 AS VARCHAR) AS thread_id,
+                       v AS qv
+                FROM emb WHERE doc_id % 10 = 3
+                UNION ALL
+                SELECT doc_id, text || ' ??',
+                       't' || CAST(doc_id % 3 AS VARCHAR), v
+                FROM emb WHERE doc_id % 10 = 4
+                UNION ALL
+                SELECT doc_id, text || ' !!', 't9', v
+                FROM emb WHERE doc_id % 10 = 5
+            ),
+            exact AS (
+                SELECT p.query_id, p.thread_id, p.qv,
+                       c.cache_key, c.content,
+                       (c.cache_key IS NOT NULL AND c.is_hq) AS exact_hit
+                FROM probes p
+                LEFT JOIN cache c
+                  ON md5(regexp_replace(p.query, '^\\s+|\\s+$', '', 'g'))
+                     = c.cache_key
+            ),
+            cand AS (
+                SELECT m.query_id, c.cache_key, c.content, c.is_hq,
+                       CAST(list_dot_product(m.qv, c.v) AS BIGINT) AS score
+                FROM (SELECT query_id, thread_id, qv FROM exact
+                      WHERE NOT exact_hit) m
+                JOIN cache c ON c.thread_id = m.thread_id
+                WHERE CAST(list_dot_product(m.qv, c.v) AS BIGINT) >= 500
+            ),
+            best AS (
+                SELECT query_id, cache_key, content, score
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY score DESC, cache_key ASC) AS rk
+                      FROM cand)
+                WHERE rk = 1 AND is_hq
+            )
+            SELECT e.query_id,
+                   CASE WHEN e.exact_hit THEN 'exact'
+                        WHEN b.cache_key IS NOT NULL THEN 'vector'
+                        ELSE 'miss' END AS hit_type,
+                   CASE WHEN e.exact_hit THEN e.cache_key
+                        ELSE b.cache_key END AS cache_key,
+                   CASE WHEN e.exact_hit THEN e.content
+                        ELSE b.content END AS content,
+                   CASE WHEN e.exact_hit THEN NULL
+                        ELSE b.score END AS score
+            FROM exact e LEFT JOIN best b USING (query_id)
+        """,
         "graph_coverage_per_sample": """
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
             -- node-space modulus scales with the corpus (same formula

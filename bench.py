@@ -145,6 +145,7 @@ def main() -> None:
         "graph_coverage_per_sample",
         "local_search_batch",
         "global_search_map",
+        "cache_lookup",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), repeats=n_repeats)
 
