@@ -580,7 +580,15 @@ def _q_cache_lookup(spark, sf_dir):
             for c in _CHARVEC_ALPHABET
         ]
     )
-    emb = docs.select("doc_id", "text", charvec.alias("v")).localCheckpoint()
+    # spread the 26 per-letter regexp projections across cores before
+    # materializing — documents.parquet is one file, and computing the
+    # charvec on its single input partition serializes ~26·|docs|
+    # regex scans onto one task
+    emb = (
+        docs.repartition(F.col("doc_id"))
+        .select("doc_id", "text", charvec.alias("v"))
+        .localCheckpoint()
+    )
     w = Window.partitionBy("cache_key").orderBy("doc_id")
     cache = (
         emb.select(

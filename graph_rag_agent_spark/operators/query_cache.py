@@ -133,12 +133,19 @@ def apply_quality_marks(cache: DataFrame, marks: DataFrame) -> DataFrame:
 def _scored_candidates(
     cache: DataFrame, misses: DataFrame, threshold, metric: str
 ) -> DataFrame:
-    """Vector rung: every same-thread (query, entry) pair scored
-    JVM-side (zip_with/aggregate dot — integer-exact when both sides
-    are integral), threshold-cut — matcher.find_similar's context
-    gate (thread_id equality, matcher.py:139-148) + score cut
-    (matcher.py:103-107). The query batch broadcasts on the thread
-    equi-join; the cache side streams (one scan, never collected).
+    """Vector rung: every same-thread (query, entry) pair scored,
+    threshold-cut — matcher.find_similar's context gate (thread_id
+    equality, matcher.py:139-148) + score cut (matcher.py:103-107).
+    The query batch is small-by-contract; the cache side streams (one
+    scan, never collected).
+
+    Physical strategy by vector type (same routing as
+    chunk_index.chunk_topk): integral dot → per-thread int64 numpy
+    matmul inside mapInPandas emitting only each batch's top-1
+    superset per query (ties kept, so the global (score DESC, key
+    ASC) pick is exact) — the naive broadcast join pays an
+    interpreted higher-order dot on every pair and shuffles them all;
+    float metrics → JVM zip_with on the thread equi-join.
 
     Deviation (documented): the reference context-filters AFTER a
     global FAISS top-2k probe (matcher.py:96-107), so a same-thread
@@ -152,13 +159,14 @@ def _scored_candidates(
     elem = cache.schema["embedding"].dataType.elementType.simpleString()
     q_elem = misses.schema["qvec"].dataType.elementType.simpleString()
     _ints = ("int", "bigint", "smallint", "tinyint")
-    integral = metric == "dot" and elem in _ints and q_elem in _ints
+    if metric == "dot" and elem in _ints and q_elem in _ints:
+        return _scored_candidates_integral(cache, misses, threshold)
     joined = cache.select("cache_key", "thread_id", "embedding").join(
         F.broadcast(misses.select("query_id", "thread_id", "qvec")),
         "thread_id",
     )
     if metric == "dot":
-        score = _dot("embedding", "qvec", integral)
+        score = _dot("embedding", "qvec", False)
     else:
         dot = _dot("embedding", "qvec", False)
         n_c = F.sqrt(
@@ -174,6 +182,101 @@ def _scored_candidates(
         joined.withColumn("score", score)
         .where(F.col("score") >= threshold)
         .select("query_id", "cache_key", "score")
+    )
+
+
+def _scored_candidates_integral(
+    cache: DataFrame, misses: DataFrame, threshold
+) -> DataFrame:
+    """Integral-dot vector rung: the probe batch collects driver-side
+    (it already rides a broadcast in the JVM plan — same bound), keyed
+    into one int64 matrix per thread; each Arrow batch of the cache
+    matmuls its rows against ONLY their thread's matrix and emits the
+    per-(batch, query) best-score superset above the threshold. Ties
+    survive (>= the batch max), so the caller's (score DESC, cache_key
+    ASC) top-1 equals the naive all-pairs plan bit for bit. Null (or
+    null-element) vectors on either side can't be scored integrally
+    and drop — the float path nulls their scores, ranking them past
+    every real candidate, so the outcomes agree."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = cache.sparkSession
+    q_rows = [
+        r
+        for r in misses.select("query_id", "thread_id", "qvec").collect()
+        if r[2] is not None and all(v is not None for v in r[2])
+    ]
+    qid_type = misses.schema["query_id"].dataType.simpleString()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"query_id {qid_type}, cache_key string, score long"
+        )
+    by_thread: dict = {}
+    for r in q_rows:
+        by_thread.setdefault(r[1], []).append((r[0], r[2]))
+    q_mats = {
+        t: (
+            [qid for qid, _ in rows],
+            np.asarray([v for _, v in rows], dtype=np.int64).T,  # dim×Q
+        )
+        for t, rows in by_thread.items()
+    }
+    thr = int(threshold)
+
+    def score_batches(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = []
+            for t, grp in pdf.groupby("thread_id", sort=False):
+                tq = q_mats.get(t)
+                if tq is None:
+                    continue
+                vals = grp["embedding"].tolist()
+                keep = [
+                    i
+                    for i, v in enumerate(vals)
+                    if v is not None and not any(e is None for e in v)
+                ]
+                if not keep:
+                    continue
+                emb = np.asarray([vals[i] for i in keep], dtype=np.int64)
+                keys = grp["cache_key"].to_numpy()[keep]
+                scores = emb @ tq[1]  # n×Q
+                best = scores.max(axis=0)  # per-query batch max
+                rows_i, cols_q = np.nonzero(
+                    (scores >= best[None, :]) & (scores >= thr)
+                )
+                if len(rows_i):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "qi": cols_q.astype("int64"),
+                                "thread_id": t,
+                                "cache_key": keys[rows_i],
+                                "score": scores[rows_i, cols_q],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = cache.select("thread_id", "cache_key", "embedding").mapInPandas(
+        score_batches, schema="qi long, thread_id string, cache_key string, score long"
+    )
+    qid_map = spark.createDataFrame(
+        [
+            (t, qi, ids[qi])
+            for t, (ids, _) in q_mats.items()
+            for qi in range(len(ids))
+        ],
+        f"thread_id string, qi long, query_id {qid_type}",
+    )
+    return cand.join(F.broadcast(qid_map), ["thread_id", "qi"]).select(
+        "query_id", "cache_key", "score"
     )
 
 

@@ -139,3 +139,43 @@ def test_sllpa_membership_plan_has_no_global_sort(spark):
     )
     out = sllpa_membership_table(entities, triples, max_iterations=3)
     assert "SinglePartition" not in _plan(out)
+
+
+def test_cache_lookup_broadcasts_probes_no_cartesian(spark, docs):
+    # the cache's vector rung must ship the probe batch as a
+    # broadcast on the thread equi-join — the cache side streams;
+    # nothing may degenerate into a cartesian or sort-merge shuffle
+    # of the cache table
+    from graph_rag_agent_spark.operators.query_cache import (
+        cache_lookup_batch,
+    )
+
+    low = F.lower("text")
+    vec = F.array(
+        *[
+            (F.length(low) - F.length(F.regexp_replace(low, c, ""))).cast(
+                "long"
+            )
+            for c in "abcde"
+        ]
+    )
+    cache = docs.select(
+        F.md5(F.encode("text", "utf-8")).alias("cache_key"),
+        F.col("text").alias("query"),
+        F.substring("text", 1, 10).alias("content"),
+        F.lit("t0").alias("thread_id"),
+        F.lit(0).alias("quality_score"),
+        F.lit(False).alias("user_verified"),
+        F.lit(True).alias("fast_path_eligible"),
+        vec.alias("embedding"),
+    )
+    probes = docs.limit(3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat(F.col("text"), F.lit("?")).alias("query"),
+        F.lit("t0").alias("thread_id"),
+        vec.alias("qvec"),
+    )
+    plan = _plan(cache_lookup_batch(cache, probes, threshold=1))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

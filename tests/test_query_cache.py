@@ -306,3 +306,33 @@ def test_lookup_matches_python_oracle(spark, cache_df):
         assert (r["hit_type"], r["cache_key"], r["content"], r["score"]) == want, (
             qid, q, t
         )
+
+
+def test_integral_and_float_rungs_agree(spark, cache_df):
+    """The numpy-matmul integral rung and the JVM zip_with float rung
+    must pick the same winners (scores long vs double)."""
+    probes = [
+        (1, "p1", "t0", [5, 5, 0]),
+        (2, "p2", "t2", [2, 2, 2]),
+        (3, "p3", "t9", [9, 9, 9]),
+    ]
+    got_int = _lookup(spark, cache_df, probes, fast=True)
+    cache_f = cache_df.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qdf = spark.createDataFrame(
+        probes, QUERY_SCHEMA
+    ).withColumn("qvec", F.col("qvec").cast("array<double>"))
+    got_f = {
+        r["query_id"]: r
+        for r in cache_lookup_batch(
+            cache_f, qdf, threshold=10, fast=True
+        ).collect()
+    }
+    for qid in (1, 2, 3):
+        a, b = got_int[qid], got_f[qid]
+        assert (a["hit_type"], a["cache_key"], a["content"]) == (
+            b["hit_type"], b["cache_key"], b["content"]
+        )
+        if a["score"] is not None:
+            assert float(a["score"]) == float(b["score"])
