@@ -552,6 +552,77 @@ def _q_global_search_map(spark, sf_dir):
     return global_search_map(communities, query, level=0, limit=200)
 
 
+def _q_answer_references(spark, sf_dir):
+    """Citation-block ID extraction (reference evaluator/preprocessing/
+    reference_extractor.py — the step feeding referenced ids into the
+    retrieval metrics) as one Arrow-batched pass.
+
+    Fixture: answers synthesized from documents, one extraction rung
+    per doc_id%5 — 0: no 引用数据 marker (gate), 1: well-formed ####
+    JSON block (incl. the Reports→relationships reference quirk),
+    2: single-quoted dict with comma-string entities (JSON repair
+    rung), 3: unparseable Entities=[..] block (text-regex fallback),
+    4: marker without braces (section miss). Every rung's outcome is
+    a closed-form function of doc_id, so the oracle rebuilds the
+    expected id lists directly — no SQL JSON parsing needed."""
+    from graph_rag_agent_spark.operators.evaluator import (
+        with_answer_references,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    body = F.substring("text", 1, 40)
+    e1 = (d % 97).cast("string")
+    e2 = ((d * 3) % 97).cast("string")
+    r1 = (d % 53).cast("string")
+    p1 = (d % 31).cast("string")
+    c1 = F.concat(F.lit("ch"), (d % 13).cast("string"))
+    answer = (
+        F.when(d % 5 == 0, body)
+        .when(
+            d % 5 == 1,
+            F.concat(
+                body,
+                F.lit('\n#### 引用数据\n{"data": {"Entities": ['),
+                e1, F.lit(", "), e2,
+                F.lit('], "Relationships": ['), r1,
+                F.lit('], "Chunks": ["'), c1,
+                F.lit('"], "Reports": ['), p1, F.lit("]}}"),
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(
+                body,
+                F.lit("\n引用数据: {'data': {'Entities': '"),
+                e1, F.lit(", "), e2,
+                F.lit("', 'Chunks': '"), c1, F.lit("'}}"),
+            ),
+        )
+        .when(
+            d % 5 == 3,
+            F.concat(
+                body,
+                F.lit("\n### 引用数据 {Entities=["),
+                e1, F.lit(", "), e2,
+                F.lit("], Chunks=['"), c1, F.lit("'], Reports=["),
+                p1, F.lit("]}"),
+            ),
+        )
+        .otherwise(F.concat(body, F.lit(" 引用数据")))
+    )
+    samples = docs.select(d.alias("sample_id"), answer.alias("answer"))
+    out = with_answer_references(samples)
+    return out.select(
+        "sample_id",
+        F.array_join("ref_entities", "|").alias("entities"),
+        F.array_join("ref_relationships", "|").alias("relationships"),
+        F.array_join("ref_chunks", "|").alias("chunks"),
+        F.array_join("ref_reports", "|").alias("reports"),
+        F.size("ref_entities").alias("n_entities"),
+    )
+
+
 def _q_cache_lookup(spark, sf_dir):
     """CacheManage get_fast as ONE batched Spark job (reference
     CacheManage/manager.py:155-199 — the "fast_cache_check" the
@@ -1613,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_text_routing": _q_document_text_routing,  # S3/S4 plumbing
         "global_search_map": _q_global_search_map,  # L6 map phase
         "cache_lookup": _q_cache_lookup,  # CacheManage get_fast ladder
+        "answer_references": _q_answer_references,  # citation-id ladder
     }
 
 
@@ -2802,6 +2874,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "global_search_map": _global_search_map_oracle(),
+        # Closed-form replay of the citation-extraction fixture: each
+        # doc_id%5 rung's outcome is a deterministic function of
+        # doc_id (the ladder itself is pinned by tests/test_citations
+        # + the operator-vs-core parity test), so the oracle rebuilds
+        # the expected id lists directly.
+        "answer_references": """
+            WITH base AS (
+                SELECT doc_id AS sample_id,
+                       doc_id % 5 AS rung,
+                       CAST(doc_id % 97 AS VARCHAR) AS e1,
+                       CAST((doc_id * 3) % 97 AS VARCHAR) AS e2,
+                       CAST(doc_id % 53 AS VARCHAR) AS r1,
+                       CAST(doc_id % 31 AS VARCHAR) AS p1,
+                       'ch' || CAST(doc_id % 13 AS VARCHAR) AS c1
+                FROM documents
+            )
+            SELECT sample_id,
+                   CASE WHEN rung IN (1, 2, 3) THEN array_to_string(
+                            list_sort(list_distinct([e1, e2])), '|')
+                        ELSE '' END AS entities,
+                   CASE WHEN rung = 1 THEN array_to_string(
+                            list_sort(list_distinct([r1, p1])), '|')
+                        WHEN rung = 3 THEN p1
+                        ELSE '' END AS relationships,
+                   CASE WHEN rung IN (1, 2, 3) THEN c1
+                        ELSE '' END AS chunks,
+                   CASE WHEN rung IN (1, 3) THEN p1
+                        ELSE '' END AS reports,
+                   CASE WHEN rung IN (1, 2, 3) THEN
+                            CAST(len(list_distinct([e1, e2])) AS INT)
+                        ELSE 0 END AS n_entities
+            FROM base
+        """,
         # Full closed-form replay of the CacheManage get_fast ladder:
         # md5 exact-key rung gated on the high-quality predicate, then
         # the thread-gated integer-dot vector rung with threshold cut

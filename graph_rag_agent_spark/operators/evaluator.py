@@ -40,7 +40,9 @@ via per-sample Cypher), not corpus-wide.
 from __future__ import annotations
 
 import string
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1186,6 +1188,44 @@ def kg_utilization_scores(samples: DataFrame) -> DataFrame:
 # extracted features, in pure ×10000 integer arithmetic so the driver's
 # DuckDB oracle replays it bit-exactly.
 # ---------------------------------------------------------------------------
+
+
+def with_answer_references(
+    df: DataFrame, answer_col: str = "answer"
+) -> DataFrame:
+    """Citation-block ID extraction (reference evaluator/preprocessing/
+    reference_extractor.py:1-359 — the step that turns an agent answer's
+    trailing 引用数据 block into the referenced entity / relationship /
+    chunk / report id lists the retrieval metrics consume).
+
+    Adds four array<string> columns (ref_entities, ref_relationships,
+    ref_chunks, ref_reports) via ONE Arrow-batched pandas UDF over the
+    pure-Python ladder transcription (core/citations.py: section
+    regexes → 4-rung JSON repair → keyed-family walks → text-regex
+    fallback → id cleanup). The ladder is regex+json-heavy branching —
+    exactly the black-box shape the UDF boundary exists for; per-batch
+    cost is O(answer length), no shuffle."""
+    from ..core.citations import extract_references_from_answer
+
+    @F.pandas_udf(
+        "struct<entities:array<string>, relationships:array<string>, "
+        "chunks:array<string>, reports:array<string>>"
+    )
+    def refs_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for answers in it:
+            # struct return: a DataFrame whose columns are the fields
+            yield pd.DataFrame(
+                [extract_references_from_answer(a or "") for a in answers]
+            )
+
+    with_refs = df.withColumn("__refs", refs_udf(answer_col))
+    return (
+        with_refs.withColumn("ref_entities", F.col("__refs.entities"))
+        .withColumn("ref_relationships", F.col("__refs.relationships"))
+        .withColumn("ref_chunks", F.col("__refs.chunks"))
+        .withColumn("ref_reports", F.col("__refs.reports"))
+        .drop("__refs")
+    )
 
 
 def _clean_llm_references_expr(col) -> "F.Column":
