@@ -104,6 +104,104 @@ def chunk_topk(
     )
 
 
+def partial_top_scores_integral(
+    stored: DataFrame,
+    q_mats: dict,
+    *,
+    id_col: str,
+    vec_col: str,
+    group_col: str | None = None,
+    k: int,
+    threshold: int | None = None,
+    payload_cols: tuple = (),
+    q_block: int = 256,
+) -> DataFrame:
+    """Shared int64-matmul partial-top-k core (ONE implementation of
+    the exactness machinery — int64 casts, null-element dropping,
+    ties-kept per-batch kth-best superset — shared by chunk_topk's
+    integral path and the query-cache vector rung so the two cannot
+    drift).
+
+    ``q_mats``: {group: (query_ids, dim×Q int64 matrix)}; pass
+    ``group_col=None`` with a single ``{None: ...}`` entry for an
+    ungrouped corpus, or a group column (e.g. thread_id) to score each
+    stored row against ONLY its group's queries. Emits the candidate
+    SUPERSET ``(group?, qi, id, payload..., score)``: every row whose
+    score ties-or-beats its batch's kth best per query (and clears
+    ``threshold`` when given), so the caller's global
+    (score DESC, id ASC) window reproduces the naive all-pairs plan
+    bit for bit. ``payload_cols`` are echoed for winners (saves the
+    caller a re-join against the stored side). Null (or null-element)
+    vectors drop — the float path nulls their scores, ranking them
+    past every real candidate, so the outcomes agree."""
+    import numpy as np
+
+    cols = [id_col, vec_col, *payload_cols]
+    if group_col:
+        cols.insert(0, group_col)
+
+    def score_batches(it):
+        for pdf in it:
+            frames = []
+            groups = (
+                pdf.groupby(group_col, sort=False)
+                if group_col
+                else [(None, pdf)]
+            )
+            for g, grp in groups:
+                gq = q_mats.get(g)
+                if gq is None:
+                    continue
+                vals = grp[vec_col].tolist()
+                keep = [
+                    i
+                    for i, v in enumerate(vals)
+                    if v is not None and not any(e is None for e in v)
+                ]
+                n = len(keep)
+                if n == 0:
+                    continue
+                emb = np.asarray([vals[i] for i in keep], dtype=np.int64)
+                ids = grp[id_col].to_numpy()[keep]
+                payload = {
+                    c: grp[c].to_numpy()[keep] for c in payload_cols
+                }
+                take = min(k, n)
+                mat = gq[1]
+                for q0 in range(0, mat.shape[1], q_block):
+                    scores = emb @ mat[:, q0 : q0 + q_block]
+                    kth = np.partition(scores, n - take, axis=0)[n - take, :]
+                    mask = scores >= kth[None, :]
+                    if threshold is not None:
+                        mask &= scores >= threshold
+                    rows_i, cols_q = np.nonzero(mask)
+                    if not len(rows_i):
+                        continue
+                    frame = {"qi": (cols_q + q0).astype("int32")}
+                    if group_col:
+                        frame[group_col] = grp[group_col].to_numpy()[keep][
+                            rows_i
+                        ]
+                    frame[id_col] = ids[rows_i]
+                    for c in payload_cols:
+                        frame[c] = payload[c][rows_i]
+                    frame["score"] = scores[rows_i, cols_q]
+                    frames.append(pd.DataFrame(frame))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    schema_parts = ["qi int"]
+    for c in cols:
+        if c != vec_col:
+            schema_parts.append(
+                f"{c} {stored.schema[c].dataType.simpleString()}"
+            )
+    schema_parts.append("score long")
+    return stored.select(*cols).mapInPandas(
+        score_batches, schema=", ".join(schema_parts)
+    )
+
+
 def _topk_integral_partial(
     chunks_emb: DataFrame,
     queries: DataFrame,
@@ -120,16 +218,13 @@ def _topk_integral_partial(
     higher-order-function dot on every (row × query) pair and shuffles
     |rows|·|queries| scored rows into the window sort. Here each Arrow
     batch scores against the whole (collected, small-by-contract)
-    query matrix with one int64 numpy matmul and emits only its
-    per-query top-k — kept as the ``score >= kth-best`` SUPERSET so
-    score ties are never cut before the global id tie-break — and the
-    final window sorts batches·|queries|·k rows instead of
-    |rows|·|queries|. Integer arithmetic keeps scores bit-exact across
-    numpy / JVM / DuckDB, so results equal the naive plan row for row
-    on non-null vectors; rows/queries whose vector is null or has a
-    null element are excluded (the broadcast plan gives them null
-    scores, ranking them past every scoreable candidate — they could
-    only surface when a query has fewer than k scoreable rows).
+    query matrix with one int64 numpy matmul via the shared
+    partial_top_scores_integral core and emits only its per-query
+    top-k candidate superset; the final window sorts
+    batches·|queries|·k rows instead of |rows|·|queries|. Integer
+    arithmetic keeps scores bit-exact across numpy / JVM / DuckDB, so
+    results equal the naive plan row for row on non-null vectors (see
+    the core's docstring for the null rules).
     """
     import numpy as np
 
@@ -140,9 +235,9 @@ def _topk_integral_partial(
         # drop them here (the float broadcast path nulls their scores)
         if r[1] is not None and all(v is not None for v in r[1])
     ]
+    spark = chunks_emb.sparkSession
+    q_id_type = queries.schema[query_id_col].dataType.simpleString()
     if not q_rows:
-        spark = chunks_emb.sparkSession
-        q_id_type = queries.schema[query_id_col].dataType.simpleString()
         id_type = chunks_emb.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
             [],
@@ -150,58 +245,14 @@ def _topk_integral_partial(
             "rank int, score long",
         )
     q_ids = [r[0] for r in q_rows]
-    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.int64).T  # dim×Q
-    out_fields = [
-        ("qi", "int"),
-        (id_col, chunks_emb.schema[id_col].dataType.simpleString()),
-        ("score", "long"),
-    ]
-    out_schema = ", ".join(f"{n} {t}" for n, t in out_fields)
-
-    # bound the per-worker score matrix: n_batch × Q_BLOCK int64, not
-    # n_batch × |queries| — peak memory stays O(batch·block) however
-    # large the query set grows (each query's top-k superset is
-    # computed within its own block, so per-block emission is exact)
-    q_block = 256
-
-    def score_batches(it):
-        for pdf in it:
-            vals = pdf[vec_col].tolist()
-            keep = [
-                i
-                for i, v in enumerate(vals)
-                # rows whose embedding is null or has a null element
-                # can't be scored integrally; the float broadcast path
-                # nulls their scores, which ranks them past every real
-                # candidate — dropping them here matches that top-k
-                if v is not None and not any(e is None for e in v)
-            ]
-            n = len(keep)
-            if n == 0:
-                continue
-            emb = np.asarray([vals[i] for i in keep], dtype=np.int64)
-            ids = pdf[id_col].to_numpy()[keep]
-            take = min(k, n)
-            for q0 in range(0, q_mat.shape[1], q_block):
-                scores = emb @ q_mat[:, q0 : q0 + q_block]
-                # kth-best score per query; keep all rows at/above it
-                kth = np.partition(scores, n - take, axis=0)[n - take, :]
-                rows_i, cols_q = np.nonzero(scores >= kth[None, :])
-                yield pd.DataFrame(
-                    {
-                        "qi": (cols_q + q0).astype("int32"),
-                        id_col: ids[rows_i],
-                        "score": scores[rows_i, cols_q],
-                    }
-                )
-
-    spark = chunks_emb.sparkSession
-    qid_df = spark.createDataFrame(
-        list(enumerate(q_ids)),
-        f"qi int, {query_id_col} {queries.schema[query_id_col].dataType.simpleString()}",
+    q_mats = {
+        None: (q_ids, np.asarray([r[1] for r in q_rows], dtype=np.int64).T)
+    }
+    cand = partial_top_scores_integral(
+        chunks_emb, q_mats, id_col=id_col, vec_col=vec_col, k=k
     )
-    cand = chunks_emb.select(id_col, vec_col).mapInPandas(
-        score_batches, schema=out_schema
+    qid_df = spark.createDataFrame(
+        list(enumerate(q_ids)), f"qi int, {query_id_col} {q_id_type}"
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
@@ -210,7 +261,6 @@ def _topk_integral_partial(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "score")
     )
-
 
 def top_chunks_for_query(
     chunks_emb: DataFrame, query: str, k: int = 3, id_col: str = "chunk_id"

@@ -136,16 +136,20 @@ def _scored_candidates(
     """Vector rung: every same-thread (query, entry) pair scored,
     threshold-cut — matcher.find_similar's context gate (thread_id
     equality, matcher.py:139-148) + score cut (matcher.py:103-107).
-    The query batch is small-by-contract; the cache side streams (one
-    scan, never collected).
+    The query batch is small-by-contract; the cache side streams in
+    ONE scan per lookup (never collected), and the winner rows carry
+    their content/quality payload so no second cache join is needed.
 
     Physical strategy by vector type (same routing as
-    chunk_index.chunk_topk): integral dot → per-thread int64 numpy
-    matmul inside mapInPandas emitting only each batch's top-1
-    superset per query (ties kept, so the global (score DESC, key
-    ASC) pick is exact) — the naive broadcast join pays an
-    interpreted higher-order dot on every pair and shuffles them all;
-    float metrics → JVM zip_with on the thread equi-join.
+    chunk_index.chunk_topk): integral dot → the shared
+    partial_top_scores_integral core (per-thread int64 matmuls, each
+    batch emitting its ties-kept top-1 superset per query, integer
+    ceil of the threshold so score ≥ threshold matches the float
+    comparison on integer scores); float metrics → JVM zip_with on
+    the broadcast thread equi-join.
+
+    → (query_id, cache_key, score, content, quality_score,
+    user_verified, fast_path_eligible).
 
     Deviation (documented): the reference context-filters AFTER a
     global FAISS top-2k probe (matcher.py:96-107), so a same-thread
@@ -161,7 +165,12 @@ def _scored_candidates(
     _ints = ("int", "bigint", "smallint", "tinyint")
     if metric == "dot" and elem in _ints and q_elem in _ints:
         return _scored_candidates_integral(cache, misses, threshold)
-    joined = cache.select("cache_key", "thread_id", "embedding").join(
+    joined = cache.select(
+        "cache_key",
+        "thread_id",
+        "embedding",
+        *_PAYLOAD_COLS,
+    ).join(
         F.broadcast(misses.select("query_id", "thread_id", "qvec")),
         "thread_id",
     )
@@ -181,27 +190,36 @@ def _scored_candidates(
     return (
         joined.withColumn("score", score)
         .where(F.col("score") >= threshold)
-        .select("query_id", "cache_key", "score")
+        .select("query_id", "cache_key", "score", *_PAYLOAD_COLS)
     )
+
+
+#: winner-row payload echoed through the vector rung so quality gating
+#: and content never need a second cache join
+_PAYLOAD_COLS = (
+    "content",
+    "quality_score",
+    "user_verified",
+    "fast_path_eligible",
+)
 
 
 def _scored_candidates_integral(
     cache: DataFrame, misses: DataFrame, threshold
 ) -> DataFrame:
-    """Integral-dot vector rung: the probe batch collects driver-side
-    (it already rides a broadcast in the JVM plan — same bound), keyed
-    into one int64 matrix per thread; each Arrow batch of the cache
-    matmuls its rows against ONLY their thread's matrix and emits the
-    per-(batch, query) best-score superset above the threshold. Ties
-    survive (>= the batch max), so the caller's (score DESC, cache_key
-    ASC) top-1 equals the naive all-pairs plan bit for bit. Null (or
-    null-element) vectors on either side can't be scored integrally
-    and drop — the float path nulls their scores, ranking them past
-    every real candidate, so the outcomes agree."""
-    from collections.abc import Iterator
+    """Integral-dot vector rung over the shared matmul core
+    (chunk_index.partial_top_scores_integral, group_col=thread_id):
+    the probe batch collects driver-side (it already rides a broadcast
+    in the JVM plan — same bound) into one int64 matrix per thread.
+    The threshold is ceil'd: integer scores satisfy
+    ``score >= threshold`` iff ``score >= ceil(threshold)``, so the
+    module's float default (0.9) behaves exactly like the float
+    rung instead of truncating to 0."""
+    import math
 
     import numpy as np
-    import pandas as pd
+
+    from .chunk_index import partial_top_scores_integral
 
     spark = cache.sparkSession
     q_rows = [
@@ -210,10 +228,14 @@ def _scored_candidates_integral(
         if r[2] is not None and all(v is not None for v in r[2])
     ]
     qid_type = misses.schema["query_id"].dataType.simpleString()
+    tid_type = cache.schema["thread_id"].dataType.simpleString()
+    out_schema = (
+        f"query_id {qid_type}, cache_key string, score long, "
+        "content string, quality_score int, user_verified boolean, "
+        "fast_path_eligible boolean"
+    )
     if not q_rows:
-        return spark.createDataFrame(
-            [], f"query_id {qid_type}, cache_key string, score long"
-        )
+        return spark.createDataFrame([], out_schema)
     by_thread: dict = {}
     for r in q_rows:
         by_thread.setdefault(r[1], []).append((r[0], r[2]))
@@ -224,48 +246,15 @@ def _scored_candidates_integral(
         )
         for t, rows in by_thread.items()
     }
-    thr = int(threshold)
-
-    def score_batches(
-        it: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            frames = []
-            for t, grp in pdf.groupby("thread_id", sort=False):
-                tq = q_mats.get(t)
-                if tq is None:
-                    continue
-                vals = grp["embedding"].tolist()
-                keep = [
-                    i
-                    for i, v in enumerate(vals)
-                    if v is not None and not any(e is None for e in v)
-                ]
-                if not keep:
-                    continue
-                emb = np.asarray([vals[i] for i in keep], dtype=np.int64)
-                keys = grp["cache_key"].to_numpy()[keep]
-                scores = emb @ tq[1]  # n×Q
-                best = scores.max(axis=0)  # per-query batch max
-                rows_i, cols_q = np.nonzero(
-                    (scores >= best[None, :]) & (scores >= thr)
-                )
-                if len(rows_i):
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "qi": cols_q.astype("int64"),
-                                "thread_id": t,
-                                "cache_key": keys[rows_i],
-                                "score": scores[rows_i, cols_q],
-                            }
-                        )
-                    )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
-
-    cand = cache.select("thread_id", "cache_key", "embedding").mapInPandas(
-        score_batches, schema="qi long, thread_id string, cache_key string, score long"
+    cand = partial_top_scores_integral(
+        cache,
+        q_mats,
+        id_col="cache_key",
+        vec_col="embedding",
+        group_col="thread_id",
+        k=1,
+        threshold=math.ceil(threshold),
+        payload_cols=_PAYLOAD_COLS,
     )
     qid_map = spark.createDataFrame(
         [
@@ -273,10 +262,10 @@ def _scored_candidates_integral(
             for t, (ids, _) in q_mats.items()
             for qi in range(len(ids))
         ],
-        f"thread_id string, qi long, query_id {qid_type}",
+        f"thread_id {tid_type}, qi int, query_id {qid_type}",
     )
     return cand.join(F.broadcast(qid_map), ["thread_id", "qi"]).select(
-        "query_id", "cache_key", "score"
+        "query_id", "cache_key", "score", *_PAYLOAD_COLS
     )
 
 
@@ -305,32 +294,45 @@ def cache_lookup_batch(
     always returns; otherwise the best candidate returns regardless
     of quality (every candidate key exists in storage, so the
     reference's top-3 loop returns its first element).
+
+    Scale shape: the cache streams exactly TWICE per lookup — once
+    through the exact rung (inner join against a broadcast of the
+    distinct probe keys; the tiny hit set is then eagerly
+    materialized so downstream re-evaluation never re-scans the
+    cache, and broadcast back onto the probe batch) and once through
+    the vector rung (winner rows carry their content/quality payload,
+    so no third join). Nothing shuffles the cache side.
     """
     qkeyed = queries.withColumn("cache_key", cache_key_simple(F.col("query")))
-    cache_cols = cache.select(
-        "cache_key",
-        "content",
-        F.col("thread_id").alias("__c_thread"),
-        "quality_score",
-        "user_verified",
-        "fast_path_eligible",
+    probe_keys = qkeyed.select("cache_key").distinct()
+    # exact rung: cache ⋈ broadcast(probe keys) — the cache streams
+    # (build side = the probe batch), and the probe-sized hit set is
+    # pinned with an eager localCheckpoint so the misses branch, the
+    # integral rung's collect, and the final output join all reuse it
+    # without re-reading the cache
+    hits = (
+        cache.select(
+            "cache_key", "content", *(c for c in _PAYLOAD_COLS if c != "content")
+        )
+        .join(F.broadcast(probe_keys), "cache_key")
+        .localCheckpoint()
     )
-    exact = (
-        qkeyed.join(cache_cols, "cache_key", "left")
+    exact_rows = (
+        qkeyed.join(F.broadcast(hits), "cache_key", "left")
         .withColumn("__hq", is_high_quality())
         .withColumn(
             "__exact_hit",
             F.col("content").isNotNull()
             & (F.lit(not fast) | F.col("__hq")),
         )
-    )
-    exact_rows = exact.select(
-        "query_id",
-        "thread_id",
-        "qvec",
-        "cache_key",
-        "content",
-        "__exact_hit",
+        .select(
+            "query_id",
+            "thread_id",
+            "qvec",
+            "cache_key",
+            "content",
+            "__exact_hit",
+        )
     )
 
     misses = exact_rows.where(~F.col("__exact_hit")).select(
@@ -344,10 +346,6 @@ def cache_lookup_batch(
         cand.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") == 1)
         .drop("__rk")
-        .join(
-            cache_cols.withColumnRenamed("__c_thread", "__t_drop"),
-            "cache_key",
-        )
         .withColumn("__hq", is_high_quality())
         .where(F.lit(not fast) | F.col("__hq"))
         .select(

@@ -336,3 +336,46 @@ def test_integral_and_float_rungs_agree(spark, cache_df):
         )
         if a["score"] is not None:
             assert float(a["score"]) == float(b["score"])
+
+
+def test_fractional_threshold_not_truncated(spark):
+    """Review finding: int(0.9) == 0 admitted zero-score candidates on
+    the integral rung. Integer scores satisfy score >= 0.9 iff
+    score >= 1, so orthogonal vectors (dot 0) must MISS on both
+    rungs under the module default threshold."""
+    cache = spark.createDataFrame(
+        [_entry("stored", "A:s", "t0", [0, 5, 0], verified=True)],
+        CACHE_SCHEMA,
+    )
+    probes = [(1, "probe", "t0", [7, 0, 0])]  # dot = 0
+    qdf = spark.createDataFrame(probes, QUERY_SCHEMA)
+    got_int = cache_lookup_batch(cache, qdf, fast=True).first()
+    assert got_int["hit_type"] == "miss"
+    got_f = cache_lookup_batch(
+        cache.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        qdf.withColumn("qvec", F.col("qvec").cast("array<double>")),
+        fast=True,
+    ).first()
+    assert got_f["hit_type"] == "miss"
+    # a positive dot (5) clears ceil(0.9) = 1 and hits
+    got_one = cache_lookup_batch(
+        cache, spark.createDataFrame([(1, "p", "t0", [0, 1, 0])], QUERY_SCHEMA)
+    ).first()
+    assert got_one["hit_type"] == "vector" and got_one["score"] == 5
+
+
+def test_integral_rung_nonstring_thread_id(spark):
+    """Review finding: the integral rung hardcoded thread_id as
+    string; a bigint-threaded cache must work on both rungs."""
+    cache = spark.createDataFrame(
+        [(_key("q"), "q", "A:q", 7, 0, False, True, [2, 2, 2])],
+        "cache_key string, query string, content string, thread_id long, "
+        "quality_score int, user_verified boolean, "
+        "fast_path_eligible boolean, embedding array<long>",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "reworded", 7, [1, 1, 1])],
+        "query_id long, query string, thread_id long, qvec array<long>",
+    )
+    got = cache_lookup_batch(cache, qdf, threshold=5, fast=True).first()
+    assert got["hit_type"] == "vector" and got["score"] == 6
