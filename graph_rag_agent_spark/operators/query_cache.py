@@ -26,14 +26,15 @@ Reference behavior reproduced:
 Spark-first shape: the cache is a TABLE (cache_key, query, content,
 thread_id, quality metadata, embedding) — bucketed by cache_key under
 plans/merge for MERGE-backed set/mark at scale — and lookups are
-BATCHED: one job answers a whole query set. The exact rung is a keyed
-join; the vector rung scores the stored side in place against the
+BATCHED: one job answers a whole query set. The exact rung streams
+the cache once through an inner join against the broadcast probe-key
+set; the vector rung scores the stored side in place against the
 broadcast query batch (query batches are small-by-contract — the same
-contract as chunk_index.chunk_topk; the stored side is never
-collected, so a 10⁹-row cache scans once, bucketed-pruned when the
-caller pre-filters threads). No FAISS: at cache sizes where a scan
-hurts, route the vector rung through operators/knn (LSH/IVF) — same
-candidate contract.
+contract as chunk_index.chunk_topk). The stored side is never
+collected or shuffled: a 10⁹-row cache scans exactly twice per
+lookup, bucketed-pruned when the caller pre-filters threads. No
+FAISS: at cache sizes where even the scan hurts, route the vector
+rung through operators/knn (LSH/IVF) — same candidate contract.
 
 Deterministic deviation (documented, same policy as the ASCII-\\b
 article regex): FAISS breaks score ties by insertion order
