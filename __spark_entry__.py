@@ -552,6 +552,56 @@ def _q_global_search_map(spark, sf_dir):
     return global_search_map(communities, query, level=0, limit=200)
 
 
+def _q_hybrid_seeds(spark, sf_dir):
+    """The hybrid tool's three-rung seed-entity ladder (reference
+    search/tool/hybrid_tool.py:251-307 — keyword CONTAINS → vector
+    top-k → whole-query text fallback), batched over a query set.
+
+    Fixture: documents as the entity catalog (id 'E<doc_id>',
+    description = text, integer letter-count embeddings). Every
+    doc_id%25==7 doc asks with its own mid-text 6-gram as the
+    low-level keyword (always CONTAINS-matches at least itself →
+    keyword rung, entity-id-ASC cap); every doc_id%25==12 doc asks
+    with a keyword that cannot occur (uppercase, corpus is lowercase)
+    → vector rung top-10 by exact integer dot. The oracle replays
+    both rungs and the empty-rung routing in closed form."""
+    from graph_rag_agent_spark.operators.search import hybrid_seed_entities
+
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower("text")
+    charvec = F.array(
+        *[
+            (F.length(low) - F.length(F.regexp_replace(low, c, ""))).cast("long")
+            for c in _CHARVEC_ALPHABET
+        ]
+    )
+    emb = (
+        docs.repartition(F.col("doc_id"))
+        .select("doc_id", "text", charvec.alias("v"))
+        .localCheckpoint()
+    )
+    ents = emb.select(
+        F.concat(F.lit("E"), F.col("doc_id").cast("string")).alias("entity_id"),
+        F.col("text").alias("description"),
+        F.col("v").alias("embedding"),
+    ).localCheckpoint()
+    kwq = emb.where(F.col("doc_id") % 25 == 7).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query"),
+        F.array(F.substring("text", 5, 6)).alias("low_keywords"),
+        F.col("v").alias("qvec"),
+    )
+    vecq = emb.where(F.col("doc_id") % 25 == 12).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query"),
+        F.array(F.lit("ZZQXW9")).alias("low_keywords"),
+        F.col("v").alias("qvec"),
+    )
+    return hybrid_seed_entities(
+        kwq.unionByName(vecq), ents, entity_limit=10, metric="dot"
+    )
+
+
 def _q_answer_references(spark, sf_dir):
     """Citation-block ID extraction (reference evaluator/preprocessing/
     reference_extractor.py — the step feeding referenced ids into the
@@ -1685,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_search_map": _q_global_search_map,  # L6 map phase
         "cache_lookup": _q_cache_lookup,  # CacheManage get_fast ladder
         "answer_references": _q_answer_references,  # citation-id ladder
+        "hybrid_seeds": _q_hybrid_seeds,  # hybrid tool seed ladder
     }
 
 
@@ -2874,6 +2925,70 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "global_search_map": _global_search_map_oracle(),
+        # Closed-form replay of the hybrid seed ladder: keyword rung
+        # = the CONTAINS join + entity-id-ASC cap; queries whose
+        # keyword rung comes up empty (the uppercase never-match
+        # keyword) fall to the vector rung, top-10 by exact integer
+        # dot with (score DESC, id ASC) ties. The text rung is
+        # unreachable in this fixture (the vector rung always fills)
+        # and is pinned by tests/test_hybrid_search instead.
+        "hybrid_seeds": """
+            WITH emb AS (
+                SELECT doc_id, text, ["""
+            + ", ".join(
+                f"CAST(length(lower(text)) - length(regexp_replace(lower(text), '{c}', '', 'g')) AS BIGINT)"
+                for c in _CHARVEC_ALPHABET
+            )
+            + """] AS v
+                FROM documents
+            ),
+            ents AS (
+                SELECT 'E' || CAST(doc_id AS VARCHAR) AS entity_id,
+                       text AS description, v
+                FROM emb
+            ),
+            kwq AS (
+                SELECT doc_id AS query_id, substr(text, 5, 6) AS kw,
+                       v AS qv
+                FROM emb WHERE doc_id % 25 = 7
+            ),
+            vecq AS (
+                SELECT doc_id AS query_id, 'ZZQXW9' AS kw, v AS qv
+                FROM emb WHERE doc_id % 25 = 12
+            ),
+            allq AS (
+                SELECT * FROM kwq UNION ALL SELECT * FROM vecq
+            ),
+            r1 AS (
+                SELECT query_id, 'keyword' AS rung, entity_id
+                FROM (
+                    SELECT q.query_id, e.entity_id,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY e.entity_id ASC) AS rk
+                    FROM allq q
+                    JOIN ents e
+                      ON contains(e.entity_id, q.kw)
+                         OR contains(e.description, q.kw))
+                WHERE rk <= 10
+            ),
+            needvec AS (
+                SELECT query_id, qv FROM allq
+                WHERE query_id NOT IN (SELECT query_id FROM r1)
+            ),
+            r2 AS (
+                SELECT query_id, 'vector' AS rung, entity_id
+                FROM (
+                    SELECT n.query_id, e.entity_id,
+                           row_number() OVER (
+                               PARTITION BY n.query_id
+                               ORDER BY list_dot_product(n.qv, e.v) DESC,
+                                        e.entity_id ASC) AS rk
+                    FROM needvec n, ents e)
+                WHERE rk <= 10
+            )
+            SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        """,
         # Closed-form replay of the citation-extraction fixture: each
         # doc_id%5 rung's outcome is a deterministic function of
         # doc_id (the ladder itself is pinned by tests/test_citations

@@ -327,3 +327,194 @@ def extract_query_keywords(query: str) -> dict[str, list[str]]:
         if len(t) > 3 and t not in mentions
     ]
     return {"low_level": list(dict.fromkeys(mentions)), "high_level": rest[:5]}
+
+
+def hybrid_seed_entities(
+    queries: DataFrame,
+    entities: DataFrame,
+    entity_limit: int = 10,
+    metric: str = "dot",
+) -> DataFrame:
+    """The hybrid tool's three-rung seed-entity ladder, batched
+    (reference search/tool/hybrid_tool.py:251-349 — the low-level
+    retrieval's seed selection):
+
+      1. keyword rung: entities whose id OR description CONTAINS any
+         of the query's low-level keywords (the OR-joined Cypher at
+         :269-290), capped at ``entity_limit``;
+      2. vector rung, ONLY for queries the keyword rung left empty
+         (:293-301): top-``entity_limit`` entities by embedding
+         similarity;
+      3. text rung, ONLY for queries still empty (:303-307 →
+         _fallback_text_search :217-249): entities whose id or
+         description CONTAINS the whole query string, capped.
+
+    ``queries``: (query_id, query, low_keywords array<string>, qvec);
+    ``entities``: (entity_id, description, embedding). →
+    (query_id, rung 'keyword'|'vector'|'text', entity_id) — at most
+    ``entity_limit`` rows per query.
+
+    Deterministic deviation (documented): the reference's CONTAINS
+    rungs are ``LIMIT`` without ORDER BY — Neo4j pick order; here the
+    cap takes entity_id ASC so runs and the SQL oracle agree. Scale
+    shape: the query batch broadcasts into the CONTAINS join (the
+    entity table streams, one scan per rung actually needed); the
+    vector rung rides chunk_topk's partial-top-k machinery.
+    """
+    from .chunk_index import chunk_topk
+
+    w = Window.partitionBy("query_id").orderBy("entity_id")
+
+    # rung 1 — keyword CONTAINS (queries without keywords skip it,
+    # reference :268 `if keywords:`)
+    q_kw = (
+        queries.select("query_id", F.explode("low_keywords").alias("kw"))
+        .where(F.col("kw").isNotNull() & (F.col("kw") != ""))
+    )
+    kw_hits = (
+        entities.alias("e")
+        .join(
+            F.broadcast(q_kw),
+            F.col("e.entity_id").contains(F.col("kw"))
+            | F.col("e.description").contains(F.col("kw")),
+        )
+        .select("query_id", "entity_id")
+        .distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= entity_limit)
+        .select("query_id", F.lit("keyword").alias("rung"), "entity_id")
+    )
+
+    # rung 2 — vector, for queries with zero keyword hits
+    need_vec = queries.join(
+        kw_hits.select("query_id").distinct(), "query_id", "left_anti"
+    ).localCheckpoint()
+    vec_hits = (
+        chunk_topk(
+            entities.select("entity_id", "embedding"),
+            need_vec.select("query_id", "qvec"),
+            k=entity_limit,
+            metric=metric,
+            id_col="entity_id",
+        )
+        .select("query_id", F.lit("vector").alias("rung"), "entity_id")
+    )
+
+    # rung 3 — whole-query text CONTAINS, for queries still empty
+    need_txt = need_vec.join(
+        vec_hits.select("query_id").distinct(), "query_id", "left_anti"
+    )
+    txt_hits = (
+        entities.alias("e")
+        .join(
+            F.broadcast(need_txt.select("query_id", "query")),
+            F.col("e.entity_id").contains(F.col("query"))
+            | F.col("e.description").contains(F.col("query")),
+        )
+        .select("query_id", "entity_id")
+        .distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= entity_limit)
+        .select("query_id", F.lit("text").alias("rung"), "entity_id")
+    )
+    return kw_hits.unionByName(vec_hits).unionByName(txt_hits)
+
+
+def hybrid_search_batch(
+    queries: DataFrame,
+    entities: DataFrame,
+    triples: DataFrame,
+    mentions: DataFrame,
+    communities: DataFrame,
+    entity_limit: int = 10,
+    chunk_limit: int = 5,
+    community_level: int = 0,
+    top_communities: int = 3,
+    metric: str = "dot",
+) -> dict[str, DataFrame]:
+    """Full hybrid retrieval for a query batch (hybrid_tool.py's
+    low-level :251-408 + high-level :410-474 halves):
+
+      low-level — seeds via hybrid_seed_entities, then per query:
+      seed entity rows; relationships with BOTH endpoints in the seed
+      set and subj < obj (:334-346); the chunks mentioning seeds,
+      DISTINCT, first ``chunk_limit`` (:350-359 ``[0..5]`` — the
+      reference's unordered cut, made deterministic chunk_id ASC);
+
+      high-level — communities at ``community_level`` whose summary
+      OR full_content CONTAINS any high-level keyword (the whole
+      query when a query has no keywords, :436-447), ordered
+      rank-desc-NULLs-as-0 (:448-450), top ``top_communities``
+      (ties → community_id ASC).
+
+    ``queries`` additionally carries ``high_keywords array<string>``.
+    → {'seeds', 'relationships', 'chunks', 'communities'}."""
+    seeds = hybrid_seed_entities(
+        queries, entities, entity_limit=entity_limit, metric=metric
+    ).localCheckpoint()
+    seed_ids = seeds.select("query_id", "entity_id")
+
+    s1 = seed_ids.withColumnRenamed("entity_id", "subj")
+    s2 = seed_ids.withColumnRenamed("entity_id", "obj")
+    # the reference MATCHes undirected (e1)-[r]-(e2) and keeps the
+    # orientation with e1.id < e2.id, so a stored edge in either
+    # direction surfaces once, endpoint-sorted — symmetrize first
+    sym = triples.select("subj", "pred", "obj").unionByName(
+        triples.select(
+            F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+        )
+    )
+    rels = (
+        sym.join(F.broadcast(s1), "subj")
+        .join(F.broadcast(s2), ["query_id", "obj"])
+        .where(F.col("subj") < F.col("obj"))
+        .select("query_id", "subj", "pred", "obj")
+        .distinct()
+    )
+
+    wc = Window.partitionBy("query_id").orderBy("chunk_id")
+    chunks = (
+        mentions.join(F.broadcast(seed_ids), "entity_id")
+        .select("query_id", "chunk_id")
+        .distinct()
+        .withColumn("__rk", F.row_number().over(wc))
+        .where(F.col("__rk") <= chunk_limit)
+        .drop("__rk")
+    )
+
+    q_hkw = queries.select(
+        "query_id",
+        F.when(
+            F.size(F.coalesce("high_keywords", F.array())) > 0,
+            F.col("high_keywords"),
+        )
+        .otherwise(F.array("query"))
+        .alias("kws"),
+    ).select("query_id", F.explode("kws").alias("kw"))
+    lvl = communities.where(F.col("level") == community_level)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("rank0"), F.asc("community_id")
+    )
+    comm = (
+        lvl.join(
+            F.broadcast(q_hkw),
+            F.col("summary").contains(F.col("kw"))
+            | F.col("full_content").contains(F.col("kw")),
+        )
+        .select(
+            "query_id",
+            "community_id",
+            F.coalesce(F.col("community_rank"), F.lit(0)).alias("rank0"),
+            "summary",
+        )
+        .distinct()
+        .withColumn("__rk", F.row_number().over(wr))
+        .where(F.col("__rk") <= top_communities)
+        .select("query_id", "community_id", "rank0", "summary")
+    )
+    return {
+        "seeds": seeds,
+        "relationships": rels,
+        "chunks": chunks,
+        "communities": comm,
+    }
