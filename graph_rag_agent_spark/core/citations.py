@@ -137,7 +137,13 @@ def _ids_from_keyed(parsed: dict, keys: list[str]) -> list[str]:
                         out.append(item)
                     elif isinstance(item, dict) and "id" in item:
                         out.append(str(item["id"]))
-                    elif isinstance(item, (tuple, list)) and len(item) >= 3:
+                    elif isinstance(item, tuple) or (
+                        isinstance(item, list) and len(item) >= 3
+                    ):
+                        # the reference stringifies ANY tuple but only
+                        # lists of ≥3 elements (:246); the tuple rung
+                        # is unreachable via json.loads (JSON has no
+                        # tuples) — kept for literal parity
                         out.append(str(item))
             elif isinstance(val, str):
                 out.extend(p.strip() for p in val.split(",") if p.strip())

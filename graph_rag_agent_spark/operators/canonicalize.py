@@ -253,12 +253,57 @@ def resolve_canonical(
     return resolve_canonical_grouped(entities_with_wcc)
 
 
+# Broadcast budget for the canonical map. The map is one row per
+# MERGED entity — tiny for any realistic catalog — but at a 100×
+# catalog (10⁸+ entities, long Chinese ids) an unconditional hint
+# would sail past Spark's 8 GB broadcast ceiling and the driver heap.
+# Above this estimate the rewrite joins fall back to a plain shuffled
+# hash join (the same conditional pattern as linking.py's scorer).
+# 512 MB broadcasts in seconds on a 1000-executor cluster and is far
+# cheaper than shuffling the corpus-scale fact side, so the hint
+# stays on for every map that plausibly fits.
+CMAP_BROADCAST_MAX_BYTES = 512 * 1024 * 1024
+
+
+def _estimate_map_bytes(cmap: DataFrame) -> int:
+    """One cheap agg over the (entity_id, canonical_id) map:
+    count × string chars → a worst-case byte estimate (4 B/char
+    covers any UTF-8 + UTF8String overhead, 48 B/row covers the
+    BroadcastHashJoin relation's per-row cost). Memoized on the
+    DataFrame object — every rewrite in a build cycle reuses the same
+    cmap frame, so the job runs once per map, not once per join."""
+    cached = getattr(cmap, "_cmap_est_bytes", None)
+    if cached is not None:
+        return cached
+    row = cmap.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.length("entity_id") + F.length("canonical_id")), F.lit(0)
+        ).alias("chars"),
+    ).collect()[0]
+    est = int(row["chars"]) * 4 + int(row["n"]) * 48
+    try:
+        cmap._cmap_est_bytes = est
+    except Exception:
+        pass
+    return est
+
+
+def _map_side(cmap: DataFrame, projected: DataFrame) -> DataFrame:
+    """The build side of a canonical-map join: broadcast-hinted only
+    when the size estimate fits the budget, else left unhinted so
+    Catalyst plans a shuffled join."""
+    if _estimate_map_bytes(cmap) <= CMAP_BROADCAST_MAX_BYTES:
+        return F.broadcast(projected)
+    return projected
+
+
 def _canonize(df: DataFrame, col: str, cmap: DataFrame) -> DataFrame:
     mapped = cmap.select(
         F.col("entity_id").alias(col), F.col("canonical_id").alias(f"__canon_{col}")
     )
     return (
-        df.join(F.broadcast(mapped), col, "left")
+        df.join(_map_side(cmap, mapped), col, "left")
         .withColumn(col, F.coalesce(f"__canon_{col}", col))
         .drop(f"__canon_{col}")
     )
@@ -353,6 +398,6 @@ def canonical_entities(
 ) -> DataFrame:
     """Catalog reduced to survivors ('discard': survivor's props win)."""
     joined = catalog_with_wcc.join(
-        F.broadcast(cmap), "entity_id", "left"
+        _map_side(cmap, cmap), "entity_id", "left"
     ).withColumn("canonical_id", F.coalesce("canonical_id", "entity_id"))
     return joined.where(F.col("entity_id") == F.col("canonical_id"))

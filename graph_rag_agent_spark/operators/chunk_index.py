@@ -262,6 +262,7 @@ def _topk_integral_partial(
         .select(query_id_col, id_col, "rank", "score")
     )
 
+
 def top_chunks_for_query(
     chunks_emb: DataFrame, query: str, k: int = 3, id_col: str = "chunk_id"
 ) -> DataFrame:

@@ -157,13 +157,22 @@ def _signature_udf(dim: int, bands: int, rows: int):
     return sig
 
 
-# Catalogs up to this size score candidates via a BROADCAST embedding
-# store (one numpy gather + einsum per Arrow batch); larger catalogs
-# fall back to re-joining embeddings onto the candidate pairs. At
-# 150k × 64 doubles the broadcast is ~80 MB — trivially shippable —
-# while the join path shuffles |candidates| × 2 × dim doubles
-# (gigabytes at a few million pairs).
-BROADCAST_SCORE_THRESHOLD = 500_000
+# Catalogs whose embedding store fits under this BYTE budget score
+# candidates via a BROADCAST store (one numpy gather + einsum per
+# Arrow batch); larger catalogs fall back to re-joining embeddings
+# onto the candidate pairs. The budget is bytes, not rows: 500k rows
+# of 64-dim doubles are ~256 MB (shippable), the same rows at a
+# production 1,536-dim are ~6 GB — past the driver toPandas and the
+# per-executor deserialized copy. The join path instead shuffles
+# |candidates| × 2 × dim doubles, which is the better trade exactly
+# when the store itself is the bigger object.
+BROADCAST_SCORE_MAX_BYTES = 512 * 1024 * 1024
+
+
+def _store_bytes(n_rows: int, dim: int) -> int:
+    """Broadcast-store size estimate: the float64 matrix dominates
+    (ids + index add single-digit %); 8 bytes per element."""
+    return n_rows * dim * 8
 
 
 def _score_candidates_broadcast(cand: DataFrame, embedded: DataFrame) -> DataFrame:
@@ -253,7 +262,7 @@ def similar_entities_lsh(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     dim: int = DIM,
-    broadcast_threshold: int = BROADCAST_SCORE_THRESHOLD,
+    broadcast_max_bytes: int = BROADCAST_SCORE_MAX_BYTES,
 ) -> DataFrame:
     """Banded random-hyperplane LSH candidates + exact cosine re-rank.
 
@@ -278,7 +287,7 @@ def similar_entities_lsh(
         )
         .dropDuplicates(["src", "dst"])
     )
-    if embedded.count() <= broadcast_threshold:
+    if _store_bytes(embedded.count(), dim) <= broadcast_max_bytes:
         scored = _score_candidates_broadcast(cand, embedded)
     else:
         scored = _score_candidates_join(cand, embedded)
@@ -422,7 +431,7 @@ def similar_entities_degraded(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     dim: int = DIM,
-    broadcast_threshold: int = BROADCAST_SCORE_THRESHOLD,
+    broadcast_max_bytes: int = BROADCAST_SCORE_MAX_BYTES,
 ) -> DataFrame:
     """GDS ``sampleRate`` analogue for the degraded KNN rung
     (similar_entity.py:182-222): EVERY entity queries, but neighbors
@@ -474,7 +483,7 @@ def similar_entities_degraded(
         )
         .dropDuplicates(["src", "dst"])
     )
-    if n <= broadcast_threshold:
+    if _store_bytes(n, dim) <= broadcast_max_bytes:
         scored = _score_candidates_broadcast(cand, embedded)
     else:
         scored = _score_candidates_join(cand, embedded)

@@ -158,9 +158,21 @@ def _scored_candidates(
     gating on thread BEFORE ranking scores exactly the candidate set
     the semantics name — strictly better recall, and replayable in
     closed-form SQL. Corpus-scale caches route this rung through
-    operators/knn (LSH/IVF) instead of the full scan."""
+    operators/knn (LSH/IVF) instead of the full scan.
+
+    NULL thread_ids coalesce to 'default' on BOTH sides before the
+    thread gate — the reference maps an absent thread_id to 'default'
+    (matcher.py:145-148, manager.py:94,227), so a
+    NULL-thread probe matches NULL-thread cache entries instead of
+    silently never vector-matching through the inner join."""
     from .chunk_index import _dot
 
+    cache = cache.withColumn(
+        "thread_id", F.coalesce(F.col("thread_id"), F.lit("default"))
+    )
+    misses = misses.withColumn(
+        "thread_id", F.coalesce(F.col("thread_id"), F.lit("default"))
+    )
     elem = cache.schema["embedding"].dataType.elementType.simpleString()
     q_elem = misses.schema["qvec"].dataType.elementType.simpleString()
     _ints = ("int", "bigint", "smallint", "tinyint")
@@ -316,6 +328,12 @@ def cache_lookup_batch(
             "cache_key", "content", *(c for c in _PAYLOAD_COLS if c != "content")
         )
         .join(F.broadcast(probe_keys), "cache_key")
+        # explicit presence marker: a stored row whose content is
+        # legitimately NULL is still a hit (the reference treats any
+        # stored item as a hit and returns its possibly-None content,
+        # manager.py get/get_fast) — content IS NOT NULL would read
+        # such a row as a miss
+        .withColumn("__present", F.lit(True))
         .localCheckpoint()
     )
     exact_rows = (
@@ -323,7 +341,7 @@ def cache_lookup_batch(
         .withColumn("__hq", is_high_quality())
         .withColumn(
             "__exact_hit",
-            F.col("content").isNotNull()
+            F.coalesce(F.col("__present"), F.lit(False))
             & (F.lit(not fast) | F.col("__hq")),
         )
         .select(

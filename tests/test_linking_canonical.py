@@ -237,6 +237,43 @@ def test_knn_fallback_ladder(spark):
     assert calls == [10, 5]  # primary topK then degraded topK
 
 
+def test_score_path_gate_is_byte_aware(spark):
+    """The broadcast-store gate counts BYTES (rows × dim × 8), not
+    rows: 500k rows of production 1,536-dim vectors (~6 GB) must route
+    through the embedding re-join that the old 500k-ROW threshold
+    would have broadcast; the same rows at 64-dim (~256 MB) still
+    broadcast. And the two scoring paths agree bit-for-bit on pairs,
+    to float tolerance on scores."""
+    from graph_rag_agent_spark.operators.linking import (
+        BROADCAST_SCORE_MAX_BYTES,
+        _store_bytes,
+        similar_entities_lsh,
+        with_embeddings,
+    )
+
+    assert _store_bytes(500_000, 1536) > BROADCAST_SCORE_MAX_BYTES
+    assert _store_bytes(500_000, 64) <= BROADCAST_SCORE_MAX_BYTES
+
+    catalog = spark.createDataFrame(
+        [(f"Widget {i}", "Product", f"desc {i}") for i in range(40)],
+        "entity_id string, entity_type string, description string",
+    )
+    embedded = with_embeddings(catalog).localCheckpoint()
+    via_broadcast = {
+        (r["src"], r["dst"]): r["score"]
+        for r in similar_entities_lsh(embedded, cutoff=-1.0).collect()
+    }
+    via_join = {
+        (r["src"], r["dst"]): r["score"]
+        for r in similar_entities_lsh(
+            embedded, cutoff=-1.0, broadcast_max_bytes=0
+        ).collect()
+    }
+    assert set(via_broadcast) == set(via_join) and via_join
+    for k in via_join:
+        assert abs(via_broadcast[k] - via_join[k]) < 1e-9
+
+
 def test_degraded_knn_every_entity_queries(spark):
     """GDS sampleRate analogue: the degraded rung samples the STORED
     side only — every entity still queries (src covers the unsampled

@@ -55,6 +55,39 @@ def test_canonical_rewrite_broadcasts_the_map(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_canonical_rewrite_gates_broadcast_on_map_size(spark, monkeypatch):
+    # above the byte budget the map hint must disappear (a 10⁸-entity
+    # canonical map would blow the 8 GB broadcast ceiling) and the
+    # rewrite must fall back to a shuffled join — with identical rows.
+    # autoBroadcastJoinThreshold is disabled so the assertion sees the
+    # HINT's effect, not Catalyst's own statistics-driven conversion.
+    import graph_rag_agent_spark.operators.canonicalize as canon
+
+    triples = spark.createDataFrame(
+        [("a", "REL", "b", "d", 1.0, "c0", "ch0"),
+         ("x", "REL", "a", "e", 2.0, "c1", "ch1")],
+        "subj string, pred string, obj string, description string, "
+        "weight double, conv_id string, chunk_id string",
+    )
+    cmap = spark.createDataFrame(
+        [("a", "A")], "entity_id string, canonical_id string"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = canon.rewrite_triples(triples, cmap)
+        assert "BroadcastHashJoin" in _plan(hinted)
+
+        monkeypatch.setattr(canon, "CMAP_BROADCAST_MAX_BYTES", 0)
+        gated = canon.rewrite_triples(triples, cmap)
+        assert "BroadcastHashJoin" not in _plan(gated)
+        assert sorted(map(tuple, gated.collect())) == sorted(
+            map(tuple, hinted.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_mention_join_stays_codegen(spark, docs):
     # a representative JVM-only text-analysis query: no Python
     # evaluation (BatchEvalPython / ArrowEvalPython) in the plan
