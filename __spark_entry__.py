@@ -1689,6 +1689,160 @@ def _q_document_text_routing(spark, sf_dir):
     )
 
 
+#: 25 evidence-group letters for the contradiction fixture
+_EV_GROUP_ALPHA = "abcdefghijklmnopqrstuvwxy"
+
+
+def _q_evidence_contradictions(spark, sf_dir):
+    """Deep-research evidence-chain contradiction detection (reference
+    search/tool/reasoning/evidence.py:229-271): numeric claims with
+    ±20-char context via the rule core (Arrow-batched), then the
+    within-group pair join with the JVM Jaccard (>0.7) and relative-
+    difference (>0.001) gates.
+
+    Fixture (controlled so the oracle replays in closed form): 25
+    evidence groups over documents; 70 % of rows share a per-group
+    'metric <letter> value <v> pts x y z' template, 30 % an
+    'odd prose <v> here b c' template, v two-digit. Every content is
+    short enough that the ±20 context window is the WHOLE string, so
+    same-template pairs sit above the Jaccard gate (7/9 resp. 5/7)
+    and cross-template pairs far below (≤1/13) — the oracle therefore
+    reduces to same-group, same-template, differing-value pairs with
+    the evidence-id orientation, while Spark runs the real regex/
+    Jaccard operator chain end-to-end."""
+    from graph_rag_agent_spark.operators.evidence import (
+        evidence_contradictions,
+        with_evidence_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    letter = F.expr(
+        f"substr('{_EV_GROUP_ALPHA}', CAST(doc_id % 25 AS INT) + 1, 1)"
+    )
+    v = (F.lit(10) + (F.col("doc_id") * 7) % 90).cast("long")
+    content = F.when(
+        F.col("doc_id") % 10 < 7,
+        F.concat(
+            F.lit("metric "),
+            letter,
+            F.lit(" value "),
+            v.cast("string"),
+            F.lit(" pts x y z"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("odd prose "), v.cast("string"), F.lit(" here b c")
+        )
+    )
+    ev = with_evidence_ids(
+        docs.select(
+            F.concat(F.lit("q"), letter).alias("group_id"),
+            F.concat(F.lit("src-"), F.col("doc_id").cast("string")).alias(
+                "source_id"
+            ),
+            content.alias("content"),
+        )
+    )
+    return evidence_contradictions(ev, group_col="group_id").select(
+        "group_id",
+        "type",
+        "evidence1",
+        "evidence2",
+        "context",
+        "value1",
+        "value2",
+    )
+
+
+def _q_query_decomposition(spark, sf_dir):
+    """Deep-research thinking-trace classification + sub-query
+    decomposition (reference thinking.py:626-680 status ladder,
+    search.py:218-246 parse ladder) batched over a trace table: the
+    JVM tag-extraction/status path (classify_traces) and the
+    literal_eval parse ladder (sub_query_plans) in one plan.
+
+    Fixture: five trace shapes per doc_id%5 (tagged single query /
+    think-only → empty / answer marker / plain text / think span +
+    two tagged queries) and three decomposition shapes per doc_id%3
+    (parseable list / broken bracket / no list — the latter two take
+    the reference's [original query] fallback). Arrays are emitted as
+    '|'-joined scalars (document texts contain no '|') so both
+    engines hash identical cells."""
+    from graph_rag_agent_spark.core.thinking import (
+        BEGIN_SEARCH_QUERY,
+        END_SEARCH_QUERY,
+    )
+    from graph_rag_agent_spark.operators.thinking import (
+        classify_traces,
+        sub_query_plans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    b, e = F.lit(BEGIN_SEARCH_QUERY), F.lit(END_SEARCH_QUERY)
+    did = F.col("doc_id").cast("string")
+    shape = F.col("doc_id") % 5
+    raw = (
+        F.when(
+            shape == 0,
+            F.concat(
+                F.lit("先想 "), b, F.substring("text", 1, 30), e, F.lit(" 然后")
+            ),
+        )
+        .when(
+            shape == 1,
+            F.concat(F.lit("<think>"), F.col("text"), F.lit("</think>")),
+        )
+        .when(shape == 2, F.concat(F.lit("足够的信息 "), F.substring("text", 1, 20)))
+        .when(shape == 3, F.substring("text", 1, 40))
+        .otherwise(
+            F.concat(
+                F.lit("<think>"),
+                F.substring("text", 1, 10),
+                F.lit("</think>中段"),
+                b,
+                F.lit("alpha "),
+                did,
+                e,
+                F.lit("尾"),
+                b,
+                F.lit("beta "),
+                did,
+                e,
+            )
+        )
+    )
+    sub_raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("拆分：['s1 "), did, F.lit("', 's2 "), did, F.lit("']")
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("[broken"))
+        .otherwise(F.lit("no list"))
+    )
+    traces = docs.select(
+        F.col("doc_id").alias("trace_id"),
+        raw.alias("raw"),
+        sub_raw.alias("raw2"),
+        F.concat(F.lit("root "), did).alias("query"),
+    )
+    t = sub_query_plans(
+        classify_traces(traces, text_col="raw"),
+        text_col="raw2",
+        query_col="query",
+    )
+    return t.select(
+        "trace_id",
+        "status",
+        F.size("queries").alias("n_queries"),
+        F.concat_ws("|", "queries").alias("queries_joined"),
+        F.length("content").alias("content_len"),
+        "n_sub_queries",
+        F.concat_ws("|", "sub_queries").alias("subs_joined"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_derivation": _q_turns_derivation,
@@ -1736,6 +1890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_lookup": _q_cache_lookup,  # CacheManage get_fast ladder
         "answer_references": _q_answer_references,  # citation-id ladder
         "hybrid_seeds": _q_hybrid_seeds,  # hybrid tool seed ladder
+        # deep-research family: evidence-chain contradictions +
+        # thinking-trace decomposition (closed-form SQL replays)
+        "evidence_contradictions": _q_evidence_contradictions,
+        "query_decomposition": _q_query_decomposition,
     }
 
 
@@ -3269,5 +3427,97 @@ def oracle_sql() -> dict[str, str]:
                                      + 0.3*connectedness)) * 10000)
                         AS INTEGER) AS score_x10000
             FROM scored
+        """,
+        # closed-form replay of the controlled contradiction fixture:
+        # every content is shorter than claim-position+20, so the
+        # ±20-char context window is the whole string and the Jaccard
+        # gate reduces to template equality (same-template 7/9 resp.
+        # 5/7 > 0.7; cross-template ≤ 1/13); the diff gate reduces to
+        # value inequality (two-digit values, min rel. diff 1/99 >>
+        # 0.001). Evidence ids replay via DuckDB's md5().
+        "evidence_contradictions": """
+            WITH ev AS (
+                SELECT 'q' || substr('abcdefghijklmnopqrstuvwxy',
+                                     CAST(doc_id % 25 AS INT) + 1, 1)
+                           AS group_id,
+                       CAST(doc_id % 10 < 7 AS INT) AS tmpl,
+                       CAST(10 + (doc_id * 7) % 90 AS DOUBLE) AS v,
+                       CASE WHEN doc_id % 10 < 7
+                            THEN 'metric ' ||
+                                 substr('abcdefghijklmnopqrstuvwxy',
+                                        CAST(doc_id % 25 AS INT) + 1, 1)
+                                 || ' value ' ||
+                                 CAST(10 + (doc_id * 7) % 90 AS VARCHAR)
+                                 || ' pts x y z'
+                            ELSE 'odd prose ' ||
+                                 CAST(10 + (doc_id * 7) % 90 AS VARCHAR)
+                                 || ' here b c'
+                       END AS content,
+                       'src-' || CAST(doc_id AS VARCHAR) AS source_id
+                FROM documents
+            ),
+            evid AS (
+                SELECT group_id, tmpl, v, content,
+                       substr(md5(source_id || ':' ||
+                                  substr(content, 1, 50)), 1, 10)
+                           AS evidence_id
+                FROM ev
+            )
+            SELECT a.group_id,
+                   'numerical' AS type,
+                   a.evidence_id AS evidence1,
+                   b.evidence_id AS evidence2,
+                   a.content AS context,
+                   a.v AS value1,
+                   b.v AS value2
+            FROM evid a
+            JOIN evid b
+              ON a.group_id = b.group_id
+             AND a.evidence_id < b.evidence_id
+            WHERE a.tmpl = b.tmpl AND a.v <> b.v
+        """,
+        # closed-form replay of the five trace shapes / three
+        # decomposition shapes (the content strings are rebuilt
+        # verbatim so lengths need no arithmetic)
+        "query_decomposition": """
+            WITH t AS (
+                SELECT doc_id AS trace_id,
+                       doc_id % 5 AS shape,
+                       doc_id % 3 AS sub_shape,
+                       substr(text, 1, 30) AS q30,
+                       substr(text, 1, 20) AS q20,
+                       substr(text, 1, 40) AS q40,
+                       CAST(doc_id AS VARCHAR) AS did
+                FROM documents
+            )
+            SELECT trace_id,
+                   CASE WHEN shape = 1 THEN 'empty'
+                        WHEN shape IN (0, 4) THEN 'has_query'
+                        WHEN shape = 2 THEN 'answer_ready'
+                        ELSE 'no_query' END AS status,
+                   CASE WHEN shape = 0 THEN 1
+                        WHEN shape = 4 THEN 2
+                        ELSE 0 END AS n_queries,
+                   CASE WHEN shape = 0 THEN q30
+                        WHEN shape = 4
+                            THEN 'alpha ' || did || '|beta ' || did
+                        ELSE '' END AS queries_joined,
+                   CASE WHEN shape = 0 THEN length(
+                            '先想 <|begin_search_query|>' || q30 ||
+                            '<|end_search_query|> 然后')
+                        WHEN shape = 1 THEN NULL
+                        WHEN shape = 2 THEN length('足够的信息 ' || q20)
+                        WHEN shape = 3 THEN length(q40)
+                        ELSE length(
+                            '中段<|begin_search_query|>alpha ' || did ||
+                            '<|end_search_query|>尾<|begin_search_query|>beta '
+                            || did || '<|end_search_query|>')
+                   END AS content_len,
+                   CASE WHEN sub_shape = 0 THEN 2 ELSE 1
+                       END AS n_sub_queries,
+                   CASE WHEN sub_shape = 0
+                            THEN 's1 ' || did || '|s2 ' || did
+                        ELSE 'root ' || did END AS subs_joined
+            FROM t
         """,
     }

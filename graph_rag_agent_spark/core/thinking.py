@@ -1,0 +1,319 @@
+"""Deep-research thinking/decomposition rule core — the deterministic
+parsing, classification and assembly rules inside the reference's
+ThinkingEngine (/root/reference/search/tool/reasoning/thinking.py),
+QueryGenerator / DualPathSearcher
+(/root/reference/search/tool/reasoning/search.py) and nlp helpers
+(/root/reference/search/tool/reasoning/nlp.py), transcribed as pure
+functions. The LLM calls that surround them in the reference are the
+orchestration layer; everything here is what happens to the TEXT the
+model returns, which is the part a data engine replays over a table
+of traces (operators/thinking.py).
+
+Documented deviation (same policy as core/stub_judge F11): the
+reference parses model-emitted Python lists with ``eval``
+(search.py:239,312); this core uses ``ast.literal_eval`` — identical
+results on every literal the prompt format names, and not an
+arbitrary-code sink.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import re
+
+#: /root/reference/config/reasoning_prompts.py:3-6
+BEGIN_SEARCH_QUERY = "<|begin_search_query|>"
+END_SEARCH_QUERY = "<|end_search_query|>"
+BEGIN_SEARCH_RESULT = "<|begin_search_result|>"
+END_SEARCH_RESULT = "<|end_search_result|>"
+
+_THINK_RE = re.compile(r"<think>.*</think>", re.DOTALL)
+_LIST_RE = re.compile(r"\[.*\]", re.DOTALL)
+
+
+def extract_between(text: str, start_marker: str, end_marker: str) -> list[str]:
+    """nlp.py:4-18."""
+    pattern = re.escape(start_marker) + r"(.*?)" + re.escape(end_marker)
+    return re.findall(pattern, text, flags=re.DOTALL)
+
+
+def extract_sentences(text: str, max_sentences: int | None = None) -> list[str]:
+    """nlp.py:48-69: split at terminator + capital-letter boundaries."""
+    if not text:
+        return []
+    sentences = re.split(r"(?<=[.!?])\s+(?=[A-Z])", text)
+    sentences = [s.strip() for s in sentences if s.strip()]
+    if max_sentences:
+        return sentences[:max_sentences]
+    return sentences
+
+
+def remove_query_tags(text: str) -> str:
+    """thinking.py:588-599."""
+    pattern = (
+        re.escape(BEGIN_SEARCH_QUERY) + r"(.*?)" + re.escape(END_SEARCH_QUERY)
+    )
+    return re.sub(pattern, "", text, flags=re.DOTALL)
+
+
+def remove_result_tags(text: str) -> str:
+    """thinking.py:601-612."""
+    pattern = (
+        re.escape(BEGIN_SEARCH_RESULT)
+        + r"(.*?)"
+        + re.escape(END_SEARCH_RESULT)
+    )
+    return re.sub(pattern, "", text, flags=re.DOTALL)
+
+
+def extract_queries(text: str) -> list[str]:
+    """thinking.py:614-625."""
+    return extract_between(text, BEGIN_SEARCH_QUERY, END_SEARCH_QUERY)
+
+
+def classify_next_query(raw: str) -> dict:
+    """The post-LLM logic of generate_next_query (thinking.py:626-680):
+    strip <think> spans; empty → 'empty'; tagged queries → 'has_query';
+    otherwise the answer markers（**回答** / 足够的信息）→ 'answer_ready',
+    else 'no_query'. Returns {"status", "content", "queries"}."""
+    query_think = _THINK_RE.sub("", raw)
+    if not query_think:
+        return {"status": "empty", "content": None, "queries": []}
+    queries = extract_queries(query_think)
+    if not queries:
+        if "**回答**" in query_think or "足够的信息" in query_think:
+            return {
+                "status": "answer_ready",
+                "content": query_think,
+                "queries": [],
+            }
+        return {"status": "no_query", "content": query_think, "queries": []}
+    return {"status": "has_query", "content": query_think, "queries": queries}
+
+
+def parse_sub_queries(content: str, original_query: str) -> list[str]:
+    """generate_sub_queries' parse ladder (search.py:218-246): first
+    bracketed span parsed as a list; any failure → [original_query]."""
+    list_text = _LIST_RE.search(content)
+    if list_text:
+        try:
+            sub_queries = ast.literal_eval(list_text.group(0))
+            if isinstance(sub_queries, (list, tuple)):
+                return list(sub_queries)
+        except (ValueError, SyntaxError):
+            pass
+    return [original_query]
+
+
+def parse_followup_queries(content: str) -> list[str]:
+    """generate_followup_queries' parse ladder (search.py:283-345):
+    bracketed list parsed, order-preserving dedup; failure → []."""
+    list_text = _LIST_RE.search(content)
+    if list_text:
+        try:
+            followups = ast.literal_eval(list_text.group(0))
+        except (ValueError, SyntaxError):
+            return []
+        if isinstance(followups, (list, tuple)):
+            unique: list = []
+            for q in followups:
+                if q not in unique:
+                    unique.append(q)
+            return unique
+    return []
+
+
+def parse_hypotheses(content: str) -> list[dict]:
+    """generate_hypotheses' parse ladder (thinking.py:66-167): a
+    bracketed JSON list of {hypothesis, reasoning} dicts, else the
+    regex fallback, else the default hypothesis."""
+    json_match = _LIST_RE.search(content)
+    if json_match:
+        try:
+            hypotheses = json.loads(json_match.group(0))
+            if isinstance(hypotheses, list):
+                return hypotheses
+        except (ValueError, TypeError):
+            pass
+    return extract_hypotheses_fallback(content)
+
+
+def extract_hypotheses_fallback(content: str) -> list[dict]:
+    """_extract_hypotheses_fallback (thinking.py:118-167)."""
+    hypotheses = []
+    pattern = re.compile(
+        r"假设\s*\d+[:：]?\s*(.*?)(?=假设\s*\d+[:：]?|$)", re.DOTALL
+    )
+    for match in pattern.findall(content):
+        parts = re.split(r"理由[:：]", match, maxsplit=1)
+        if len(parts) == 2:
+            hypothesis, reasoning = parts
+        else:
+            hypothesis, reasoning = parts[0], ""
+        hypotheses.append(
+            {"hypothesis": hypothesis.strip(), "reasoning": reasoning.strip()}
+        )
+    if not hypotheses:
+        hypotheses = [
+            {
+                "hypothesis": "问题可能需要更多背景信息",
+                "reasoning": "初步思考中没有明确的答案方向",
+            }
+        ]
+    return hypotheses
+
+
+def parse_hypothesis_list(content: str) -> list[str]:
+    """generate_multiple_hypotheses' parse ladder (search.py:248-310):
+    numbered list → dash list → long-line filter capped at 3."""
+    numbered = re.compile(r"\d+\.\s*(.*?)(?=\d+\.|$)", re.DOTALL).findall(
+        content
+    )
+    if numbered:
+        return [m.strip() for m in numbered if m.strip()]
+    dashed = re.compile(r"-\s*(.*?)(?=-|$)", re.DOTALL).findall(content)
+    if dashed:
+        return [m.strip() for m in dashed if m.strip()]
+    lines = [line.strip() for line in content.split("\n") if line.strip()]
+    return [
+        line
+        for line in lines
+        if len(line) > 10
+        and not line.startswith("假设")
+        and not line.startswith("以下是")
+    ][:3]
+
+
+def verification_status(status_text: str) -> str:
+    """_assess_verification_status' normalization rung
+    (thinking.py:240-250): the LLM's word → supported/rejected/
+    uncertain."""
+    status = status_text.strip().lower()
+    if "support" in status:
+        return "supported"
+    if "reject" in status:
+        return "rejected"
+    return "uncertain"
+
+
+#: thinking.py:553-586 conclusion markers, in priority order
+CONCLUSION_MARKERS = ("结论", "总结", "因此", "所以", "综上所述")
+
+
+def extract_conclusion(analysis: str) -> str:
+    """_extract_conclusion (thinking.py:553-586): first marker's line
+    (capped at 100 chars), else the last paragraph, else the default
+    text."""
+    for marker in CONCLUSION_MARKERS:
+        idx = analysis.find(marker)
+        if idx != -1:
+            conclusion = analysis[idx:].split("\n")[0]
+            if len(conclusion) > 100:
+                conclusion = conclusion[:100] + "..."
+            return conclusion
+    paragraphs = analysis.split("\n\n")
+    if paragraphs:
+        last = paragraphs[-1]
+        if len(last) > 100:
+            last = last[:100] + "..."
+        return last
+    return "无法提取明确结论"
+
+
+def truncate_reasoning(steps: list[str]) -> str:
+    """prepare_truncated_reasoning (thinking.py:723-773): ≤5 steps
+    keep everything; else step 1 + last 4 + any tagged middle step,
+    '...' between gaps."""
+    if not steps:
+        return ""
+    if len(steps) <= 5:
+        return "".join(
+            f"Step {i + 1}: {step}\n\n" for i, step in enumerate(steps)
+        ).strip()
+    important = [(0, steps[0])]
+    for i in range(max(1, len(steps) - 4), len(steps)):
+        important.append((i, steps[i]))
+    for i in range(1, len(steps) - 4):
+        if BEGIN_SEARCH_QUERY in steps[i] or BEGIN_SEARCH_RESULT in steps[i]:
+            important.append((i, steps[i]))
+    important.sort(key=lambda x: x[0])
+    truncated = ""
+    prev_idx = -1
+    for idx, step in important:
+        if idx > prev_idx + 1:
+            truncated += "...\n\n"
+        truncated += f"Step {idx + 1}: {step}\n\n"
+        prev_idx = idx
+    return truncated.strip()
+
+
+def full_thinking(steps: list[str]) -> str:
+    """get_full_thinking (thinking.py:775-790)."""
+    thinking = "<think>\n"
+    for step in steps:
+        thinking += remove_result_tags(remove_query_tags(step)) + "\n\n"
+    return thinking + "</think>"
+
+
+def verification_summary(verifications: list[dict]) -> str:
+    """update_thinking_based_on_verification's summary assembly
+    (thinking.py:297-334)."""
+    supported, rejected, uncertain = [], [], []
+    for v in verifications:
+        if v["status"] == "supported":
+            supported.append(v["hypothesis"])
+        elif v["status"] == "rejected":
+            rejected.append(v["hypothesis"])
+        else:
+            uncertain.append(v["hypothesis"])
+    out = "验证结果汇总:\n"
+    out += f"- 被支持的假设: {len(supported)}\n"
+    if supported:
+        out += "  " + "\n  ".join(supported) + "\n"
+    out += f"- 被拒绝的假设: {len(rejected)}\n"
+    if rejected:
+        out += "  " + "\n  ".join(rejected) + "\n"
+    out += f"- 不确定的假设: {len(uncertain)}\n"
+    if uncertain:
+        out += "  " + "\n  ".join(uncertain) + "\n"
+    return out
+
+
+def integrate_thinking(
+    initial_thinking: str,
+    hypotheses: list[dict],
+    verifications: list[dict],
+    updated_thinking: str,
+) -> str:
+    """integrate_thinking_process (thinking.py:355-393)."""
+    out = "# 思考过程\n\n## 初步分析\n\n" + initial_thinking + "\n\n"
+    out += "## 假设生成\n\n"
+    for i, hyp in enumerate(hypotheses):
+        out += f"### 假设 {i + 1}: {hyp['hypothesis']}\n"
+        out += f"{hyp['reasoning']}\n\n"
+    out += "## 假设验证\n\n"
+    status_map = {
+        "supported": "✅ 支持",
+        "rejected": "❌ 拒绝",
+        "uncertain": "❓ 不确定",
+    }
+    for i, ver in enumerate(verifications):
+        status = status_map.get(ver["status"], "未知")
+        out += f"### 验证 {i + 1}: {ver['hypothesis']} [{status}]\n"
+        out += f"{ver['verification']}\n\n"
+    out += "## 最终思考\n\n" + updated_thinking
+    return out
+
+
+def dual_path_queries(query: str, kb_name: str) -> tuple[str, str]:
+    """DualPathSearcher.search's query construction (search.py:31-36):
+    the precise query strips the KB name; the KB query prefixes it
+    unless already present (case-insensitive)."""
+    precise_query = query.replace(kb_name, "").strip()
+    kb_query = (
+        f"{kb_name} {query}"
+        if kb_name.lower() not in query.lower()
+        else query
+    )
+    return precise_query, kb_query

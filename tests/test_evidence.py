@@ -1,0 +1,289 @@
+"""Evidence-chain family: rule core vs reference semantics, and the
+distributed operators vs the core (FIXTURES-style python oracle).
+
+Reference: /root/reference/search/tool/reasoning/evidence.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from graph_rag_agent_spark.core import evidence as E
+
+
+# ---------------------------------------------------------------- core
+
+def test_evidence_id_is_reference_md5():
+    sid, content = "chunk-42", "Revenue was 120 dollars. " * 10
+    want = hashlib.md5(f"{sid}:{content[:50]}".encode()).hexdigest()[:10]
+    assert E.evidence_id(sid, content) == want
+    # unicode content hashes over utf-8 bytes of the first 50 CHARS
+    zh = "营收为一百二十元。" * 12
+    want_zh = hashlib.md5(f"{sid}:{zh[:50]}".encode()).hexdigest()[:10]
+    assert E.evidence_id(sid, zh) == want_zh
+
+
+def test_extract_numbers_reference_quirks():
+    claims = E.extract_numbers_with_context(
+        "Revenue hit 1,234 units while cost was 45 % of 12.5 million"
+    )
+    values = [c["value"] for c in claims]
+    # the reference's replace(',', '.') reads 1,234 as 1.234
+    assert values[0] == 1.234
+    assert values[1] == 45.0 and claims[1]["original"] == "45 %"
+    assert values[2] == 12.5
+    # context = ±20 chars around the match
+    c = claims[2]
+    assert c["context"].endswith("12.5 million") and len(c["context"]) <= len(
+        "12.5"
+    ) + 40 + len(" million")
+
+
+def test_context_similarity_jaccard():
+    assert E.context_similarity("a b c d", "a b c e") == 3 / 5
+    assert E.context_similarity("", "a b") == 0.0
+    assert E.context_similarity("A b", "a B") == 1.0
+
+
+def test_numeric_contradictions_gates():
+    # same words, different values → contradiction; unrelated context
+    # → filtered by the Jaccard gate; equal values → filtered by the
+    # relative-diff gate
+    evs = [
+        ("e1", "metric a value 42 pts x y z"),
+        ("e2", "metric a value 87 pts x y z"),
+        ("e3", "metric a value 42 pts x y z"),
+        ("e4", "odd prose 55 here b c"),
+    ]
+    out = E.numeric_contradictions(evs)
+    pairs = {(c["evidence1"], c["evidence2"]) for c in out}
+    assert ("e1", "e2") in pairs and ("e2", "e3") in pairs
+    assert ("e1", "e3") not in pairs  # equal values
+    assert all("e4" not in p for p in pairs)  # dissimilar context
+    row = next(c for c in out if (c["evidence1"], c["evidence2"]) == ("e1", "e2"))
+    assert row["type"] == "numerical"
+    assert row["value1"] == 42.0 and row["value2"] == 87.0
+    assert row["context"] == "metric a value 42 pts x y z"
+
+
+def test_key_phrases_reference_shape():
+    phrases = E.extract_key_phrases("Acme Corp raised 120. 好的产品很贵。")
+    assert "120" in phrases
+    # the 4-char sliding window applies to EVERY sentence > 3 chars
+    # (window phrases are whitespace-stripped, evidence.py:223)
+    assert "好的产品" in phrases and "cme" in phrases
+    assert phrases == sorted(set(phrases))  # documented pin
+
+
+def test_generate_citations_numbering_mismatch():
+    # two statements, both matchable; the reference numbers MARKS by
+    # length-sorted order but the LISTING by original order — the
+    # transcription must preserve that mismatch
+    evs = [
+        ("aaaa", "the quick brown fox story ran 42 miles"),
+        ("bbbb", "totally different material about 99 subjects"),
+    ]
+    index = E.build_citation_index(evs)
+    sources = {"aaaa": "src-A", "bbbb": "src-B"}
+    confs = {"aaaa": 1.0, "bbbb": 1.0}
+    answer = (
+        "I learned about 99 subjects. "
+        "Later the quick brown fox story ran 42 miles onward."
+    )
+    out = E.generate_citations(answer, index, sources, confs)
+    cits = out["citations"]
+    assert [c["source_id"] for c in cits] == ["src-B", "src-A"]
+    # longest statement gets mark [1]; listing numbers original order
+    assert "miles onward.[1]" in out["cited_answer"]
+    assert "99 subjects.[2]" in out["cited_answer"]
+    assert "[1] src-B" in out["cited_answer"]
+    assert "[2] src-A" in out["cited_answer"]
+
+
+def test_find_matching_evidence_score_and_tie_pin():
+    # identical contents → identical phrase-hit counts; with equal
+    # confidence the documented evidence_id-ASC pin decides
+    evs = [("x", "alpha beta gamma shared phrase 7"),
+           ("y", "alpha beta gamma shared phrase 7")]
+    idx = E.build_citation_index(evs)
+    assert E.find_matching_evidence(
+        "alpha beta gamma shared phrase 7", idx, {}
+    ) == "x"
+    # higher confidence beats the tie pin
+    assert E.find_matching_evidence(
+        "alpha beta gamma shared phrase 7", idx, {"y": 0.9, "x": 0.5}
+    ) == "y"
+    # no candidate phrases → None (the reference returns None)
+    assert E.find_matching_evidence("", idx, {}) is None
+
+
+# ---------------------------------------------------- operators vs core
+
+def _evidence_df(spark):
+    rows = []
+    for g in range(3):
+        for i in range(4):
+            if i < 3:
+                content = f"metric m{g} value {10 + 7 * (g + i) % 80} pts x y z"
+            else:
+                content = f"odd prose {50 + g} here b c"
+            sid = f"src-{g}-{i}"
+            rows.append((f"q{g}", sid, content, E.evidence_id(sid, content)))
+    return spark.createDataFrame(
+        rows, "query_id string, source_id string, content string, evidence_id string"
+    )
+
+
+def test_with_evidence_ids_matches_core(spark):
+    from graph_rag_agent_spark.operators.evidence import with_evidence_ids
+
+    df = _evidence_df(spark).withColumnRenamed("evidence_id", "want")
+    got = with_evidence_ids(df).select("want", "evidence_id").collect()
+    assert got and all(r["want"] == r["evidence_id"] for r in got)
+    # unicode parity
+    zh = spark.createDataFrame(
+        [("s1", "营收为一百二十元。" * 12)], "source_id string, content string"
+    )
+    [r] = with_evidence_ids(zh).collect()
+    assert r["evidence_id"] == E.evidence_id("s1", "营收为一百二十元。" * 12)
+
+
+def test_evidence_contradictions_match_core(spark):
+    from graph_rag_agent_spark.operators.evidence import (
+        evidence_contradictions,
+    )
+
+    df = _evidence_df(spark)
+    got = {
+        (r["query_id"], r["evidence1"], r["evidence2"], r["value1"], r["value2"])
+        for r in evidence_contradictions(df).collect()
+    }
+    want = set()
+    for g in ("q0", "q1", "q2"):
+        evs = sorted(
+            (r["evidence_id"], r["content"])
+            for r in df.where(F.col("query_id") == g).collect()
+        )
+        for c in E.numeric_contradictions(evs):
+            want.add((g, c["evidence1"], c["evidence2"], c["value1"], c["value2"]))
+    assert got == want and want  # non-trivial fixture
+
+
+def test_evidence_contradictions_semantic_rung(spark):
+    from graph_rag_agent_spark.operators.evidence import (
+        evidence_contradictions,
+    )
+
+    def judge(c1: str, c2: str):
+        # deterministic stand-in for the LLM slot: flag pairs that
+        # share a template but disagree on the trailing token
+        if c1.split()[:2] == c2.split()[:2] and c1 != c2:
+            return f"矛盾点：{c1[:10]} vs {c2[:10]}"
+        return None
+
+    df = _evidence_df(spark)
+    out = evidence_contradictions(df, semantic_judge=judge)
+    sem = [r for r in out.collect() if r["type"] == "semantic"]
+    want_sem = []
+    for g in ("q0", "q1", "q2"):
+        evs = sorted(
+            (r["evidence_id"], r["content"])
+            for r in df.where(F.col("query_id") == g).collect()
+        )
+        numeric = E.numeric_contradictions(evs)
+        want_sem.extend(E.semantic_contradictions(evs, numeric, judge))
+    assert {(r["evidence1"], r["evidence2"], r["analysis"]) for r in sem} == {
+        (c["evidence1"], c["evidence2"], c["analysis"]) for c in want_sem
+    }
+    # numeric rows unchanged by the judge rung (full multiset)
+    key = lambda r: (  # noqa: E731
+        r["evidence1"], r["evidence2"], r["value1"], r["value2"], r["context"]
+    )
+    assert sorted(
+        key(r) for r in out.collect() if r["type"] == "numerical"
+    ) == sorted(key(r) for r in evidence_contradictions(df).collect())
+
+
+def test_citation_index_matches_core(spark):
+    from graph_rag_agent_spark.operators.evidence import citation_index
+
+    df = _evidence_df(spark)
+    got = {
+        (r["phrase"], r["evidence_id"]) for r in citation_index(df).collect()
+    }
+    evs = [(r["evidence_id"], r["content"]) for r in df.collect()]
+    index = E.build_citation_index(evs)
+    want = {(p, eid) for p, eids in index.items() for eid in eids}
+    assert got == want
+
+
+def test_cited_answers_match_core(spark):
+    from graph_rag_agent_spark.operators.evidence import (
+        cited_answers,
+        statement_matches,
+    )
+
+    ev = _evidence_df(spark).withColumn("confidence", F.lit(1.0))
+    answers = spark.createDataFrame(
+        [
+            (
+                "a0",
+                "The metric m0 value 17 pts x y z held. "
+                "Then odd prose 50 here b c again happened.",
+            ),
+            ("a1", "Nothing relevant whatsoever here."),
+            ("a2", "short."),
+        ],
+        "answer_id string, answer string",
+    )
+    matches = statement_matches(answers, ev)
+    got = {
+        r["answer_id"]: (r["cited_answer"], r["n_citations"])
+        for r in cited_answers(answers, matches).collect()
+    }
+
+    evs = [(r["evidence_id"], r["content"]) for r in ev.collect()]
+    index = E.build_citation_index(evs)
+    sources = {r["evidence_id"]: r["source_id"] for r in ev.collect()}
+    confs = {r["evidence_id"]: 1.0 for r in ev.collect()}
+    for aid, answer in [
+        (r["answer_id"], r["answer"]) for r in answers.collect()
+    ]:
+        want = E.generate_citations(answer, index, sources, confs)
+        assert got[aid][0] == want["cited_answer"], aid
+        assert got[aid][1] == len(want["citations"]), aid
+
+
+def test_reasoning_summaries(spark):
+    from graph_rag_agent_spark.operators.evidence import (
+        evidence_source_stats,
+        reasoning_summaries,
+    )
+
+    steps = spark.createDataFrame(
+        [("q0", f"s{i}", i) for i in range(5)] + [("q1", "s9", 0)],
+        "query_id string, step_id string, step_ord int",
+    )
+    ev = spark.createDataFrame(
+        [("s0", "kb"), ("s2", "kb"), ("s2", "kg"), ("s3", "web")],
+        "step_id string, source_type string",
+    )
+    [r0, r1] = sorted(
+        reasoning_summaries(steps, ev.withColumn("query_id", F.lit("qX"))).collect(),
+        key=lambda r: r["query_id"],
+    )
+    assert r0["query_id"] == "q0" and r0["steps_count"] == 5
+    assert r0["evidence_count"] == 4
+    # top-3 by evidence count desc, step order asc on ties
+    assert r0["key_steps"] == ["s2", "s0", "s3"]
+    assert r1["steps_count"] == 1 and r1["evidence_count"] == 0
+
+    stats = {
+        (r["query_id"], r["source_type"]): r["n"]
+        for r in evidence_source_stats(
+            ev.withColumn("query_id", F.lit("q0")), "query_id"
+        ).collect()
+    }
+    assert stats == {("q0", "kb"): 2, ("q0", "kg"): 1, ("q0", "web"): 1}
