@@ -1843,6 +1843,140 @@ def _q_query_decomposition(spark, sf_dir):
     )
 
 
+def _q_community_relevance(spark, sf_dir):
+    """Deep-research community-aware search enhancement (reference
+    search/tool/reasoning/community_enhance.py:67-153): the global
+    rank-capped candidate pool (top-20, TakeOrderedAndProject — no
+    global sort) cross joined with the broadcast query batch, scored
+    0.6×cosine + 0.3×min(kw,5)/5 + 0.1×min(rank/10,1) JVM-side,
+    top-3 per query with the (score DESC, community_id ASC) pin.
+
+    Fixture: communities proxied from documents (rank = n_chars,
+    summary = text prefix, integer letter-count embeddings so the dot
+    products are exact BIGINT folds cross-engine — only the final
+    sqrt/divide touch floats, bit-equal by construction); every
+    doc_id%50==3 document becomes a probe with alternating keyword
+    arrays. The oracle replays pool, formula and windows in SQL."""
+    from graph_rag_agent_spark.operators.community_enhance import (
+        relevant_communities,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def charvec(col):
+        low = F.lower(col)
+        return F.array(
+            *[
+                (
+                    F.length(low) - F.length(F.regexp_replace(low, c, ""))
+                ).cast("long")
+                for c in _CHARVEC_ALPHABET
+            ]
+        )
+
+    comms = docs.select(
+        F.concat(F.lit("0-"), F.col("doc_id").cast("string")).alias(
+            "community_id"
+        ),
+        F.substring("text", 1, 60).alias("summary"),
+        F.col("n_chars").alias("community_rank"),
+    ).withColumn("embedding", charvec(F.col("summary")))
+    queries = docs.where(F.col("doc_id") % 50 == 3).select(
+        F.col("doc_id").alias("query_id"),
+        charvec(F.substring("text", 1, 40)).alias("qvec"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.array(F.lit("VALUE"), F.lit("qqz")),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("high_level"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.array(F.lit("table"), F.lit("fast"))
+        )
+        .otherwise(F.array(F.lit("slow")))
+        .alias("low_level"),
+    )
+    return relevant_communities(comms, queries).select(
+        "query_id", "community_id", "score", "summary"
+    )
+
+
+def _q_answer_validation(spark, sf_dir):
+    """Deep-research answer validation + query complexity (reference
+    search/tool/reasoning/validator.py:25-148) batched: the length /
+    error-pattern / keyword-relevance ladder and the complexity
+    heuristic as pure JVM expressions over an evaluation corpus.
+
+    Fixture: five answer shapes (long-clean / too-short / planted
+    error pattern / keyword-poor) and query shapes with controlled
+    indicator words and question marks; keyword arrays alternate
+    (two-high + three-low / empty / single-low). The oracle replays
+    every rung in SQL — contains/list_filter arithmetic, not
+    closed-form truth values, so the rule itself is what's compared."""
+    from graph_rag_agent_spark.operators.validator import (
+        validate_answers,
+        with_query_complexity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    q_shape = F.col("doc_id") % 4
+    query = (
+        F.when(
+            q_shape == 0,
+            F.concat(F.lit("为什么 "), F.substring("text", 1, 40), F.lit("?")),
+        )
+        .when(q_shape == 1, F.substring("text", 1, 10))
+        .when(
+            q_shape == 2,
+            F.concat(F.lit("如何比较 "), F.substring("text", 1, 60), F.lit("??")),
+        )
+        .otherwise(F.lit(""))
+    )
+    a_shape = F.col("doc_id") % 5
+    answer = (
+        F.when(a_shape == 0, F.substring("text", 1, 80))
+        .when(a_shape == 1, F.substring("text", 1, 20))
+        .when(
+            a_shape == 2,
+            F.concat(F.lit("没有找到相关信息 "), F.substring("text", 1, 60)),
+        )
+        .when(a_shape == 3, F.concat(F.lit("value "), F.substring("text", 1, 60)))
+        .otherwise(F.concat(F.lit("zq "), F.repeat(F.lit("zz "), 20)))
+    )
+    k_shape = F.col("doc_id") % 3
+    high = (
+        F.when(k_shape == 0, F.array(F.lit("VALUE"), F.lit("zzqq")))
+        .when(k_shape == 1, F.array().cast("array<string>"))
+        .otherwise(F.array(F.lit("table")))
+    )
+    low = (
+        F.when(
+            k_shape == 0,
+            F.array(F.lit("table"), F.lit("fast"), F.lit("zzqq")),
+        )
+        .when(k_shape == 1, F.array(F.lit("solo")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    df = docs.select(
+        F.col("doc_id").alias("query_id"),
+        query.alias("query"),
+        answer.alias("answer"),
+        high.alias("high_level"),
+        low.alias("low_level"),
+    )
+    out = with_query_complexity(validate_answers(df))
+    return out.select(
+        "query_id",
+        "length_ok",
+        "no_error_patterns",
+        "keyword_relevance",
+        "passed",
+        F.round(F.col("complexity") * 10000).cast("int").alias(
+            "complexity_x10000"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_derivation": _q_turns_derivation,
@@ -1894,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # thinking-trace decomposition (closed-form SQL replays)
         "evidence_contradictions": _q_evidence_contradictions,
         "query_decomposition": _q_query_decomposition,
+        "answer_validation": _q_answer_validation,
+        "community_relevance": _q_community_relevance,
     }
 
 
@@ -2167,6 +2303,153 @@ def _kg_triples_oracle() -> str:
             FROM trip2
         )
         SELECT subj, pred, obj, description, weight FROM ranked WHERE rn = 1
+    """
+
+
+def _answer_validation_oracle() -> str:
+    """DuckDB replica of _q_answer_validation: the validator ladder
+    replayed rung-for-rung (contains / list_filter arithmetic) with
+    the error patterns and complexity indicators interpolated from the
+    same rule core the Spark operator uses."""
+    from graph_rag_agent_spark.core.validator import (
+        COMPLEXITY_INDICATORS,
+        ERROR_PATTERNS,
+    )
+
+    err = " OR ".join(
+        f"contains(answer, '{p}')" for p in ERROR_PATTERNS
+    )
+    indicators = " + ".join(
+        f"(CASE WHEN contains(query, '{ind}') THEN 1 ELSE 0 END)"
+        for ind in COMPLEXITY_INDICATORS
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id AS query_id,
+                   CASE WHEN doc_id % 4 = 0
+                            THEN '为什么 ' || substr(text, 1, 40) || '?'
+                        WHEN doc_id % 4 = 1 THEN substr(text, 1, 10)
+                        WHEN doc_id % 4 = 2
+                            THEN '如何比较 ' || substr(text, 1, 60) || '??'
+                        ELSE '' END AS query,
+                   CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 80)
+                        WHEN doc_id % 5 = 1 THEN substr(text, 1, 20)
+                        WHEN doc_id % 5 = 2
+                            THEN '没有找到相关信息 ' || substr(text, 1, 60)
+                        WHEN doc_id % 5 = 3
+                            THEN 'value ' || substr(text, 1, 60)
+                        ELSE 'zq ' || repeat('zz ', 20) END AS answer,
+                   CASE WHEN doc_id % 3 = 0 THEN ['VALUE', 'zzqq']
+                        WHEN doc_id % 3 = 1 THEN CAST([] AS VARCHAR[])
+                        ELSE ['table'] END AS high,
+                   CASE WHEN doc_id % 3 = 0 THEN ['table', 'fast', 'zzqq']
+                        WHEN doc_id % 3 = 1 THEN ['solo']
+                        ELSE CAST([] AS VARCHAR[]) END AS low
+            FROM documents
+        ),
+        r AS (
+            SELECT query_id, query,
+                   length(answer) >= 50 AS length_ok,
+                   NOT ({err}) AS no_error_patterns,
+                   (len(high) = 0 OR
+                    len(list_filter(high,
+                        k -> contains(lower(answer), lower(k)))) > 0)
+                   AND (len(low) <= 1 OR
+                    len(list_filter(low,
+                        k -> contains(lower(answer), lower(k))))
+                        >= len(low) / 2.0) AS keyword_relevance
+            FROM t
+        )
+        SELECT query_id, length_ok, no_error_patterns, keyword_relevance,
+               (length_ok AND no_error_patterns AND keyword_relevance)
+                   AS passed,
+               CAST(round(
+                   CASE WHEN query IS NULL OR trim(query) = '' THEN 0.0
+                        ELSE least(1.0, greatest(0.0,
+                            least(1.0, length(query) / 100.0) * 0.3
+                          + least(1.0,
+                              ((length(query)
+                                - length(replace(query, '?', '')))
+                             + (length(query)
+                                - length(replace(query, '？', ''))))
+                              * 0.2) * 0.3
+                          + least(1.0, ({indicators}) * 0.15) * 0.4))
+                   END * 10000) AS INT) AS complexity_x10000
+        FROM r
+    """
+
+
+def _community_relevance_oracle() -> str:
+    """DuckDB replica of _q_community_relevance: rebuild the
+    communities proxy and probe batch, replay the rank-capped pool,
+    the exact-BIGINT dot/cosine, the keyword + importance formula and
+    the per-query top-3 window."""
+    vec_summary = ", ".join(
+        "CAST(length(lower(substr(text, 1, 60))) - "
+        f"length(regexp_replace(lower(substr(text, 1, 60)), '{c}', '', 'g'))"
+        " AS BIGINT)"
+        for c in _CHARVEC_ALPHABET
+    )
+    vec_probe = ", ".join(
+        "CAST(length(lower(substr(text, 1, 40))) - "
+        f"length(regexp_replace(lower(substr(text, 1, 40)), '{c}', '', 'g'))"
+        " AS BIGINT)"
+        for c in _CHARVEC_ALPHABET
+    )
+    return f"""
+        WITH comm AS (
+            SELECT '0-' || CAST(doc_id AS VARCHAR) AS community_id,
+                   substr(text, 1, 60) AS summary,
+                   n_chars AS community_rank,
+                   [{vec_summary}] AS v
+            FROM documents
+        ),
+        cand AS (
+            SELECT * FROM comm
+            WHERE summary IS NOT NULL
+            ORDER BY community_rank DESC, community_id ASC
+            LIMIT 20
+        ),
+        probes AS (
+            SELECT doc_id AS query_id,
+                   [{vec_probe}] AS qv,
+                   CASE WHEN doc_id % 2 = 0 THEN ['VALUE', 'qqz']
+                        ELSE CAST([] AS VARCHAR[]) END AS high,
+                   CASE WHEN doc_id % 2 = 0 THEN ['table', 'fast']
+                        ELSE ['slow'] END AS low
+            FROM documents WHERE doc_id % 50 = 3
+        ),
+        scored AS (
+            SELECT p.query_id, c.community_id, c.summary,
+                   (CASE WHEN list_dot_product(c.v, c.v) = 0
+                              OR list_dot_product(p.qv, p.qv) = 0 THEN 0.0
+                         ELSE CAST(list_dot_product(c.v, p.qv) AS DOUBLE)
+                              / (sqrt(CAST(list_dot_product(c.v, c.v)
+                                           AS DOUBLE))
+                                 * sqrt(CAST(list_dot_product(p.qv, p.qv)
+                                             AS DOUBLE)))
+                    END) * 0.6
+                   + (least(
+                        len(list_filter(high,
+                            k -> contains(lower(c.summary), lower(k))))
+                            * 2.0
+                      + len(list_filter(low,
+                            k -> contains(lower(c.summary), lower(k))))
+                            * 0.5,
+                        5.0) / 5.0) * 0.3
+                   + least(
+                       (CASE WHEN c.community_rank IS NULL
+                                  OR c.community_rank = 0 THEN 1.0
+                             ELSE CAST(c.community_rank AS DOUBLE) END)
+                       / 10.0, 1.0) * 0.1 AS score
+            FROM cand c CROSS JOIN probes p
+        )
+        SELECT query_id, community_id, score, summary
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY score DESC, community_id ASC) AS rk
+              FROM scored)
+        WHERE rk <= 3
     """
 
 
@@ -3520,4 +3803,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'root ' || did END AS subs_joined
             FROM t
         """,
+        "answer_validation": _answer_validation_oracle(),
+        "community_relevance": _community_relevance_oracle(),
     }

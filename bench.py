@@ -52,10 +52,22 @@ def main() -> None:
     extra: dict[str, float] = {}
     first_run: dict[str, float] = {}
     extra["loadavg_start"] = round(os.getloadavg()[0], 2)
+    # loadavg gate (VERDICT r3 #8): a loaded box turns single rows into
+    # noise (r3's only "regression" tracked loadavg 5.16). Annotate the
+    # artifact so a contended run is recognizable by construction.
+    if extra["loadavg_start"] > 1.0:
+        extra["loadavg_warning"] = (
+            "loadavg > 1 at start: timings may be contention-dominated"
+        )
+        print(
+            f"WARNING: loadavg {extra['loadavg_start']} > 1.0 — "
+            "bench timings may be noise-dominated",
+            file=sys.stderr,
+        )
     # metadata: repeats applies to the repeatable query rows only;
     # stream_build (stateful) is single-shot by construction
     extra["bench_repeats"] = n_repeats
-    extra["single_shot_rows"] = ["stream_build", "noop_cycle"]
+    extra["single_shot_rows"] = ["stream_build", "noop_cycle", "delta_cycle"]
 
     def timed(name: str, fn, repeats: int = 1):
         """Time fn; with repeats=N record the best of N runs.
@@ -146,6 +158,8 @@ def main() -> None:
         "local_search_batch",
         "global_search_map",
         "cache_lookup",
+        "evidence_contradictions",
+        "query_decomposition",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), repeats=n_repeats)
 
@@ -216,6 +230,46 @@ def main() -> None:
     extra["stream_turns_per_sec"] = round(
         n_stream_turns / timings["stream_build"], 1
     )
+
+    # delta-proportional cycle at bench scale (VERDICT r3 #7): a 1 %
+    # conversation delta against a FULL-corpus warehouse — the
+    # wall-clock companion to the lineage delta-proportionality proof.
+    # Bootstrap build_all is the untimed one-time cost; the timed row
+    # is one incremental cycle (detection → conv MERGEs → link →
+    # delta re-winnering → side-table delta-MERGE) and should sit far
+    # under kg_build_synthetic.
+    def delta_cycle():
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from graph_rag_agent_spark.plans.build import BuildConfig, build_all
+        from graph_rag_agent_spark.plans.incremental import incremental_update
+
+        wh = tempfile.mkdtemp(prefix="bench_delta_wh_")
+        cfg = BuildConfig(warehouse=wh, resume=False, bucket_convs=16)
+        build_all(spark, transcripts, cfg)  # untimed bootstrap
+        sel = F.pmod(F.xxhash64("conv_id"), F.lit(100)) == 0
+        mx = transcripts.groupBy("conv_id").agg(
+            F.max("turn_idx").alias("__mx")
+        )
+        # the delta: drop the LAST turn of ~1 % of conversations
+        v2 = (
+            transcripts.join(mx, "conv_id")
+            .where(~(sel & (F.col("turn_idx") == F.col("__mx"))))
+            .drop("__mx")
+            .localCheckpoint()
+        )
+        n_changed = transcripts.where(sel).select("conv_id").distinct().count()
+
+        def run_cycle():
+            incremental_update(spark, v2, wh, cfg=cfg)
+            return n_changed
+
+        return timed("delta_cycle", run_cycle)
+
+    extra["delta_cycle_changed_convs"] = delta_cycle()
+    extra["loadavg_end"] = round(os.getloadavg()[0], 2)
 
     spark.stop()
 

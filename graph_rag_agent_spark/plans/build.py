@@ -588,6 +588,12 @@ def build_all(
             )
         return _linked_cache[0]
 
+    # entity_embeddings / similar / canonical_map are bucketed (when
+    # the warehouse is) so incremental cycles can MERGE their deltas
+    # instead of overwriting O(catalog) bytes per cycle; wcc stays an
+    # overwrite — its dense component numbering is a global
+    # renumbering, so its rows have no stable per-key identity to
+    # merge on (and it is the smallest of the four)
     embedded = _stage(
         wh,
         "entity_embeddings",
@@ -597,6 +603,8 @@ def build_all(
             if _linked() is not None
             else with_embeddings(entity_catalog(e_raw, chunks))
         ),
+        group_key="entity_id" if bk else None,
+        num_buckets=bk,
     )
 
     similar = _stage(
@@ -608,6 +616,8 @@ def build_all(
             if _linked() is not None
             else similar_entities(embedded, method=cfg.similarity_method)
         ),
+        group_key="src" if bk else None,
+        num_buckets=bk,
     )
     res.tables["similar"] = similar
 
@@ -633,6 +643,8 @@ def build_all(
             if _linked() is not None
             else resolve_canonical(wcc)
         ),
+        group_key="entity_id" if bk else None,
+        num_buckets=bk,
     )
     res.tables["canonical_map"] = cmap
 

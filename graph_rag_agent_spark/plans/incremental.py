@@ -409,12 +409,14 @@ def _incremental_update_delta(
     changes, no surviving journal, config sidecars matching), the
     whole cycle is the reference's early return
     (incremental_graph_builder.py:903-905): change detection +
-    metadata probes, then the stored tables (step 1.5). Entity-scale side
-    tables (embeddings/similar/wcc/canonical_map/membership/
-    hierarchy/communities) are overwritten — they are
-    catalog-proportional, not corpus-proportional; entity EMBEDDING
-    compute (the LLM boundary) is delta-only via (entity_id,
-    description) reuse.
+    metadata probes, then the stored tables (step 1.5). Entity-scale
+    side tables are delta-MERGEd where their rows have stable keys
+    (entity_embeddings / similar / canonical_map — diff vs stored,
+    bucket-pruned upsert of changed/removed keys only); wcc and the
+    community tables are overwritten (dense/global numbering has no
+    stable per-key identity) — all catalog-proportional at worst,
+    never corpus-proportional; entity EMBEDDING compute (the LLM
+    boundary) is delta-only via (entity_id, description) reuse.
 
     Crash-retryability across the WHOLE cycle: the conv-keyed merges
     destroy the pre-merge evidence the canonical rewrites need, and the
@@ -1048,24 +1050,73 @@ def _incremental_update_delta(
 
     _mark("8-10,12 delta rewrites")
 
-    # ---- 11. entity-scale side tables: overwrite (parallel writes);
+    # ---- 11. entity-scale side tables: delta-MERGE (parallel);
     # nothing to write when the stored tables were reused verbatim.
-    # canonical_map goes LAST, sequentially: writing entity_embeddings
-    # invalidates the link-params sidecar and the canonical_map write
-    # restores it (plans/build.py _Warehouse.write), so the
-    # catalog-unchanged reuse probe declines for any crash inside this
-    # window instead of pairing the new embeddings with a stale map.
-    # Running cmap inside the parallel group would let its sidecar
-    # restore race ahead of the embeddings overwrite it guards. -------
+    # entity_embeddings / similar / canonical_map are bucketed MERGE
+    # tables (plans/build.py), so each cycle diffs the recomputed
+    # frame against the stored one and rewrites only the buckets
+    # holding changed/removed keys — rows ∝ the cycle's real change
+    # set, not O(catalog). wcc stays an overwrite: its dense component
+    # numbering is a GLOBAL renumbering (one new component can shift
+    # every downstream label), so its rows have no stable per-key
+    # identity worth diffing, and it is the smallest of the four.
+    # Legacy/unbucketed warehouses keep the old full overwrite.
+    #
+    # Sidecar dance (same torn-window guard as before): the link-params
+    # sidecar is removed BEFORE the first side-table write and restored
+    # only after canonical_map lands — sequentially LAST, so the
+    # catalog-unchanged reuse probe declines for any crash inside the
+    # window instead of pairing new embeddings with a stale map.
+    def _merge_side_table(df_new, name: str, key: str, lineage_stage: str):
+        from .merge import table_bucket_spec
+
+        path = wh.path(name)
+        if not wh.exists(name) or table_bucket_spec(path) is None:
+            wh.write(df_new, name)
+            return
+        cols = [c for c in df_new.columns]
+        old = wh.read(name).select(*cols)
+        new = df_new.select(*cols)
+        # changed catches new + modified rows; the multiset key diff
+        # catches pure removals (a key with fewer — but individually
+        # unchanged — rows still lands in the stale set)
+        changed = ck(new.exceptAll(old))
+        removed = old.select(key).exceptAll(new.select(key))
+        stale = ck(changed.select(key).union(removed).distinct())
+        # group semantics: re-insert EVERY current row of a stale key
+        # (for per-key-grouped tables like `similar` a partially
+        # changed group must be replaced whole)
+        new_rows = new.join(stale, key, "left_semi")
+        t0 = _time.time()
+        upsert_groups(spark, path, new_rows, stale, key)
+        wh.append_lineage(
+            lineage_stage, -1, new_rows.count(), t0, defer=True
+        )
+
     if reuse is None:
+        from . import fsio
+        from .build import LINK_PARAMS_FILE
+
+        fsio.remove(os.path.join(wh.root, LINK_PARAMS_FILE))
         _run_parallel(
             [
-                lambda: wh.write(embedded, "entity_embeddings"),
-                lambda: wh.write(similar, "similar"),
+                lambda: _merge_side_table(
+                    embedded, "entity_embeddings", "entity_id",
+                    "incr_embeddings_merge",
+                ),
+                lambda: _merge_side_table(
+                    similar, "similar", "src", "incr_similar_merge"
+                ),
                 lambda: wh.write(wcc, "wcc"),
             ]
         )
-        wh.write(cmap, "canonical_map")
+        _merge_side_table(
+            cmap, "canonical_map", "entity_id", "incr_cmap_merge"
+        )
+        if wh.link_params is not None:
+            fsio.write_json(
+                os.path.join(wh.root, LINK_PARAMS_FILE), wh.link_params
+            )
 
     _mark("11 side-table writes")
 

@@ -98,14 +98,18 @@ def write_bucketed(
     num_buckets instead of tasks x buckets — footer/listing overhead is
     the dominant cost of many-small-table warehouses, and Iceberg's
     write.distribution-mode=hash does exactly this."""
+    with_bucket = df.withColumn(BUCKET_COL, bucket_of(F.col(key), num_buckets))
     (
-        df.withColumn(BUCKET_COL, bucket_of(F.col(key), num_buckets))
-        .repartition(num_buckets, F.col(BUCKET_COL))
+        with_bucket.repartition(num_buckets, F.col(BUCKET_COL))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
         .parquet(path)
     )
     _write_spec(path, key, num_buckets)
+    # an EMPTY frame (a canonical map with no merges, a similarity
+    # table with no pairs) writes zero partition directories — park
+    # the schema-bearing 0-row marker so the table stays readable
+    _keep_readable(with_bucket, path, key, num_buckets)
 
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:

@@ -497,6 +497,25 @@ def test_delta_incremental_matches_rebuild_and_is_delta_proportional(
         b = {tuple(r) for r in rebuilt.tables[name].select(*cols).collect()}
         assert a == b, name
 
+    # the delta-MERGEd linking side tables equal the rebuild's too
+    # (both runs compute them from the identical catalog, so even the
+    # float scores and embedding vectors are bit-equal)
+    wh2_reader = _Warehouse(spark, wh2)
+    wh_reader = _Warehouse(spark, wh)
+
+    def rows_of(reader, name):
+        out = set()
+        for r in reader.read(name).collect():
+            out.add(
+                tuple(
+                    tuple(v) if isinstance(v, list) else v for v in r
+                )
+            )
+        return out
+
+    for name in ["entity_embeddings", "similar", "canonical_map"]:
+        assert rows_of(wh_reader, name) == rows_of(wh2_reader, name), name
+
     # delta-proportionality: the triple rewrite touched a slice, not
     # the corpus, and per-conv stages processed only the changed conv
     lineage = spark.read.parquet(f"{wh}/lineage")
@@ -522,6 +541,19 @@ def test_delta_incremental_matches_rebuild_and_is_delta_proportional(
     # the catalog changed (entities dropped with conv-000003), so the
     # linking chain must have re-run — no reuse marker
     assert lineage.where(F.col("stage") == "incr_link_reused").count() == 0
+
+    # entity-scale side tables were delta-MERGEd, not overwritten:
+    # the merge lineage rows are a strict subset of the catalog/edge
+    # tables (most entities and their neighborhoods are untouched by
+    # a 2-conversation delta)
+    n_entities = tables["entities"].count()
+    emb_merged = stage_rows("incr_embeddings_merge")
+    assert emb_merged is not None and emb_merged < n_entities
+    sim_merged = stage_rows("incr_similar_merge")
+    n_similar = wh_reader.read("similar").count()
+    assert sim_merged is not None and sim_merged < n_similar
+    cmap_merged = stage_rows("incr_cmap_merge")
+    assert cmap_merged is not None and cmap_merged <= n_entities
 
 
 def test_delta_incremental_noop_cycle_rewrites_nothing(
@@ -997,14 +1029,26 @@ def test_torn_linking_write_declines_reuse_on_retry(
     ]
     v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
 
+    # the delta path lands canonical_map through the bucketed MERGE
+    # (upsert_groups), the legacy path through wh.write — inject the
+    # crash into both so the torn window opens regardless of route
+    import graph_rag_agent_spark.plans.merge as merge_mod
+
     real_write = build_mod._Warehouse.write
+    real_upsert = merge_mod.upsert_groups
 
     def dying_write(self, df, name, *a, **k):
         if name == "canonical_map":
             raise RuntimeError("injected cmap write failure")
         return real_write(self, df, name, *a, **k)
 
+    def dying_upsert(spark_, path, *a, **k):
+        if path.rstrip("/").endswith("canonical_map"):
+            raise RuntimeError("injected cmap write failure")
+        return real_upsert(spark_, path, *a, **k)
+
     monkeypatch.setattr(build_mod._Warehouse, "write", dying_write)
+    monkeypatch.setattr(merge_mod, "upsert_groups", dying_upsert)
     with pytest.raises(Exception, match="injected cmap write failure"):
         incremental_update(spark, v2_df, wh, cfg=cfg)
     monkeypatch.undo()
