@@ -1901,6 +1901,37 @@ def _q_community_relevance(spark, sf_dir):
     )
 
 
+def _q_pagerank_ranks(spark, sf_dir):
+    """Deep-research centrality (reference search/tool/reasoning/
+    kg_builder.py:293 — nx.pagerank over the query graph) as the
+    distributed iterative DataFrame program: per-sweep edge-mass
+    join + grouped sum, dangling mass redistributed, damping 0.85.
+
+    Run in the replayable fixed-iteration mode (tol=0 → exactly 3
+    sweeps) over the same keyed synthetic graph family as
+    graph_coverage_per_sample (node space ∝ corpus / 8, floor 97);
+    the oracle unrolls the three sweeps in SQL. Ranks ship quantized
+    (×1e8) — cross-engine float-sum order differs at ~1e-15, far
+    below the quantum."""
+    from graph_rag_agent_spark.operators.kg_builder import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    k = max(97, docs.count() // 8)
+    edges = docs.select(
+        F.concat(F.lit("N"), (F.col("doc_id") % k).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("N"), ((F.col("doc_id") * 31 + 7) % k).cast("string")
+        ).alias("dst"),
+    )
+    ranks = pagerank(edges, max_iter=3, tol=0.0)
+    return ranks.select(
+        "node",
+        F.round(F.col("rank") * 1e8).cast("long").alias("rank_x1e8"),
+    )
+
+
 def _q_answer_validation(spark, sf_dir):
     """Deep-research answer validation + query complexity (reference
     search/tool/reasoning/validator.py:25-148) batched: the length /
@@ -2030,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_decomposition": _q_query_decomposition,
         "answer_validation": _q_answer_validation,
         "community_relevance": _q_community_relevance,
+        "pagerank_ranks": _q_pagerank_ranks,
     }
 
 
@@ -2377,6 +2409,70 @@ def _answer_validation_oracle() -> str:
                    END * 10000) AS INT) AS complexity_x10000
         FROM r
     """
+
+
+def _pagerank_oracle(sweeps: int = 3) -> str:
+    """DuckDB replica of _q_pagerank_ranks: the keyed edge graph,
+    out-degrees, uniform start, then ``sweeps`` unrolled power-
+    iteration sweeps — each one a mass join + grouped sum with the
+    dangling term, exactly the operator's fixed-iteration mode."""
+    sweep_ctes = []
+    for i in range(1, sweeps + 1):
+        prev = f"r{i - 1}"
+        sweep_ctes.append(
+            f"""
+            r{i} AS (
+                SELECT n.node,
+                       (1 - 0.85) / cnt.N
+                       + 0.85 * (COALESCE(inc.s, 0)
+                                 + dang.s / cnt.N) AS r
+                FROM nodes n
+                CROSS JOIN cnt
+                CROSS JOIN (
+                    SELECT COALESCE(sum(p.r), 0) AS s
+                    FROM {prev} p
+                    LEFT JOIN outdeg o ON o.src = p.node
+                    WHERE o.src IS NULL
+                ) dang
+                LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.r / o.deg) AS s
+                    FROM edges e
+                    JOIN {prev} p ON p.node = e.src
+                    JOIN outdeg o ON o.src = e.src
+                    GROUP BY e.dst
+                ) inc ON inc.node = n.node
+            )"""
+        )
+    return (
+        """
+        WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+                      FROM documents),
+        params AS (SELECT GREATEST(97, count(*) // 8) AS k FROM docs),
+        edges AS (
+            SELECT DISTINCT
+                   'N' || CAST(doc_id % p.k AS VARCHAR) AS src,
+                   'N' || CAST((doc_id * 31 + 7) % p.k AS VARCHAR) AS dst
+            FROM docs CROSS JOIN params p
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges
+        ),
+        cnt AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM nodes),
+        outdeg AS (
+            SELECT src, CAST(count(*) AS DOUBLE) AS deg
+            FROM edges GROUP BY src
+        ),
+        r0 AS (
+            SELECT node, 1.0 / cnt.N AS r FROM nodes CROSS JOIN cnt
+        ),"""
+        + ",".join(sweep_ctes)
+        + f"""
+        SELECT node,
+               CAST(round(r * 100000000) AS BIGINT) AS rank_x1e8
+        FROM r{sweeps}
+    """
+    )
 
 
 def _community_relevance_oracle() -> str:
@@ -3805,4 +3901,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "answer_validation": _answer_validation_oracle(),
         "community_relevance": _community_relevance_oracle(),
+        "pagerank_ranks": _pagerank_oracle(),
     }

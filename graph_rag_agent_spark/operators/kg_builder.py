@@ -159,7 +159,14 @@ def pagerank(
     )
 
     key = [gc, "node"]
+    # per-group convergence: each group freezes at ITS OWN stop point
+    # (err < N_g × tol), exactly like running nx.pagerank per graph —
+    # a global criterion would keep iterating converged groups past
+    # their reference stop and drift their values by ~tol
+    frozen = None
+    active = ranks
     for _ in range(max_iter):
+        ranks = active
         with_deg = ranks.join(
             outdeg.select(gc, F.col("src").alias("node"), "__deg"),
             key,
@@ -185,8 +192,11 @@ def pagerank(
             .groupBy(gc)
             .agg(F.sum("rank").alias("__dang"))
         )
+        active_nodes = n.join(
+            active.select(gc).distinct(), gc, "left_semi"
+        )
         new_ranks = (
-            n.join(counts, gc)
+            active_nodes.join(counts, gc)
             .join(dang, gc, "left")
             .join(
                 contrib.select(gc, F.col("dst").alias("node"), "__in"),
@@ -209,18 +219,41 @@ def pagerank(
             .localCheckpoint()
         )
         if tol > 0:
-            err = (
+            errs = (
                 new_ranks.join(
                     ranks.select(*key, F.col("rank").alias("__old")), key
                 )
+                .groupBy(gc)
                 .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("e"))
-                .collect()[0]["e"]
+                .join(counts, gc)
+                .select(gc, (F.col("e") < F.col("__N") * tol).alias("done"))
+                .collect()
             )
-            ranks = new_ranks
-            if err is not None and err < total_nodes * tol:
-                break
+            done_groups = [r[gc] for r in errs if r["done"]]
+            if done_groups:
+                just_frozen = new_ranks.join(
+                    ranks.sparkSession.createDataFrame(
+                        [(d,) for d in done_groups],
+                        new_ranks.select(gc).schema,
+                    ),
+                    gc,
+                    "left_semi",
+                ).localCheckpoint()
+                frozen = (
+                    just_frozen
+                    if frozen is None
+                    else frozen.unionByName(just_frozen).localCheckpoint()
+                )
+                active = new_ranks.join(
+                    just_frozen.select(gc).distinct(), gc, "left_anti"
+                ).localCheckpoint()
+                if active.limit(1).count() == 0:
+                    break
+            else:
+                active = new_ranks
         else:
-            ranks = new_ranks
+            active = new_ranks
+    ranks = active if frozen is None else frozen.unionByName(active)
     return ranks.drop(gc) if synthetic else ranks
 
 
