@@ -306,6 +306,85 @@ def integrate_thinking(
     return out
 
 
+def evaluate_route(result_text: str) -> str:
+    """DualPathSearcher's evaluation normalize rung (search.py:
+    131-138): the LLM's verdict word → precise/kb/both."""
+    result = result_text.strip().lower()
+    if "precise" in result:
+        return "precise"
+    if "kb" in result:
+        return "kb"
+    return "both"
+
+
+#: search.py:45-46 — a result side counts as having content when its
+#: joined chunk text exceeds this many stripped chars
+DUAL_CONTENT_GATE = 50
+
+
+def route_dual_results(
+    precise_has_content: bool, kb_has_content: bool, evaluation: str
+) -> str:
+    """The dual-path routing ladder (search.py:48-73): exactly one
+    side with content wins outright; neither → merge; both → the
+    evaluation verdict ('both' merges)."""
+    if precise_has_content and not kb_has_content:
+        return "precise"
+    if kb_has_content and not precise_has_content:
+        return "kb"
+    if not precise_has_content and not kb_has_content:
+        return "merge"
+    if evaluation == "precise":
+        return "precise"
+    if evaluation == "kb":
+        return "kb"
+    return "merge"
+
+
+def merge_search_results(result1: dict, result2: dict) -> dict:
+    """_merge_results (search.py:145-205): result1's chunks/doc_aggs
+    win; result2's append when their chunk_id / doc_id (or, for
+    id-less chunks, their text) is new; every other key copies from
+    result2 when absent, or list-extends with not-in dedup."""
+    result = {
+        "chunks": list(result1.get("chunks", [])),
+        "doc_aggs": list(result1.get("doc_aggs", [])),
+    }
+    if not result["chunks"]:
+        return result2
+    existing_chunk_ids = {
+        c.get("chunk_id") for c in result["chunks"] if "chunk_id" in c
+    }
+    existing_doc_ids = {
+        d.get("doc_id") for d in result["doc_aggs"] if "doc_id" in d
+    }
+    for chunk in result2.get("chunks", []):
+        chunk_id = chunk.get("chunk_id")
+        if chunk_id and chunk_id not in existing_chunk_ids:
+            result["chunks"].append(chunk)
+            existing_chunk_ids.add(chunk_id)
+        elif not chunk_id:
+            content = chunk.get("text", "")
+            if not any(c.get("text") == content for c in result["chunks"]):
+                result["chunks"].append(chunk)
+    for doc in result2.get("doc_aggs", []):
+        doc_id = doc.get("doc_id")
+        if doc_id and doc_id not in existing_doc_ids:
+            result["doc_aggs"].append(doc)
+            existing_doc_ids.add(doc_id)
+    for key in result2:
+        if key not in ["chunks", "doc_aggs"]:
+            if key not in result:
+                result[key] = result2[key]
+            elif isinstance(result[key], list) and isinstance(
+                result2[key], list
+            ):
+                result[key].extend(
+                    item for item in result2[key] if item not in result[key]
+                )
+    return result
+
+
 def dual_path_queries(query: str, kb_name: str) -> tuple[str, str]:
     """DualPathSearcher.search's query construction (search.py:31-36):
     the precise query strips the KB name; the KB query prefixes it

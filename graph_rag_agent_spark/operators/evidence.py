@@ -157,8 +157,14 @@ def evidence_contradictions(
     if ord_col not in cols:
         cols.append(ord_col)
     base = evidence.select(*dict.fromkeys(cols))
-    claims = evidence_claims(base, content_col=content_col).withColumn(
-        "__words", _word_set("context")
+    # materialize the claims ONCE: both sides of the pair self-join
+    # reference them, and diverging before the exchange would re-run
+    # the extraction UDF per branch (alias-divergent subtrees defeat
+    # exchange reuse)
+    claims = (
+        evidence_claims(base, content_col=content_col)
+        .withColumn("__words", _word_set("context"))
+        .localCheckpoint()
     )
     left = claims.select(
         F.col(group_col),

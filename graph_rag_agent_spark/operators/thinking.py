@@ -222,6 +222,83 @@ def truncated_reasonings(
     return steps.groupBy(query_col).applyInPandas(_truncate, schema=schema)
 
 
+def merge_dual_results(
+    primary: DataFrame,
+    secondary: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "chunk_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """_merge_results' chunk merge batched (search.py:145-180) over
+    per-query chunk tables: primary rows win; a query with NO primary
+    rows takes its secondary rows verbatim (the reference's
+    empty-chunks early return); otherwise secondary rows join when
+    their chunk_id — or, for NULL ids, their text — is not already
+    present. Adds ``from_path`` ('primary'|'secondary').
+
+    Deterministic pin (documented): the reference appends result2's
+    chunks in list order, so a NULL-id chunk can dedup against an
+    id-bearing chunk appended just before it; the table analogue
+    dedups NULL-id rows against primary texts and drops NULL-id text
+    duplicates within the secondary side — order-free, same row set
+    for every shape that has ids on id-bearing rows."""
+    q = query_col
+    have = primary.select(q).distinct()
+    verbatim = secondary.join(have, q, "left_anti")
+    rest = secondary.join(have, q, "left_semi")
+    new_by_id = rest.where(F.col(id_col).isNotNull()).join(
+        primary.where(F.col(id_col).isNotNull())
+        .select(q, id_col)
+        .distinct(),
+        [q, id_col],
+        "left_anti",
+    )
+    new_by_text = (
+        rest.where(F.col(id_col).isNull())
+        .dropDuplicates([q, text_col])
+        .join(primary.select(q, text_col).distinct(), [q, text_col], "left_anti")
+    )
+    return (
+        primary.withColumn("from_path", F.lit("primary"))
+        .unionByName(verbatim.withColumn("from_path", F.lit("secondary")))
+        .unionByName(new_by_id.withColumn("from_path", F.lit("secondary")))
+        .unionByName(new_by_text.withColumn("from_path", F.lit("secondary")))
+    )
+
+
+def route_dual_searches(
+    df: DataFrame,
+    precise_len_col: str = "precise_len",
+    kb_len_col: str = "kb_len",
+    eval_col: str | None = "evaluation",
+) -> DataFrame:
+    """The dual-path routing ladder batched (search.py:45-73): adds
+    ``route`` ('precise'|'kb'|'merge') from the per-side joined-text
+    lengths (> 50 stripped chars = has content) and the normalized
+    evaluation verdict."""
+    p_has = F.col(precise_len_col) > F.lit(50)
+    k_has = F.col(kb_len_col) > F.lit(50)
+    ev = (
+        F.lower(F.trim(F.col(eval_col)))
+        if eval_col
+        else F.lit("both")
+    )
+    verdict = (
+        F.when(ev.contains("precise"), F.lit("precise"))
+        .when(ev.contains("kb"), F.lit("kb"))
+        .otherwise(F.lit("both"))
+    )
+    return df.withColumn(
+        "route",
+        F.when(p_has & ~k_has, F.lit("precise"))
+        .when(k_has & ~p_has, F.lit("kb"))
+        .when(~p_has & ~k_has, F.lit("merge"))
+        .when(verdict == "precise", F.lit("precise"))
+        .when(verdict == "kb", F.lit("kb"))
+        .otherwise(F.lit("merge")),
+    )
+
+
 def with_dual_path_queries(
     df: DataFrame, query_col: str = "query", kb_name_col: str = "kb_name"
 ) -> DataFrame:

@@ -174,6 +174,74 @@ def test_sllpa_membership_plan_has_no_global_sort(spark):
     assert "SinglePartition" not in _plan(out)
 
 
+def test_evidence_contradictions_plan_shape(spark):
+    # the numeric rung must stay a grouped equi-join (pair volume
+    # bounded per evidence group) with the Jaccard gate JVM-side:
+    # no cartesian, no Python eval after the claims UDF
+    from graph_rag_agent_spark.operators.evidence import (
+        evidence_contradictions,
+    )
+
+    ev = spark.createDataFrame(
+        [("q0", f"e{i}", f"metric a value {10 + i} pts") for i in range(6)],
+        "query_id string, evidence_id string, content string",
+    )
+    plan = _plan(evidence_contradictions(ev))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # claims are materialized once before the self-join — the pair
+    # stage itself runs no Python at all
+    assert "ArrowEvalPython" not in plan
+
+
+def test_statement_matches_plan_shape(spark, docs):
+    # phrase matching must be an equi-join on the phrase column —
+    # never a cartesian of answers × evidence
+    from graph_rag_agent_spark.operators.evidence import statement_matches
+
+    ev = docs.limit(30).select(
+        F.concat(F.lit("e"), "doc_id").alias("evidence_id"),
+        F.concat(F.lit("s"), "doc_id").alias("source_id"),
+        F.col("text").alias("content"),
+        F.lit(1.0).alias("confidence"),
+    )
+    answers = docs.limit(3).select(
+        F.col("doc_id").alias("answer_id"), F.col("text").alias("answer")
+    )
+    plan = _plan(statement_matches(answers, ev))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_classify_traces_stays_jvm(spark, docs):
+    # the trace-status ladder is pure JVM — no Python eval in the plan
+    from graph_rag_agent_spark.operators.thinking import classify_traces
+
+    plan = _plan(
+        classify_traces(
+            docs.select(F.col("doc_id").alias("trace_id"),
+                        F.col("text").alias("raw"))
+        )
+    )
+    assert "EvalPython" not in plan
+
+
+def test_validator_stays_jvm(spark, docs):
+    from graph_rag_agent_spark.operators.validator import (
+        validate_answers,
+        with_query_complexity,
+    )
+
+    df = docs.select(
+        F.col("text").alias("query"),
+        F.col("text").alias("answer"),
+        F.array(F.lit("value")).alias("high_level"),
+        F.array(F.lit("table"), F.lit("fast")).alias("low_level"),
+    )
+    plan = _plan(with_query_complexity(validate_answers(df)))
+    assert "EvalPython" not in plan
+
+
 def test_cache_lookup_broadcasts_probes_no_cartesian(spark, docs):
     # the cache's vector rung must ship the probe batch as a
     # broadcast on the thread equi-join — the cache side streams;

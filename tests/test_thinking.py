@@ -154,6 +154,97 @@ def test_extract_sentences():
     ]
 
 
+def test_merge_search_results_reference_semantics():
+    r1 = {
+        "chunks": [{"chunk_id": "c1", "text": "t1"}],
+        "doc_aggs": [{"doc_id": "d1"}],
+        "total": 1,
+    }
+    r2 = {
+        "chunks": [
+            {"chunk_id": "c1", "text": "dup"},
+            {"chunk_id": "c2", "text": "t2"},
+            {"text": "t1"},       # NULL id, text already present
+            {"text": "fresh"},    # NULL id, new text
+        ],
+        "doc_aggs": [{"doc_id": "d1"}, {"doc_id": "d2"}],
+        "total": 2,
+        "tags": ["a"],
+    }
+    merged = T.merge_search_results(r1, r2)
+    ids = [c.get("chunk_id") for c in merged["chunks"]]
+    assert ids == ["c1", "c2", None]
+    assert merged["chunks"][2]["text"] == "fresh"
+    assert [d["doc_id"] for d in merged["doc_aggs"]] == ["d1", "d2"]
+    # the reference REBUILDS the dict from chunks/doc_aggs only, so
+    # result1's other keys are dropped and result2's copied (:155-158,
+    # 195-205) — faithful, if surprising
+    assert merged["total"] == 2 and merged["tags"] == ["a"]
+    # empty primary chunks → result2 verbatim
+    assert T.merge_search_results({"chunks": []}, r2) is r2
+
+
+def test_route_dual_results_ladder():
+    assert T.route_dual_results(True, False, "both") == "precise"
+    assert T.route_dual_results(False, True, "precise") == "kb"
+    assert T.route_dual_results(False, False, "precise") == "merge"
+    assert T.route_dual_results(True, True, "precise") == "precise"
+    assert T.route_dual_results(True, True, "kb") == "kb"
+    assert T.route_dual_results(True, True, "both") == "merge"
+    assert T.evaluate_route("  The PRECISE one ") == "precise"
+    assert T.evaluate_route("kb wins") == "kb"
+    assert T.evaluate_route("unclear") == "both"
+
+
+def test_merge_dual_results_operator(spark):
+    from graph_rag_agent_spark.operators.thinking import merge_dual_results
+
+    primary = spark.createDataFrame(
+        [("q0", "c1", "t1")],
+        "query_id string, chunk_id string, text string",
+    )
+    secondary = spark.createDataFrame(
+        [
+            ("q0", "c1", "dup"),     # id already present → dropped
+            ("q0", "c2", "t2"),      # new id → kept
+            ("q0", None, "t1"),      # NULL id, duplicate text → dropped
+            ("q0", None, "fresh"),   # NULL id, new text → kept
+            ("q1", "c9", "only-secondary"),  # empty primary → verbatim
+        ],
+        "query_id string, chunk_id string, text string",
+    )
+    got = {
+        (r["query_id"], r["chunk_id"], r["text"], r["from_path"])
+        for r in merge_dual_results(primary, secondary).collect()
+    }
+    assert got == {
+        ("q0", "c1", "t1", "primary"),
+        ("q0", "c2", "t2", "secondary"),
+        ("q0", None, "fresh", "secondary"),
+        ("q1", "c9", "only-secondary", "secondary"),
+    }
+
+
+def test_route_dual_searches_operator(spark):
+    from graph_rag_agent_spark.operators.thinking import route_dual_searches
+
+    rows = [
+        ("a", 100, 10, "anything"),
+        ("b", 10, 100, "precise"),
+        ("c", 10, 10, "precise"),
+        ("d", 100, 100, "Precise!"),
+        ("e", 100, 100, "the kb side"),
+        ("f", 100, 100, "both are fine"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, precise_len int, kb_len int, evaluation string"
+    )
+    got = {r["id"]: r["route"] for r in route_dual_searches(df).collect()}
+    for rid, pl, kl, ev in rows:
+        want = T.route_dual_results(pl > 50, kl > 50, T.evaluate_route(ev))
+        assert got[rid] == want, rid
+
+
 # ---------------------------------------------------- operators vs core
 
 def _traces_df(spark):
