@@ -306,6 +306,118 @@ def integrate_thinking(
     return out
 
 
+class BranchTree:
+    """The ThinkingEngine's reasoning-branch state machine
+    (thinking.py:413-494) minus the timestamps (injected so replays
+    are deterministic): branch_reasoning copies the base branch,
+    switch_branch validates, merge_branches appends the source's
+    content-novel steps plus a merge marker and lands on the target.
+    """
+
+    def __init__(self):
+        self.tree: dict[str, list[dict]] = {"main": []}
+        self.current = "main"
+
+    def add_step(self, content: str, timestamp: float = 0.0) -> None:
+        self.tree.setdefault(self.current, []).append(
+            {"content": content, "timestamp": timestamp}
+        )
+
+    def branch(self, branch_name: str, base_branch: str = "main") -> None:
+        """thinking.py:413-438: unknown base falls back to main; the
+        new branch copies the base and becomes current, then records
+        the creation step."""
+        if base_branch not in self.tree:
+            base_branch = "main"
+        self.tree[branch_name] = [
+            step.copy() for step in self.tree[base_branch]
+        ]
+        self.current = branch_name
+        self.add_step(f"创建推理分支: {branch_name}，基于: {base_branch}")
+
+    def switch(self, branch_name: str) -> bool:
+        """thinking.py:438-451."""
+        if branch_name not in self.tree:
+            return False
+        self.current = branch_name
+        return True
+
+    def merge(
+        self,
+        source_branch: str,
+        target_branch: str = "main",
+        timestamp: float = 0.0,
+    ) -> bool:
+        """thinking.py:453-494: steps whose CONTENT the target lacks
+        append in source order, then the merge marker; current lands
+        on the target."""
+        if source_branch not in self.tree or target_branch not in self.tree:
+            return False
+        target_contents = [
+            step["content"] for step in self.tree[target_branch]
+        ]
+        for step in self.tree[source_branch]:
+            if step["content"] not in target_contents:
+                self.tree[target_branch].append(step.copy())
+        self.tree[target_branch].append(
+            {
+                "content": f"合并分支: {source_branch} → {target_branch}",
+                "timestamp": timestamp,
+            }
+        )
+        self.current = target_branch
+        return True
+
+
+def contradiction_analysis_text(contradiction: dict) -> str:
+    """deeper_research_tool.py:355-362: the per-contradiction evidence
+    string recorded into the chain."""
+    ctype = contradiction.get("type", "unknown")
+    if ctype == "numerical":
+        return (
+            f"数值矛盾: 在 '{contradiction.get('context', '')}' 中, "
+            f"发现值 {contradiction.get('value1')} 和 "
+            f"{contradiction.get('value2')}"
+        )
+    if ctype == "semantic":
+        return f"语义矛盾: {contradiction.get('analysis', '')}"
+    return ""
+
+
+def merge_branch_reasoning(
+    branches: dict[str, dict], step_evidence: dict[str, list[dict]]
+) -> str:
+    """_merge_reasoning_branches' markdown assembly
+    (deeper_research_tool.py:408-455): per branch, the hypothesis,
+    up to 3 evidence contents (200-char caps) and the optional
+    counter-factual analysis (200-char cap). ``branches`` maps
+    branch_name → {hypothesis, step_id, counter_analysis?};
+    ``step_evidence`` maps step_id → evidence dicts."""
+    branch_names = list(branches)
+    if not branch_names:
+        return ""
+    merged = "## 多分支推理结果\n\n"
+    for branch_name in branch_names:
+        info = branches[branch_name]
+        evidence = step_evidence.get(info.get("step_id", ""), [])
+        merged += f"### 分支: {branch_name}\n"
+        merged += f"假设: {info['hypothesis']}\n\n"
+        if evidence:
+            merged += "主要发现:\n"
+            for ev in evidence[:3]:
+                content = ev.get("content", "")
+                if len(content) > 200:
+                    content = content[:200] + "..."
+                merged += f"- {content}\n"
+        if "counter_analysis" in info:
+            counter = info["counter_analysis"]
+            if len(counter) > 200:
+                counter = counter[:200] + "..."
+            merged += f"\n反事实分析: {counter}\n\n"
+        merged += "\n"
+    return merged
+
+
 def evaluate_route(result_text: str) -> str:
     """DualPathSearcher's evaluation normalize rung (search.py:
     131-138): the LLM's verdict word → precise/kb/both."""

@@ -154,6 +154,60 @@ def test_extract_sentences():
     ]
 
 
+def test_branch_tree_semantics():
+    bt = T.BranchTree()
+    bt.add_step("s1")
+    bt.branch("b1")  # copies main + creation marker, becomes current
+    assert bt.current == "b1"
+    assert [s["content"] for s in bt.tree["b1"]] == [
+        "s1", "创建推理分支: b1，基于: main"
+    ]
+    bt.add_step("b1-only")
+    assert not bt.switch("nope")
+    assert bt.switch("main") and bt.current == "main"
+    bt.add_step("s2")
+    assert bt.merge("b1", "main")
+    # content-novel steps appended in source order + merge marker
+    assert [s["content"] for s in bt.tree["main"]] == [
+        "s1", "s2", "创建推理分支: b1，基于: main", "b1-only",
+        "合并分支: b1 → main",
+    ]
+    assert bt.current == "main"
+    # unknown base falls back to main
+    bt.branch("b2", base_branch="ghost")
+    assert bt.tree["b2"][0]["content"] == "s1"
+
+
+def test_contradiction_text_and_branch_merge_assembly():
+    num = {
+        "type": "numerical", "context": "ctx words", "value1": 42.0,
+        "value2": 87.0,
+    }
+    assert T.contradiction_analysis_text(num) == (
+        "数值矛盾: 在 'ctx words' 中, 发现值 42.0 和 87.0"
+    )
+    sem = {"type": "semantic", "analysis": "冲突点"}
+    assert T.contradiction_analysis_text(sem) == "语义矛盾: 冲突点"
+    assert T.contradiction_analysis_text({"type": "other"}) == ""
+
+    branches = {
+        "branch_1": {
+            "hypothesis": "h1", "step_id": "s1",
+            "counter_analysis": "c" * 250,
+        },
+        "branch_2": {"hypothesis": "h2", "step_id": "s2"},
+    }
+    ev = {"s1": [{"content": "x" * 250}, {"content": "short"},
+                 {"content": "e3"}, {"content": "e4-dropped"}]}
+    out = T.merge_branch_reasoning(branches, ev)
+    assert out.startswith("## 多分支推理结果\n\n### 分支: branch_1\n假设: h1\n\n")
+    assert "- " + "x" * 200 + "...\n" in out
+    assert "e4-dropped" not in out
+    assert "反事实分析: " + "c" * 200 + "..." in out
+    assert "### 分支: branch_2\n假设: h2\n\n\n" in out
+    assert T.merge_branch_reasoning({}, {}) == ""
+
+
 def test_merge_search_results_reference_semantics():
     r1 = {
         "chunks": [{"chunk_id": "c1", "text": "t1"}],
