@@ -197,15 +197,16 @@ def community_knowledge_relationships(
             ),
             "subj",
         )
+        # composite-key join: restricting the obj side to the SAME
+        # query in the join condition (not a post-filter) keeps a
+        # triple matched by k queries' subj sets from fanning out
+        # k× against every query's obj set first
         .join(
             ent.select(
-                F.col("query_id").alias("__q2"),
-                F.col("entity_id").alias("obj"),
+                F.col("query_id"), F.col("entity_id").alias("obj")
             ),
-            "obj",
+            ["query_id", "obj"],
         )
-        .where(F.col("query_id") == F.col("__q2"))
-        .drop("__q2")
         .join(
             counts.select(
                 F.col("entity_id").alias("subj"), F.col("__n").alias("__ns")

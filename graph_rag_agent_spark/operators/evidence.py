@@ -302,11 +302,14 @@ def statement_matches(
         F.posexplode(_statements_udf(F.col(answer_col))).alias(
             "stmt_idx", "statement"
         ),
-    )
+    ).localCheckpoint()
+    # the statement TEXT stays out of the phrase join and the score
+    # shuffle (it is functionally dependent on (answer_id, stmt_idx)
+    # and would ride every candidate row); it re-attaches to the
+    # winner rows only
     phrases = stmts.select(
         "answer_id",
         "stmt_idx",
-        "statement",
         F.explode(_phrases_udf(F.col("statement"))).alias("phrase"),
     )
     index = citation_index(evidence, id_col=id_col, content_col=content_col)
@@ -322,7 +325,7 @@ def statement_matches(
     )
     hits = (
         phrases.join(index, "phrase")
-        .groupBy("answer_id", "stmt_idx", "statement", "evidence_id")
+        .groupBy("answer_id", "stmt_idx", "evidence_id")
         .agg(F.count(F.lit(1)).alias("__hits"))
         .join(payload, "evidence_id")
         .withColumn("__score", F.col("__hits") * F.col("confidence"))
@@ -333,6 +336,7 @@ def statement_matches(
     return (
         hits.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") == 1)
+        .join(stmts, ["answer_id", "stmt_idx"])
         .select(
             "answer_id",
             "stmt_idx",
