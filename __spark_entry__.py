@@ -1932,6 +1932,55 @@ def _q_pagerank_ranks(spark, sf_dir):
     )
 
 
+def _q_query_graph_edges(spark, sf_dir):
+    """Deep-research dynamic query-graph construction (reference
+    search/tool/reasoning/kg_builder.py:27-146): the batched per-query
+    BFS — each level ONE frontier join against the triples table, the
+    per-level LIMIT as a per-query window (pin: first 10 rows by
+    (subj, pred, obj)), first-edge dedup per (src, dst), prior-level
+    edges win.
+
+    Fixture: the keyed synthetic graph family (node space ∝ corpus/8,
+    floor 97; pred from doc_id%7 so duplicate (src, dst) pairs carry
+    competing predicates and exercise the min-pred pin); three
+    single-seed queries, depth 2, per-level limit 10. The oracle
+    unrolls both levels in SQL."""
+    from graph_rag_agent_spark.operators.kg_builder import (
+        build_query_graphs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    k = max(97, docs.count() // 8)
+    # the ``doc_id // 97`` term de-functionalizes the graph: the ~n/k
+    # docs sharing a subj residue fan out to DISTINCT objs (branching
+    # factor ≈ n/k), so the per-level cap actually binds
+    triples = docs.select(
+        F.concat(F.lit("N"), (F.col("doc_id") % k).cast("string")).alias(
+            "subj"
+        ),
+        F.concat(F.lit("R"), (F.col("doc_id") % 7).cast("string")).alias(
+            "pred"
+        ),
+        F.concat(
+            F.lit("N"),
+            (
+                (
+                    F.col("doc_id") * 31
+                    + 7
+                    + (F.col("doc_id") / 97).cast("long")
+                )
+                % k
+            ).cast("string"),
+        ).alias("obj"),
+    )
+    seeds = spark.createDataFrame(
+        [(f"q{s}", f"N{(s * 13) % k}") for s in (1, 2, 3)],
+        "query_id string, entity_id string",
+    )
+    out = build_query_graphs(seeds, triples, depth=2, per_level_limit=10)
+    return out["edges"].select("query_id", "subj", "pred", "obj", "level")
+
+
 def _q_answer_validation(spark, sf_dir):
     """Deep-research answer validation + query complexity (reference
     search/tool/reasoning/validator.py:25-148) batched: the length /
@@ -2062,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "answer_validation": _q_answer_validation,
         "community_relevance": _q_community_relevance,
         "pagerank_ranks": _q_pagerank_ranks,
+        "query_graph_edges": _q_query_graph_edges,
     }
 
 
@@ -3902,4 +3952,69 @@ def oracle_sql() -> dict[str, str]:
         "answer_validation": _answer_validation_oracle(),
         "community_relevance": _community_relevance_oracle(),
         "pagerank_ranks": _pagerank_oracle(),
+        # two unrolled BFS levels: per-level (subj,pred,obj)-window
+        # cap, min-pred first-edge dedup, prior-level edges win,
+        # frontier = capped rows' objs minus known nodes
+        "query_graph_edges": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+                          FROM documents),
+            params AS (SELECT GREATEST(97, count(*) // 8) AS k FROM docs),
+            edges AS (
+                SELECT DISTINCT
+                       'N' || CAST(doc_id % p.k AS VARCHAR) AS subj,
+                       'R' || CAST(doc_id % 7 AS VARCHAR) AS pred,
+                       'N' || CAST((doc_id * 31 + 7 + doc_id // 97)
+                                   % p.k AS VARCHAR) AS obj
+                FROM docs CROSS JOIN params p
+            ),
+            seeds AS (
+                SELECT 'q' || CAST(s AS VARCHAR) AS query_id,
+                       'N' || CAST((s * 13) % p.k AS VARCHAR) AS node
+                FROM (VALUES (1), (2), (3)) v(s) CROSS JOIN params p
+            ),
+            l1cap AS (
+                SELECT * FROM (
+                    SELECT s.query_id, e.subj, e.pred, e.obj,
+                           row_number() OVER (
+                               PARTITION BY s.query_id
+                               ORDER BY e.subj, e.pred, e.obj) AS rk
+                    FROM edges e JOIN seeds s ON e.subj = s.node
+                ) WHERE rk <= 10
+            ),
+            edges1 AS (
+                SELECT query_id, subj, pred, obj, 0 AS level FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id, subj, obj
+                        ORDER BY pred) AS dk
+                    FROM l1cap
+                ) WHERE dk = 1
+            ),
+            n1 AS (
+                SELECT DISTINCT query_id, obj AS node FROM l1cap
+                EXCEPT SELECT query_id, node FROM seeds
+            ),
+            l2cap AS (
+                SELECT * FROM (
+                    SELECT n.query_id, e.subj, e.pred, e.obj,
+                           row_number() OVER (
+                               PARTITION BY n.query_id
+                               ORDER BY e.subj, e.pred, e.obj) AS rk
+                    FROM edges e JOIN n1 n ON e.subj = n.node
+                ) WHERE rk <= 10
+            ),
+            edges2 AS (
+                SELECT query_id, subj, pred, obj, 1 AS level FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id, subj, obj
+                        ORDER BY pred) AS dk
+                    FROM l2cap
+                ) d WHERE dk = 1
+                AND NOT EXISTS (
+                    SELECT 1 FROM edges1 x
+                    WHERE x.query_id = d.query_id
+                      AND x.subj = d.subj AND x.obj = d.obj
+                )
+            )
+            SELECT * FROM edges1 UNION ALL SELECT * FROM edges2
+        """,
     }
