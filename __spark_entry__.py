@@ -1981,6 +1981,51 @@ def _q_query_graph_edges(spark, sf_dir):
     return out["edges"].select("query_id", "subj", "pred", "obj", "level")
 
 
+def _q_reasoning_summaries(spark, sf_dir):
+    """Deep-research reasoning-chain aggregates (reference
+    search/tool/reasoning/evidence.py:630-682 summarize_reasoning):
+    per query, step count, total evidence count and the top-3 key
+    steps by evidence count (stable-sort pin: count DESC, step
+    ordinal ASC) — grouped aggs + a per-query window.
+
+    Fixture: steps = one per document (20 queries round-robin),
+    evidence fan-out by doc_id%4 (0/1/2/3 rows per step). key_steps
+    ships '|'-joined for scalar hashing."""
+    from graph_rag_agent_spark.operators.evidence import (
+        reasoning_summaries,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    steps = docs.select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 20).cast("string")).alias(
+            "query_id"
+        ),
+        F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("step_id"),
+        F.col("doc_id").alias("step_ord"),
+    )
+    fan = docs.select(
+        F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("step_id"),
+        (F.col("doc_id") % 4).alias("__n"),
+    )
+    evidence = fan.select(
+        "step_id",
+        F.explode(
+            F.slice(
+                F.array(F.lit("kb"), F.lit("kg"), F.lit("web")),
+                1,
+                F.col("__n").cast("int"),
+            )
+        ).alias("source_type"),
+    )
+    out = reasoning_summaries(steps, evidence)
+    return out.select(
+        "query_id",
+        "steps_count",
+        "evidence_count",
+        F.concat_ws("|", "key_steps").alias("keys_joined"),
+    )
+
+
 def _q_answer_validation(spark, sf_dir):
     """Deep-research answer validation + query complexity (reference
     search/tool/reasoning/validator.py:25-148) batched: the length /
@@ -2112,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_relevance": _q_community_relevance,
         "pagerank_ranks": _q_pagerank_ranks,
         "query_graph_edges": _q_query_graph_edges,
+        "reasoning_summaries": _q_reasoning_summaries,
     }
 
 
@@ -4016,5 +4062,28 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             SELECT * FROM edges1 UNION ALL SELECT * FROM edges2
+        """,
+        "reasoning_summaries": """
+            WITH steps AS (
+                SELECT 'q' || CAST(doc_id % 20 AS VARCHAR) AS query_id,
+                       's' || CAST(doc_id AS VARCHAR) AS step_id,
+                       doc_id AS step_ord,
+                       CAST(doc_id % 4 AS INT) AS n_ev
+                FROM documents
+            ),
+            ranked AS (
+                SELECT query_id, step_id, n_ev,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY n_ev DESC, step_ord ASC) AS rk
+                FROM steps
+            )
+            SELECT query_id,
+                   count(*) AS steps_count,
+                   sum(n_ev) AS evidence_count,
+                   string_agg(CASE WHEN rk <= 3 THEN step_id END, '|'
+                              ORDER BY rk) AS keys_joined
+            FROM ranked
+            GROUP BY query_id
         """,
     }

@@ -248,7 +248,12 @@ def main() -> None:
 
         wh = tempfile.mkdtemp(prefix="bench_delta_wh_")
         cfg = BuildConfig(warehouse=wh, resume=False, bucket_convs=16)
-        build_all(spark, transcripts, cfg)  # untimed bootstrap
+        # bootstrap: the full build_all on the SAME warehouse
+        # machinery — the apples-to-apples denominator for the
+        # delta_cycle claim (untimed row, recorded in extra)
+        t0 = time.time()
+        build_all(spark, transcripts, cfg)
+        extra["delta_bootstrap_s"] = round(time.time() - t0, 3)
         sel = F.pmod(F.xxhash64("conv_id"), F.lit(100)) == 0
         mx = transcripts.groupBy("conv_id").agg(
             F.max("turn_idx").alias("__mx")

@@ -899,6 +899,17 @@ def _incremental_update_delta(
     # (mentions / triples / entities / chunk embeddings — distinct
     # target tables, read-only sharing of the merged raw tables and
     # indexes) run from one driver-thread pool -------------------------
+
+    # community detection is a pure function of (entity id set,
+    # triple (s,p,o) key set, max_levels) — projection weight is
+    # COUNT over keys, nodes are entity ids (detect_communities).
+    # The rewrite tasks therefore record whether those two inputs
+    # actually changed (delta-sized set diffs computed against the
+    # PRE-upsert store), so the communities section can keep the
+    # stored membership/hierarchy and recompute only the
+    # mentions-dependent catalog. Defaults True = safe (recompute).
+    detection_input_changed = {"triples": True, "entities": True}
+
     def _rewrite_mentions_task():
         m_raw_delta = read_pruned(spark, wh.path("mentions_raw"), delta_convs)
         chunks_repointed = m_raw_delta.join(
@@ -971,6 +982,17 @@ def _incremental_update_delta(
             "incr_triples_rewrite", -1, triples_delta.count(), t0, defer=True
         )
         stale_tkeys = with_triple_key(affected_keys).select(TRIPLE_KEY_COL)
+        # delta-sized key-set diff BEFORE the upsert: outside the
+        # affected scope keys are untouched by construction, so scope
+        # equality ⇔ global (s,p,o) set equality
+        old_scope_keys = read_pruned(
+            spark, wh.path("triples"), stale_tkeys
+        ).select(TRIPLE_KEY_COL)
+        new_scope_keys = triples_delta.select(TRIPLE_KEY_COL)
+        detection_input_changed["triples"] = (
+            old_scope_keys.exceptAll(new_scope_keys).limit(1).count() > 0
+            or new_scope_keys.exceptAll(old_scope_keys).limit(1).count() > 0
+        )
         upsert_groups(
             spark, wh.path("triples"), triples_delta, stale_tkeys, TRIPLE_KEY_COL
         )
@@ -982,14 +1004,37 @@ def _incremental_update_delta(
                 embedded.join(wcc, "entity_id", "left"), cmap
             ).select(*ent_cols)
         )
+
+        # fingerprint diff — same rationale as _merge_side_table: a
+        # full-row exceptAll would shuffle every embedding twice
+        def fp(df):
+            return df.select(
+                "entity_id",
+                F.hash(*ent_cols).alias("__h32"),
+                F.xxhash64(*ent_cols).alias("__h64"),
+            )
+
+        old_ents = old_entities.select(*ent_cols)
+        changed_keys = fp(entities_full).join(
+            ck(fp(old_ents)), ["entity_id", "__h32", "__h64"], "left_anti"
+        ).select("entity_id")
         changed_rows = ck(
-            entities_full.exceptAll(old_entities.select(*ent_cols))
+            entities_full.join(changed_keys, "entity_id", "left_semi")
         )
         removed_ids = old_entities.select("entity_id").exceptAll(
             entities_full.select("entity_id")
         )
         stale_ent_ids = ck(
             changed_rows.select("entity_id").union(removed_ids).distinct()
+        )
+        # id-SET diff (changed_rows may be description/embedding-only
+        # updates, which don't move community detection)
+        added_ids = changed_rows.select("entity_id").join(
+            old_entities.select("entity_id"), "entity_id", "left_anti"
+        )
+        detection_input_changed["entities"] = (
+            added_ids.limit(1).count() > 0
+            or removed_ids.limit(1).count() > 0
         )
         t0 = _time.time()
         upsert_groups(
@@ -1077,12 +1122,34 @@ def _incremental_update_delta(
         cols = [c for c in df_new.columns]
         old = wh.read(name).select(*cols)
         new = df_new.select(*cols)
-        # changed catches new + modified rows; the multiset key diff
-        # catches pure removals (a key with fewer — but individually
-        # unchanged — rows still lands in the stale set)
-        changed = ck(new.exceptAll(old))
-        removed = old.select(key).exceptAll(new.select(key))
-        stale = ck(changed.select(key).union(removed).distinct())
+
+        # the diff rides compact row FINGERPRINTS, not rows: a
+        # full-row exceptAll would shuffle the embedding arrays twice
+        # — O(catalog bytes), i.e. exactly what the overwrite this
+        # merge replaces costs. (key, murmur3-32, xxhash64) is ~16
+        # bytes/row; with ~96 independent hash bits a changed row
+        # masquerading as unchanged needs a 2⁻⁹⁶ double collision,
+        # and its worst case is one stale side-table row until the
+        # next cycle that touches the key. Rows are unique per key
+        # group in all three tables (single-row keys resp. unique
+        # (src, dst) pairs), which the anti-join shape relies on.
+        def fp(df):
+            return df.select(
+                F.col(key),
+                F.hash(*cols).alias("__h32"),
+                F.xxhash64(*cols).alias("__h64"),
+            )
+
+        # new + modified rows by fingerprint anti-join; the multiset
+        # key diff catches pure removals (a key with fewer — but
+        # individually unchanged — rows still lands in the stale set)
+        oldk = ck(fp(old))
+        newk = fp(new)
+        changed_keys = newk.join(
+            oldk, [key, "__h32", "__h64"], "left_anti"
+        ).select(key)
+        removed = oldk.select(key).exceptAll(newk.select(key))
+        stale = ck(changed_keys.union(removed).distinct())
         # group semantics: re-insert EVERY current row of a stale key
         # (for per-key-grouped tables like `similar` a partially
         # changed group must be replaced whole)
@@ -1140,11 +1207,54 @@ def _incremental_update_delta(
             wh.exists(t) for t in ("membership", "hierarchy", "communities")
         )
     )
+    # detection reuse (weaker than full reuse): conversations changed,
+    # but the rewrite tasks proved the entity ID set and the triple
+    # (s,p,o) key set both unchanged — membership/hierarchy are a pure
+    # function of exactly those inputs (+ max_levels), so only the
+    # mentions/description-dependent community CATALOG recomputes.
+    # The corpus-proportional detection loop — the largest remaining
+    # non-delta cost of a small-delta cycle — is skipped.
+    # journal_on_disk guard: after a crash BETWEEN the triple upsert
+    # and the communities write, the retry's key diff reads the
+    # already-updated store as "unchanged" while the stored membership
+    # still reflects the pre-crash key set — a surviving journal is
+    # exactly the marker of that window, so it declines detection
+    # reuse (the community sidecar alone can't: the crashed cycle may
+    # never have reached its invalidation).
+    detection_reusable = (
+        not communities_reusable
+        and not journal_on_disk
+        and not detection_input_changed["triples"]
+        and not detection_input_changed["entities"]
+        and wh.stored_community_params() == community_fingerprint(cfg)
+        and all(
+            wh.exists(t) for t in ("membership", "hierarchy", "communities")
+        )
+    )
     if communities_reusable:
         # nothing to compute or write — the stored tables are read back
         # (with everything else) in the out-dict below
         wh.append_lineage(
             "incr_communities_reused", -1, 1, _time.time(), defer=True
+        )
+    elif detection_reusable:
+        membership = wh.read("membership")
+        entities_tbl = wh.read("entities")
+        triples_tbl = wh.read("triples")
+        mentions_tbl = wh.read("mentions")
+        communities = ck(
+            community_catalog(
+                membership, entities_tbl, triples_tbl, mentions_tbl
+            )
+        )
+        # same torn-window guard as the full path: the sidecar drops
+        # before the catalog overwrite and is restored after, so a
+        # crash mid-write declines every community reuse on retry
+        wh.invalidate_community_params()
+        wh.write(communities, "communities")
+        wh.commit_community_params(community_fingerprint(cfg))
+        wh.append_lineage(
+            "incr_detection_reused", -1, 1, _time.time(), defer=True
         )
     else:
         entities_tbl = wh.read("entities")

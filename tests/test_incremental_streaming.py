@@ -556,6 +556,99 @@ def test_delta_incremental_matches_rebuild_and_is_delta_proportional(
     assert cmap_merged is not None and cmap_merged <= n_entities
 
 
+def test_detection_reuse_on_membership_preserving_delta(
+    spark, transcripts_df, tmp_path_factory
+):
+    """A delta that changes conversations WITHOUT moving community
+    detection's inputs (entity id set + triple key set) must reuse the
+    stored membership/hierarchy and recompute only the catalog — the
+    incr_detection_reused lineage marker — while a key-moving delta
+    must decline and re-detect. Results equal a fresh rebuild either
+    way."""
+    import datetime
+
+    wh = str(tmp_path_factory.mktemp("wh_det_reuse"))
+    cfg = BuildConfig(
+        warehouse=wh,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    build_all(spark, transcripts_df, cfg)
+
+    # v2: one extra vocabulary-free turn — new chunk, zero new
+    # mentions/entities/triples
+    extra = {
+        "conv_id": "conv-000002",
+        "turn_idx": 15,
+        "role": "user",
+        "text": "plain filler words with nothing extractable here.",
+        "tool": None,
+        "ts": datetime.datetime(
+            2025, 1, 1, 3, 0, tzinfo=datetime.timezone.utc
+        ),
+    }
+    v2_rows = generate_transcripts(12) + [extra]
+    v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+    tables = incremental_update(spark, v2_df, wh, cfg=cfg)
+
+    lineage = spark.read.parquet(f"{wh}/lineage")
+    assert (
+        lineage.where(F.col("stage") == "incr_detection_reused").count() == 1
+    )
+    assert (
+        lineage.where(F.col("stage") == "incr_communities_reused").count()
+        == 0
+    )
+
+    wh2 = str(tmp_path_factory.mktemp("wh_det_reuse_ref"))
+    rebuilt = build_all(
+        spark,
+        v2_df,
+        BuildConfig(
+            warehouse=wh2,
+            similarity_method="exact",
+            extraction_buckets=2,
+            bucket_convs=8,
+        ),
+    )
+    for name in ["membership", "hierarchy", "communities", "triples"]:
+        cols = [
+            c for c in tables[name].columns if c != "summary_created_at"
+        ]
+        a = {tuple(r) for r in tables[name].select(*cols).collect()}
+        b = {tuple(r) for r in rebuilt.tables[name].select(*cols).collect()}
+        assert a == b, name
+
+    # v3 drops a conversation → triple keys move → full re-detection
+    v3_rows = [r for r in v2_rows if r["conv_id"] != "conv-000003"]
+    v3_df = spark.createDataFrame(v3_rows, schema=schemas.TRANSCRIPTS)
+    tables3 = incremental_update(spark, v3_df, wh, cfg=cfg)
+    lineage3 = spark.read.parquet(f"{wh}/lineage")
+    assert (
+        lineage3.where(F.col("stage") == "incr_detection_reused").count()
+        == 1  # unchanged from the previous cycle
+    )
+    wh3 = str(tmp_path_factory.mktemp("wh_det_reuse_ref3"))
+    rebuilt3 = build_all(
+        spark,
+        v3_df,
+        BuildConfig(
+            warehouse=wh3,
+            similarity_method="exact",
+            extraction_buckets=2,
+            bucket_convs=8,
+        ),
+    )
+    for name in ["membership", "communities"]:
+        cols = [
+            c for c in tables3[name].columns if c != "summary_created_at"
+        ]
+        a = {tuple(r) for r in tables3[name].select(*cols).collect()}
+        b = {tuple(r) for r in rebuilt3.tables[name].select(*cols).collect()}
+        assert a == b, name
+
+
 def test_delta_incremental_noop_cycle_rewrites_nothing(
     spark, transcripts_df, tmp_path_factory
 ):
