@@ -247,9 +247,16 @@ def resolve_canonical(
         groups = duplicate_candidate_groups(sorted(wcc), wcc)
         mapping = resolve_canonical_map(groups)
         spark = entities_with_wcc.sparkSession
-        return spark.createDataFrame(
+        cmap_df = spark.createDataFrame(
             list(mapping.items()) or [], "entity_id string, canonical_id string"
         )
+        # the driver path KNOWS the map's size — pre-seed the
+        # broadcast-gate estimate so _map_side never spends a job on it
+        cmap_df._cmap_est_bytes = (
+            sum(len(k) + len(v) for k, v in mapping.items()) * 4
+            + len(mapping) * 48
+        )
+        return cmap_df
     return resolve_canonical_grouped(entities_with_wcc)
 
 

@@ -392,6 +392,11 @@ def link_entities_driver_path(
     cmap_df = spark.createDataFrame(
         list(cmap.items()) or [], "entity_id string, canonical_id string"
     )
+    # pre-seed the canonicalize broadcast-gate estimate (driver path
+    # knows the exact map) — avoids one agg job per downstream rewrite
+    cmap_df._cmap_est_bytes = (
+        sum(len(k) + len(v) for k, v in cmap.items()) * 4 + len(cmap) * 48
+    )
     return {
         "embedded": embedded_df,
         "similar": similar_df,
