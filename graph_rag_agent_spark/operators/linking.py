@@ -304,6 +304,121 @@ def similar_entities_lsh(
     return _topk_filter(both, top_k, cutoff)
 
 
+def similar_entities_lsh_delta(
+    embedded: DataFrame,
+    old_embedded: DataFrame,
+    old_similar: DataFrame,
+    top_k: int = SIMILARITY_TOP_K,
+    cutoff: float = SIMILARITY_CUTOFF,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    dim: int = DIM,
+    broadcast_max_bytes: int = BROADCAST_SCORE_MAX_BYTES,
+) -> DataFrame:
+    """Incremental KNN maintenance: returns EXACTLY
+    ``similar_entities_lsh(embedded)`` while recomputing only the
+    rows that can differ from ``old_similar``.
+
+    Soundness: a source's top-k depends only on (its own vector, the
+    vectors of its band-mates). Both are unchanged unless the source
+    shares ≥1 band bucket with some ADDED, REMOVED or MODIFIED
+    entity — the dirty buckets are derived from the changed entities'
+    OLD signatures (covers removals/old mates) and NEW signatures
+    (covers additions/new mates). Every other source's stored rows
+    are provably identical to a fresh recompute (the whole chain is
+    deterministic), so they are reused verbatim.
+
+    Physical shape: one signature pass over the current catalog (a
+    vectorized matmul — cheap next to candidate scoring), a band
+    equi-join with ONE side restricted to the affected sources, and
+    scoring only |affected| × bucket-mates candidate pairs. At a
+    production catalog a small delta touches a few buckets, so the
+    shuffle and the Python scoring volume are delta-proportional; the
+    full chain's corpus-wide pair dedup + scoring disappears.
+
+    Falls back to the full chain when everything changed (e.g. first
+    cycle) by construction — affected = catalog ⇒ identical work."""
+    fp_new = embedded.select(
+        "entity_id", F.xxhash64("entity_id", "embedding").alias("__h")
+    )
+    fp_old = old_embedded.select(
+        "entity_id", F.xxhash64("entity_id", "embedding").alias("__h")
+    ).localCheckpoint()
+    changed_ids = (
+        fp_new.join(fp_old, ["entity_id", "__h"], "left_anti")
+        .select("entity_id")
+        .localCheckpoint()
+    )  # added + modified
+    removed_ids = (
+        fp_old.select("entity_id")
+        .join(fp_new.select("entity_id"), "entity_id", "left_anti")
+        .localCheckpoint()
+    )
+    if (
+        changed_ids.limit(1).count() == 0
+        and removed_ids.limit(1).count() == 0
+    ):
+        return old_similar
+
+    sig = _signature_udf(dim, bands, rows)
+    signed = (
+        embedded.select(
+            "entity_id", F.explode(sig("embedding")).alias("band_hash")
+        )
+        .localCheckpoint()
+    )
+    old_signed_changed = old_embedded.join(
+        changed_ids.unionByName(removed_ids).distinct(),
+        "entity_id",
+        "left_semi",
+    ).select("entity_id", F.explode(sig("embedding")).alias("band_hash"))
+    new_signed_changed = signed.join(changed_ids, "entity_id", "left_semi")
+    dirty_buckets = (
+        old_signed_changed.select("band_hash")
+        .unionByName(new_signed_changed.select("band_hash"))
+        .distinct()
+        .localCheckpoint()
+    )
+    affected_srcs = (
+        signed.join(dirty_buckets, "band_hash", "left_semi")
+        .select("entity_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    # DIRECTED candidates for the affected sources against the whole
+    # catalog — per-source candidate sets equal the full chain's
+    # (band join is symmetric), so per-source top-k rows match
+    cand = (
+        signed.join(affected_srcs, "entity_id", "left_semi")
+        .alias("l")
+        .join(signed.alias("r"), "band_hash")
+        .where(F.col("l.entity_id") != F.col("r.entity_id"))
+        .select(
+            F.col("l.entity_id").alias("src"), F.col("r.entity_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    if _store_bytes(embedded.count(), dim) <= broadcast_max_bytes:
+        scored = _score_candidates_broadcast(cand, embedded)
+    else:
+        scored = _score_candidates_join(cand, embedded)
+    fresh = _topk_filter(scored, top_k, cutoff)
+    kept = (
+        old_similar.join(
+            affected_srcs.withColumnRenamed("entity_id", "src"),
+            "src",
+            "left_anti",
+        )
+        .join(
+            removed_ids.withColumnRenamed("entity_id", "src"),
+            "src",
+            "left_anti",
+        )
+        .select("src", "dst", "score")
+    )
+    return kept.unionByName(fresh)
+
+
 # Driver-path ceiling. Above this the catalog goes through the
 # distributed LSH chain; below it a single collect + numpy KNN wins
 # (the driver KNN is O(n²) flops — 2000² × 64 ≈ 0.3 GFlop ≈ tens of
@@ -405,10 +520,16 @@ def link_entities_driver_path(
     }
 
 
+#: below this catalog size method='auto' routes to the exact cross
+#: join; at or above it, the LSH chain (and therefore the LSH delta
+#: maintenance path in plans/incremental)
+EXACT_THRESHOLD = 2_000
+
+
 def similar_entities(
     embedded: DataFrame,
     method: str = "auto",
-    exact_threshold: int = 2_000,
+    exact_threshold: int = EXACT_THRESHOLD,
     **kwargs,
 ) -> DataFrame:
     """exact under ``exact_threshold`` rows (the interpreted per-pair

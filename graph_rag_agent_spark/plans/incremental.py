@@ -856,7 +856,43 @@ def _incremental_update_delta(
             )
         )
         wh.append_lineage("incr_embed", -1, todo.count(), t0, defer=True)
-        similar = ck(similar_entities(embedded, method=cfg.similarity_method))
+        # incremental KNN maintenance: when the full path would run
+        # the LSH chain AND the stored (entity_embeddings, similar)
+        # pair is a consistent committed set (the link-params sidecar
+        # survives only when all four linking tables landed together),
+        # re-score ONLY the sources sharing a band bucket with a
+        # changed/removed/added entity — provably equal to the full
+        # recompute (linking.similar_entities_lsh_delta), and
+        # delta-proportional instead of catalog-proportional.
+        from ..operators.linking import (
+            EXACT_THRESHOLD,
+            similar_entities_lsh_delta,
+        )
+
+        use_lsh = cfg.similarity_method == "lsh" or (
+            cfg.similarity_method == "auto"
+            and embedded.count() > EXACT_THRESHOLD
+        )
+        if (
+            use_lsh
+            and wh.stored_link_params() == wh.link_params
+            and wh.exists("similar")
+        ):
+            t0 = _time.time()
+            similar = ck(
+                similar_entities_lsh_delta(
+                    embedded,
+                    wh.read("entity_embeddings"),
+                    wh.read("similar"),
+                )
+            )
+            wh.append_lineage(
+                "incr_similar_delta", -1, similar.count(), t0, defer=True
+            )
+        else:
+            similar = ck(
+                similar_entities(embedded, method=cfg.similarity_method)
+            )
         wcc = ck(
             consecutive_component_ids(
                 connected_components(

@@ -556,6 +556,72 @@ def test_delta_incremental_matches_rebuild_and_is_delta_proportional(
     assert cmap_merged is not None and cmap_merged <= n_entities
 
 
+def test_delta_incremental_lsh_linking_delta_path(
+    spark, transcripts_df, tmp_path_factory, monkeypatch
+):
+    """With the LSH chain forced (driver fast path disabled,
+    similarity_method='lsh'), a changed-catalog delta cycle must take
+    the incremental KNN maintenance path (incr_similar_delta lineage
+    marker) and still produce tables identical to a from-scratch LSH
+    rebuild — the delta maintenance is provably-equal reuse, not an
+    approximation."""
+    import graph_rag_agent_spark.operators.linking as linking_mod
+    import graph_rag_agent_spark.plans.build as build_mod
+
+    # build.py binds the symbol at module import; incremental.py at
+    # call time — patch both so BOTH the rebuild and the delta cycle
+    # run the distributed LSH chain
+    monkeypatch.setattr(
+        linking_mod,
+        "link_entities_driver_path",
+        lambda catalog, threshold=None: None,
+    )
+    monkeypatch.setattr(
+        build_mod,
+        "link_entities_driver_path",
+        lambda catalog, threshold=None: None,
+    )
+    wh = str(tmp_path_factory.mktemp("wh_lshdelta"))
+    cfg = BuildConfig(
+        warehouse=wh,
+        similarity_method="lsh",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    build_all(spark, transcripts_df, cfg)
+
+    v2_rows = [
+        r
+        for r in generate_transcripts(12)
+        if r["conv_id"] != "conv-000003"
+        and not (r["conv_id"] == "conv-000001" and r["turn_idx"] >= 5)
+    ]
+    v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+    tables = incremental_update(spark, v2_df, wh, cfg=cfg)
+
+    lineage = spark.read.parquet(f"{wh}/lineage")
+    assert lineage.where(F.col("stage") == "incr_similar_delta").count() == 1
+
+    wh2 = str(tmp_path_factory.mktemp("wh_lshdelta_ref"))
+    rebuilt = build_all(
+        spark,
+        v2_df,
+        BuildConfig(
+            warehouse=wh2,
+            similarity_method="lsh",
+            extraction_buckets=2,
+            bucket_convs=8,
+        ),
+    )
+    for name in ["similar", "canonical_map", "entities", "triples"]:
+        cols = sorted(
+            c for c in tables[name].columns if c != "embedding"
+        )
+        a = {tuple(r) for r in tables[name].select(*cols).collect()}
+        b = {tuple(r) for r in rebuilt.tables[name].select(*cols).collect()}
+        assert a == b, name
+
+
 def test_detection_reuse_on_membership_preserving_delta(
     spark, transcripts_df, tmp_path_factory
 ):

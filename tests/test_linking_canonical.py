@@ -237,6 +237,45 @@ def test_knn_fallback_ladder(spark):
     assert calls == [10, 5]  # primary topK then degraded topK
 
 
+def test_lsh_delta_equals_full_recompute(spark):
+    """Incremental KNN maintenance: modify + remove + add entities,
+    then similar_entities_lsh_delta must equal a full recompute
+    bit-for-bit (unaffected sources' stored rows are reused verbatim;
+    affected ones re-score against the whole catalog)."""
+    from graph_rag_agent_spark.operators.linking import (
+        similar_entities_lsh,
+        similar_entities_lsh_delta,
+        with_embeddings,
+    )
+
+    schema = "entity_id string, entity_type string, description string"
+    base = [(f"Widget {i}", "Product", f"desc {i % 7}") for i in range(300)]
+    v1 = with_embeddings(spark.createDataFrame(base, schema)).localCheckpoint()
+    old_similar = similar_entities_lsh(v1, cutoff=0.3).localCheckpoint()
+
+    # no change → the stored table is returned untouched
+    assert similar_entities_lsh_delta(v1, v1, old_similar, cutoff=0.3) is old_similar
+
+    rows2 = [
+        (eid, t, ("MODIFIED " + d) if i % 29 == 0 else d)
+        for i, (eid, t, d) in enumerate(base)
+        if i % 31 != 0  # ~10 removals
+    ] + [(f"Gadget {i}", "Product", f"fresh {i}") for i in range(8)]
+    v2 = with_embeddings(spark.createDataFrame(rows2, schema)).localCheckpoint()
+
+    got = {
+        (r["src"], r["dst"], r["score"])
+        for r in similar_entities_lsh_delta(
+            v2, v1, old_similar, cutoff=0.3
+        ).collect()
+    }
+    want = {
+        (r["src"], r["dst"], r["score"])
+        for r in similar_entities_lsh(v2, cutoff=0.3).collect()
+    }
+    assert got == want and want
+
+
 def test_score_path_gate_is_byte_aware(spark):
     """The broadcast-store gate counts BYTES (rows × dim × 8), not
     rows: 500k rows of production 1,536-dim vectors (~6 GB) must route
