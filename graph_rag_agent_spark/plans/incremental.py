@@ -886,8 +886,11 @@ def _incremental_update_delta(
                     wh.read("similar"),
                 )
             )
+            # marker row (rows=1, like incr_link_reused): the table
+            # count would read catalog-proportional and obscure that
+            # only the affected sources re-scored
             wh.append_lineage(
-                "incr_similar_delta", -1, similar.count(), t0, defer=True
+                "incr_similar_delta", -1, 1, t0, defer=True
             )
         else:
             similar = ck(
