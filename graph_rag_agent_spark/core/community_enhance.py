@@ -84,6 +84,46 @@ def relevance_score(
     )
 
 
+def parse_search_strategy(
+    content: str, keywords: list[str] | None = None
+) -> dict:
+    """generate_search_strategy's post-LLM parse ladder
+    (community_enhance.py:296-330): quoted spans as follow-up queries,
+    else sentence-shaped spans (10+ chars between terminators, first
+    3); entities from 'label: value' lines (first 5), falling back to
+    the caller's extracted ``keywords`` (the jieba slot — import-gated
+    in prod, injected here). Returns the reference's strategy dict
+    shape."""
+    queries = re.findall(r'"([^"]+)"', content)
+    if not queries:
+        sentences = re.findall(
+            r"[？?!！。；;][^？?!！。；;]{5,50}[？?!！。；;]", content
+        )
+        queries = [s.strip() for s in sentences if len(s.strip()) > 10][:3]
+    entities: list[str] = []
+    for line in content.split("\n"):
+        if ":" in line or "：" in line:
+            parts = re.split(r"[：:]", line, maxsplit=1)
+            if len(parts) == 2 and len(parts[1].strip()) > 0:
+                entities.append(parts[1].strip())
+    kw = list(keywords or [])
+    return {
+        "strategy_type": "jieba_extracted",
+        "follow_up_queries": queries[:3] if queries else [],
+        "focus_entities": entities[:5] if entities else kw[:5],
+        "keywords": kw,
+    }
+
+
+def basic_strategy(entities: list[dict]) -> dict:
+    """The <3-entities early return (community_enhance.py:269-275)."""
+    return {
+        "strategy_type": "basic",
+        "follow_up_queries": [],
+        "focus_entities": [],
+    }
+
+
 def extract_temporal_info(text: str) -> list[str]:
     """_extract_temporal_info (:236-252): findall per pattern,
     concatenated in pattern order (overlapping patterns re-report —

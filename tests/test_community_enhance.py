@@ -36,6 +36,22 @@ def test_temporal_info_pattern_order_and_overlap():
     assert got.count("2021年") == 1 and "2024年" in got
 
 
+def test_parse_search_strategy_ladder():
+    # quoted spans win
+    got = C.parse_search_strategy('先查 "q one" 再查 "q two"', ["k1"])
+    assert got["follow_up_queries"] == ["q one", "q two"]
+    assert got["focus_entities"] == ["k1"] and got["keywords"] == ["k1"]
+    # sentence fallback: 10+ chars between terminators, first 3
+    text = "。这里是一个足够长的候选句子！短。另一个也是足够长的查询句子？"
+    got2 = C.parse_search_strategy(text)
+    assert got2["follow_up_queries"]
+    assert all(len(q) > 10 for q in got2["follow_up_queries"])
+    # entity lines: 'label: value', first 5
+    got3 = C.parse_search_strategy("重点：阿尔法\nfocus: beta\nplain line")
+    assert got3["focus_entities"] == ["阿尔法", "beta"]
+    assert C.basic_strategy([])["strategy_type"] == "basic"
+
+
 def _letters(text: str) -> list[int]:
     return [text.lower().count(c) for c in "abcde"]
 
