@@ -174,6 +174,8 @@ def main() -> None:
     # At tiny per-batch volumes turns/sec is floor-bound by the cycle's
     # fixed orchestration latency (~60 driver barriers), the cost that
     # AMORTIZES at real batch sizes.
+    _stream_dirs: list[str] = []
+
     def stream_build():
         import tempfile
 
@@ -187,6 +189,7 @@ def main() -> None:
         src = tempfile.mkdtemp(prefix="bench_stream_src_")
         wh = tempfile.mkdtemp(prefix="bench_stream_wh_")
         ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+        _stream_dirs.extend([src, wh, ckpt])
         cfg = BuildConfig(warehouse=wh, resume=False, bucket_convs=16)
         stream_t = synthesize_transcripts(
             spark, max(60, n_convs // 8)
@@ -239,6 +242,7 @@ def main() -> None:
     # delta re-winnering → side-table delta-MERGE) and should sit far
     # under kg_build_synthetic.
     def delta_cycle():
+        import shutil
         import tempfile
 
         from pyspark.sql import functions as F
@@ -247,34 +251,46 @@ def main() -> None:
         from graph_rag_agent_spark.plans.incremental import incremental_update
 
         wh = tempfile.mkdtemp(prefix="bench_delta_wh_")
-        cfg = BuildConfig(warehouse=wh, resume=False, bucket_convs=16)
-        # bootstrap: the full build_all on the SAME warehouse
-        # machinery — the apples-to-apples denominator for the
-        # delta_cycle claim (untimed row, recorded in extra)
-        t0 = time.time()
-        build_all(spark, transcripts, cfg)
-        extra["delta_bootstrap_s"] = round(time.time() - t0, 3)
-        sel = F.pmod(F.xxhash64("conv_id"), F.lit(100)) == 0
-        mx = transcripts.groupBy("conv_id").agg(
-            F.max("turn_idx").alias("__mx")
-        )
-        # the delta: drop the LAST turn of ~1 % of conversations
-        v2 = (
-            transcripts.join(mx, "conv_id")
-            .where(~(sel & (F.col("turn_idx") == F.col("__mx"))))
-            .drop("__mx")
-            .localCheckpoint()
-        )
-        n_changed = transcripts.where(sel).select("conv_id").distinct().count()
+        try:
+            cfg = BuildConfig(warehouse=wh, resume=False, bucket_convs=16)
+            # bootstrap: the full build_all on the SAME warehouse
+            # machinery — the apples-to-apples denominator for the
+            # delta_cycle claim (untimed row, recorded in extra)
+            t0 = time.time()
+            build_all(spark, transcripts, cfg)
+            extra["delta_bootstrap_s"] = round(time.time() - t0, 3)
+            sel = F.pmod(F.xxhash64("conv_id"), F.lit(100)) == 0
+            mx = transcripts.groupBy("conv_id").agg(
+                F.max("turn_idx").alias("__mx")
+            )
+            # the delta: drop the LAST turn of ~1 % of conversations
+            v2 = (
+                transcripts.join(mx, "conv_id")
+                .where(~(sel & (F.col("turn_idx") == F.col("__mx"))))
+                .drop("__mx")
+                .localCheckpoint()
+            )
+            n_changed = (
+                transcripts.where(sel).select("conv_id").distinct().count()
+            )
 
-        def run_cycle():
-            incremental_update(spark, v2, wh, cfg=cfg)
-            return n_changed
+            def run_cycle():
+                incremental_update(spark, v2, wh, cfg=cfg)
+                return n_changed
 
-        return timed("delta_cycle", run_cycle)
+            return timed("delta_cycle", run_cycle)
+        finally:
+            # a full sf-sized warehouse per bench run would otherwise
+            # accumulate in /tmp until Spark's own spill space runs out
+            shutil.rmtree(wh, ignore_errors=True)
 
     extra["delta_cycle_changed_convs"] = delta_cycle()
     extra["loadavg_end"] = round(os.getloadavg()[0], 2)
+
+    import shutil
+
+    for d in _stream_dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
     spark.stop()
 

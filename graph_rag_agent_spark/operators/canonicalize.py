@@ -251,7 +251,10 @@ def resolve_canonical(
             list(mapping.items()) or [], "entity_id string, canonical_id string"
         )
         # the driver path KNOWS the map's size — pre-seed the
-        # broadcast-gate estimate so _map_side never spends a job on it
+        # broadcast-gate estimate for consumers that use this frame
+        # DIRECTLY (plans/inmem — the bench's hot path); a
+        # localCheckpoint/ck wrapper returns a fresh object and the
+        # estimate re-memoizes there with one agg job
         cmap_df._cmap_est_bytes = (
             sum(len(k) + len(v) for k, v in mapping.items()) * 4
             + len(mapping) * 48

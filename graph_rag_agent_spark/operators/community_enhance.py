@@ -42,20 +42,15 @@ _INTS = ("int", "bigint", "smallint", "tinyint")
 
 
 def _cosine(a: str, b: str, integral: bool):
-    """cosine(a, b); with integral vectors the dot products are exact
-    BIGINT folds and only the final sqrt/divide touch floats — the
-    shape the SQL oracle replays bit-for-bit."""
-    zero = F.lit(0).cast("long") if integral else F.lit(0.0)
+    """cosine(a, b) over the shared dot-fold core (chunk_index._dot —
+    the same helper the query cache rides); with integral vectors the
+    dot products are exact BIGINT folds and only the final sqrt/divide
+    touch floats — the shape the SQL oracle replays bit-for-bit."""
+    from .chunk_index import _dot
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
-            zero,
-            lambda acc, v: acc + v,
-        )
-
-    d = dot(a, b).cast("double")
-    na, nb = F.sqrt(dot(a, a).cast("double")), F.sqrt(dot(b, b).cast("double"))
+    d = _dot(a, b, integral).cast("double")
+    na = F.sqrt(_dot(a, a, integral).cast("double"))
+    nb = F.sqrt(_dot(b, b, integral).cast("double"))
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
         d / (na * nb)
     )

@@ -124,9 +124,14 @@ def evidence_claims(
 def _word_set(col: str):
     """Lowercased whitespace-split word SET (evidence.py:352-353) —
     Python str.split() semantics: any whitespace run splits, no empty
-    tokens."""
+    tokens. (?U) turns on Java's UNICODE_CHARACTER_CLASS so \\s
+    matches the same Unicode whitespace (U+3000 ideographic space,
+    NBSP, …) Python's split sees — without it the JVM gate and the
+    rule core disagree on CJK text."""
     return F.array_distinct(
-        F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda x: x != "")
+        F.filter(
+            F.split(F.lower(F.col(col)), r"(?U)\s+"), lambda x: x != ""
+        )
     )
 
 

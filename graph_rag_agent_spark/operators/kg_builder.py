@@ -150,7 +150,6 @@ def pagerank(
         n = n.unionByName(nodes.select(gc, "node")).distinct()
     n = n.localCheckpoint()
     counts = n.groupBy(gc).agg(F.count(F.lit(1)).alias("__N")).localCheckpoint()
-    total_nodes = n.count()
     outdeg = e.groupBy(gc, "src").agg(F.count(F.lit(1)).alias("__deg"))
     ranks = (
         n.join(counts, gc)

@@ -508,7 +508,8 @@ def link_entities_driver_path(
         list(cmap.items()) or [], "entity_id string, canonical_id string"
     )
     # pre-seed the canonicalize broadcast-gate estimate (driver path
-    # knows the exact map) — avoids one agg job per downstream rewrite
+    # knows the exact map) for DIRECT consumers (plans/inmem);
+    # checkpoint wrappers re-memoize on their fresh object
     cmap_df._cmap_est_bytes = (
         sum(len(k) + len(v) for k, v in cmap.items()) * 4 + len(cmap) * 48
     )

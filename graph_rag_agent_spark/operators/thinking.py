@@ -307,9 +307,13 @@ def with_dual_path_queries(
     ``kb_query`` (name prefixed unless already present,
     case-insensitive)."""
     q, k = F.col(query_col), F.col(kb_name_col)
-    return df.withColumn(
-        "precise_query", F.trim(F.replace(q, k, F.lit("")))
-    ).withColumn(
+    # str.strip() strips UNICODE whitespace; Spark trim only 0x20 —
+    # the (?U) regex replace keeps operator == core when the KB name
+    # is separated by a tab/newline/full-width space
+    stripped = F.regexp_replace(
+        F.replace(q, k, F.lit("")), r"(?U)^\s+|(?U)\s+$", ""
+    )
+    return df.withColumn("precise_query", stripped).withColumn(
         "kb_query",
         F.when(
             F.lower(q).contains(F.lower(k)), q

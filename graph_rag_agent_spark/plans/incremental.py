@@ -864,20 +864,29 @@ def _incremental_update_delta(
         # changed/removed/added entity — provably equal to the full
         # recompute (linking.similar_entities_lsh_delta), and
         # delta-proportional instead of catalog-proportional.
-        from ..operators.linking import (
-            EXACT_THRESHOLD,
-            similar_entities_lsh_delta,
-        )
+        from ..operators import linking as _linking
+        from ..operators.linking import similar_entities_lsh_delta
 
         use_lsh = cfg.similarity_method == "lsh" or (
             cfg.similarity_method == "auto"
-            and embedded.count() > EXACT_THRESHOLD
+            and embedded.count() > _linking.EXACT_THRESHOLD
         )
-        if (
-            use_lsh
-            and wh.stored_link_params() == wh.link_params
-            and wh.exists("similar")
-        ):
+        # the stored `similar` is LSH-produced ONLY if the previous
+        # cycle's catalog exceeded both the driver fast-path and the
+        # exact-method thresholds (routing is deterministic in
+        # catalog size + method) — a table produced by the exact or
+        # driver KNN contains pairs no band join would generate, and
+        # reusing those rows would diverge from the LSH recompute.
+        # Below the floor the full chain is cheap anyway.
+        lsh_floor = max(
+            _linking.EXACT_THRESHOLD, _linking.LINK_DRIVER_THRESHOLD
+        )
+        stored_is_lsh = False
+        if wh.stored_link_params() == wh.link_params and wh.exists("similar"):
+            stored_is_lsh = (
+                wh.read("entity_embeddings").count() > lsh_floor
+            )
+        if use_lsh and stored_is_lsh:
             t0 = _time.time()
             similar = ck(
                 similar_entities_lsh_delta(

@@ -171,6 +171,36 @@ def test_evidence_contradictions_match_core(spark):
     assert got == want and want  # non-trivial fixture
 
 
+def test_evidence_contradictions_cjk_whitespace_parity(spark):
+    """The JVM Jaccard gate must tokenize Unicode whitespace
+    (ideographic space U+3000, NBSP) exactly like the rule core's
+    str.split() — contexts near the 0.7 gate would otherwise flip
+    between engines on CJK text."""
+    rows = [
+        ("q0", "e1", "价格　指标 甲 乙 42 丙"),
+        ("q0", "e2", "价格　指标 甲 乙 87 丙"),
+        ("q0", "e3", "价格 指标 甲 乙 55 丁"),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id string, evidence_id string, content string"
+    )
+    from graph_rag_agent_spark.operators.evidence import (
+        evidence_contradictions,
+    )
+
+    got = {
+        (r["evidence1"], r["evidence2"], r["value1"], r["value2"])
+        for r in evidence_contradictions(df).collect()
+    }
+    evs = [(eid, c) for _, eid, c in rows]
+    want = {
+        (c["evidence1"], c["evidence2"], c["value1"], c["value2"])
+        for c in E.numeric_contradictions(evs)
+    }
+    assert got == want and want
+
+
+
 def test_evidence_contradictions_semantic_rung(spark):
     from graph_rag_agent_spark.operators.evidence import (
         evidence_contradictions,

@@ -581,6 +581,11 @@ def test_delta_incremental_lsh_linking_delta_path(
         "link_entities_driver_path",
         lambda catalog, threshold=None: None,
     )
+    # the delta gate requires the stored table to be LSH-produced
+    # (catalog above both routing thresholds); this fixture's catalog
+    # is small but BUILT via the forced LSH chain, so lower the floor
+    monkeypatch.setattr(linking_mod, "EXACT_THRESHOLD", 0)
+    monkeypatch.setattr(linking_mod, "LINK_DRIVER_THRESHOLD", 0)
     wh = str(tmp_path_factory.mktemp("wh_lshdelta"))
     cfg = BuildConfig(
         warehouse=wh,
@@ -620,6 +625,59 @@ def test_delta_incremental_lsh_linking_delta_path(
         a = {tuple(r) for r in tables[name].select(*cols).collect()}
         b = {tuple(r) for r in rebuilt.tables[name].select(*cols).collect()}
         assert a == b, name
+
+
+def test_lsh_delta_declines_exact_produced_store(
+    spark, transcripts_df, tmp_path_factory, monkeypatch
+):
+    """A stored `similar` table produced by the exact/driver KNN path
+    (small catalog) must NOT seed the LSH delta maintenance — exact
+    tables contain pairs no band join generates, so reusing them
+    would diverge from an LSH recompute. The gate declines (catalog
+    below the routing floor) and the cycle re-runs the full LSH
+    chain, whose output equals a direct similar_entities_lsh."""
+    import graph_rag_agent_spark.operators.linking as linking_mod
+
+    wh = str(tmp_path_factory.mktemp("wh_lshdecline"))
+    cfg = BuildConfig(
+        warehouse=wh,
+        similarity_method="lsh",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    # v1 build with the driver fast path ACTIVE: the tiny catalog
+    # routes through exact numpy KNN regardless of method='lsh'
+    build_all(spark, transcripts_df, cfg)
+
+    # delta cycle with the driver path off: use_lsh is True but the
+    # stored table is exact-produced (catalog far below the floor)
+    monkeypatch.setattr(
+        linking_mod,
+        "link_entities_driver_path",
+        lambda catalog, threshold=None: None,
+    )
+    v2_rows = [
+        r for r in generate_transcripts(12) if r["conv_id"] != "conv-000003"
+    ]
+    v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+    tables = incremental_update(spark, v2_df, wh, cfg=cfg)
+
+    lineage = spark.read.parquet(f"{wh}/lineage")
+    assert lineage.where(F.col("stage") == "incr_similar_delta").count() == 0
+
+    from graph_rag_agent_spark.plans.build import _Warehouse
+
+    whr = _Warehouse(spark, wh)
+    emb = whr.read("entity_embeddings").localCheckpoint()
+    want = {
+        (r["src"], r["dst"], r["score"])
+        for r in linking_mod.similar_entities_lsh(emb).collect()
+    }
+    got = {
+        (r["src"], r["dst"], r["score"])
+        for r in whr.read("similar").collect()
+    }
+    assert got == want
 
 
 def test_detection_reuse_on_membership_preserving_delta(

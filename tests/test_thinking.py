@@ -404,9 +404,17 @@ def test_dual_path_operator_matches_core(spark):
     from graph_rag_agent_spark.operators.thinking import with_dual_path_queries
 
     df = spark.createDataFrame(
-        [("人事制度 产假规定", "人事制度"), ("产假规定", "人事制度")],
+        [
+            ("人事制度 产假规定", "人事制度"),
+            ("产假规定", "人事制度"),
+            # unicode whitespace left by the replace must strip like
+            # str.strip(): newline, tab, ideographic space
+            ("人事制度\n产假规定", "人事制度"),
+            ("人事制度　产假规定\t", "人事制度"),
+        ],
         "query string, kb_name string",
     )
     for r in with_dual_path_queries(df).collect():
         precise, kb = T.dual_path_queries(r["query"], r["kb_name"])
-        assert r["precise_query"] == precise and r["kb_query"] == kb
+        assert r["precise_query"] == precise, r["query"]
+        assert r["kb_query"] == kb, r["query"]
