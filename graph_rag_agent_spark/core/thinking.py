@@ -94,14 +94,17 @@ def classify_next_query(raw: str) -> dict:
 
 def parse_sub_queries(content: str, original_query: str) -> list[str]:
     """generate_sub_queries' parse ladder (search.py:218-246): first
-    bracketed span parsed as a list; any failure → [original_query]."""
+    bracketed span parsed as a list; any failure → [original_query].
+    The broad except mirrors the reference's bare ``except Exception``
+    — adversarial literals can raise beyond ValueError/SyntaxError
+    (deep nesting → RecursionError, huge repeats → MemoryError)."""
     list_text = _LIST_RE.search(content)
     if list_text:
         try:
             sub_queries = ast.literal_eval(list_text.group(0))
             if isinstance(sub_queries, (list, tuple)):
                 return list(sub_queries)
-        except (ValueError, SyntaxError):
+        except Exception:
             pass
     return [original_query]
 
@@ -113,7 +116,7 @@ def parse_followup_queries(content: str) -> list[str]:
     if list_text:
         try:
             followups = ast.literal_eval(list_text.group(0))
-        except (ValueError, SyntaxError):
+        except Exception:  # the reference's bare except (search.py:328)
             return []
         if isinstance(followups, (list, tuple)):
             unique: list = []
@@ -127,12 +130,19 @@ def parse_followup_queries(content: str) -> list[str]:
 def parse_hypotheses(content: str) -> list[dict]:
     """generate_hypotheses' parse ladder (thinking.py:66-167): a
     bracketed JSON list of {hypothesis, reasoning} dicts, else the
-    regex fallback, else the default hypothesis."""
+    regex fallback, else the default hypothesis. A parsed list whose
+    items are not dicts carrying BOTH keys also falls back — the
+    reference's formatting loop reads hyp['hypothesis'] /
+    hyp['reasoning'] inside the same try, so a string item or a
+    missing key raises there and lands in the fallback."""
     json_match = _LIST_RE.search(content)
     if json_match:
         try:
             hypotheses = json.loads(json_match.group(0))
-            if isinstance(hypotheses, list):
+            if isinstance(hypotheses, list) and all(
+                isinstance(h, dict) and "hypothesis" in h and "reasoning" in h
+                for h in hypotheses
+            ):
                 return hypotheses
         except (ValueError, TypeError):
             pass
@@ -326,12 +336,15 @@ class BranchTree:
     def branch(self, branch_name: str, base_branch: str = "main") -> None:
         """thinking.py:413-438: unknown base falls back to main; the
         new branch copies the base and becomes current, then records
-        the creation step."""
+        the creation step. The empty-assign-THEN-copy order matters:
+        branching a name onto itself empties it first (the reference
+        iterates the now-empty list), keeping only the creation
+        step."""
         if base_branch not in self.tree:
             base_branch = "main"
-        self.tree[branch_name] = [
-            step.copy() for step in self.tree[base_branch]
-        ]
+        self.tree[branch_name] = []
+        for step in self.tree[base_branch]:
+            self.tree[branch_name].append(step.copy())
         self.current = branch_name
         self.add_step(f"创建推理分支: {branch_name}，基于: {base_branch}")
 

@@ -366,7 +366,8 @@ def cited_answers(
     joined = answers.select(
         F.col(answer_id_col).alias("answer_id"), F.col(answer_col).alias("answer")
     ).join(matches, "answer_id", "left")
-    schema = "answer_id string, cited_answer string, n_citations int"
+    id_type = answers.schema[answer_id_col].dataType.simpleString()
+    schema = f"answer_id {id_type}, cited_answer string, n_citations int"
 
     def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         answer = pdf["answer"].iloc[0]

@@ -131,7 +131,14 @@ def pagerank(
 
     ``group_col`` runs one independent PageRank per group (the
     batched per-query-graph shape) — N, dangling mass and
-    convergence are all per-group. → (group?, node, rank)."""
+    convergence are all per-group. → (group?, node, rank).
+
+    Like nx.pagerank, a ``tol > 0`` run that exhausts ``max_iter``
+    without every group converging RAISES (RuntimeError standing in
+    for PowerIterationFailedConvergence) — the reference's
+    get_central_entities catches exactly that and falls back to
+    degree centrality (kg_builder.py:316-333; see
+    central_entities_ladder)."""
     # a constant synthetic group unifies the single-graph and
     # per-query-graph shapes (dropped on return when absent)
     synthetic = group_col is None
@@ -252,8 +259,63 @@ def pagerank(
                 active = new_ranks
         else:
             active = new_ranks
+    else:
+        # for/else: the loop ran out of sweeps without breaking
+        if tol > 0 and active.limit(1).count() > 0:
+            raise RuntimeError(
+                f"pagerank failed to converge in {max_iter} iterations"
+            )
     ranks = active if frozen is None else frozen.unionByName(active)
     return ranks.drop(gc) if synthetic else ranks
+
+
+def central_entities_ladder(
+    edges: DataFrame,
+    limit: int = 5,
+    group_col: str | None = None,
+    **pagerank_kwargs,
+) -> DataFrame:
+    """get_central_entities' full resilience ladder (kg_builder.py:
+    279-345): PageRank top-``limit``; if the power iteration fails to
+    converge (nx raises there), fall back to degree centrality —
+    in-degree + out-degree per node, top-``limit`` by (degree DESC,
+    node ASC pin). → (group?, node, score, method) where method is
+    'pagerank' | 'degree'."""
+    g = [group_col] if group_col else []
+    try:
+        ranks = pagerank(edges, group_col=group_col, **pagerank_kwargs)
+        top = central_entities(ranks, limit=limit, group_col=group_col)
+        return top.select(
+            *g,
+            "node",
+            F.col("rank").alias("score"),
+            F.lit("pagerank").alias("method"),
+        )
+    except RuntimeError:
+        e = edges.select(*g, "src", "dst").distinct()
+        deg = (
+            e.select(*g, F.col("src").alias("node"))
+            .unionByName(e.select(*g, F.col("dst").alias("node")))
+            .groupBy(*g, "node")
+            .agg(F.count(F.lit(1)).alias("score"))
+        )
+        if group_col:
+            w = Window.partitionBy(group_col).orderBy(
+                F.desc("score"), F.asc("node")
+            )
+            deg = (
+                deg.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") <= limit)
+                .drop("__rk")
+            )
+        else:
+            deg = deg.orderBy(F.desc("score"), F.asc("node")).limit(limit)
+        return deg.select(
+            *g,
+            "node",
+            F.col("score").cast("double"),
+            F.lit("degree").alias("method"),
+        )
 
 
 def central_entities(

@@ -108,7 +108,11 @@ def sub_query_plans(
 ) -> DataFrame:
     """generate_sub_queries' parse ladder (search.py:218-246) batched:
     adds ``sub_queries`` (array; [original query] on parse failure —
-    the reference's fallback) and ``n_sub_queries``."""
+    the reference's fallback) and ``n_sub_queries``. Non-string list
+    elements (a trace emitting ``[1, 2]``) are stringified at the
+    column boundary — the reference hands them on untyped; an
+    array<string> column cannot, and one bad trace must not abort the
+    corpus job."""
 
     @F.pandas_udf("array<string>")
     def parse_udf(
@@ -117,7 +121,10 @@ def sub_query_plans(
         for raw, query in it:
             yield pd.Series(
                 [
-                    parse_sub_queries(r or "", q or "")
+                    [
+                        q2 if isinstance(q2, str) else str(q2)
+                        for q2 in parse_sub_queries(r or "", q or "")
+                    ]
                     for r, q in zip(raw, query)
                 ]
             )
@@ -132,12 +139,21 @@ def followup_query_plans(
 ) -> DataFrame:
     """generate_followup_queries' parse ladder (search.py:283-345):
     adds ``followup_queries`` (order-preserving dedup; [] on parse
-    failure)."""
+    failure). Non-string elements stringify at the column boundary
+    (see sub_query_plans)."""
 
     @F.pandas_udf("array<string>")
     def parse_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for raw in it:
-            yield pd.Series([parse_followup_queries(r or "") for r in raw])
+            yield pd.Series(
+                [
+                    [
+                        q if isinstance(q, str) else str(q)
+                        for q in parse_followup_queries(r or "")
+                    ]
+                    for r in raw
+                ]
+            )
 
     return df.withColumn("followup_queries", parse_udf(F.col(text_col)))
 

@@ -111,9 +111,10 @@ def with_query_complexity(
             + indicator_factor * 0.4,
         ),
     )
+    # blank test via (?U)\s removal: str.strip() treats Unicode
+    # whitespace (tab/newline/U+3000) as blank; Spark trim only 0x20
+    blank = F.regexp_replace(q, r"(?U)\s", "") == ""
     return df.withColumn(
         out_col,
-        F.when(
-            q.isNull() | (F.trim(q) == ""), F.lit(0.0)
-        ).otherwise(complexity),
+        F.when(q.isNull() | blank, F.lit(0.0)).otherwise(complexity),
     )

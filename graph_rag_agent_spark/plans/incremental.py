@@ -1165,7 +1165,16 @@ def _incremental_update_delta(
 
         path = wh.path(name)
         if not wh.exists(name) or table_bucket_spec(path) is None:
-            wh.write(df_new, name)
+            # bucket the fallback write on bucketed-config warehouses
+            # (same shape as build_all's stages) so a once-missing or
+            # legacy-unbucketed table re-enters the delta-MERGE
+            # regime next cycle instead of overwriting forever
+            wh.write(
+                df_new,
+                name,
+                group_key=key if cfg.bucket_convs else None,
+                num_buckets=cfg.bucket_convs,
+            )
             return
         cols = [c for c in df_new.columns]
         old = wh.read(name).select(*cols)

@@ -286,6 +286,23 @@ def test_cited_answers_match_core(spark):
         assert got[aid][1] == len(want["citations"]), aid
 
 
+def test_cited_answers_non_string_ids(spark):
+    # the applyInPandas schema derives the id type — integer answer
+    # ids (doc_id-shaped) must round-trip
+    from graph_rag_agent_spark.operators.evidence import (
+        cited_answers,
+        statement_matches,
+    )
+
+    ev = _evidence_df(spark).withColumn("confidence", F.lit(1.0))
+    answers = spark.createDataFrame(
+        [(7, "The metric m0 value 17 pts x y z held today.")],
+        "answer_id int, answer string",
+    )
+    out = cited_answers(answers, statement_matches(answers, ev)).collect()
+    assert [r["answer_id"] for r in out] == [7]
+
+
 def test_reasoning_summaries(spark):
     from graph_rag_agent_spark.operators.evidence import (
         evidence_source_stats,

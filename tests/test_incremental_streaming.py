@@ -627,6 +627,38 @@ def test_delta_incremental_lsh_linking_delta_path(
         assert a == b, name
 
 
+def test_side_table_fallback_write_rebuckets(
+    spark, transcripts_df, tmp_path_factory
+):
+    """A side table that lost its bucket spec (legacy layout, torn
+    state) takes the full-overwrite fallback — which must re-bucket
+    on bucketed-config warehouses so the table re-enters the
+    delta-MERGE regime instead of overwriting forever."""
+    import os
+
+    from graph_rag_agent_spark.plans.merge import table_bucket_spec
+
+    wh = str(tmp_path_factory.mktemp("wh_rebucket"))
+    cfg = BuildConfig(
+        warehouse=wh,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    build_all(spark, transcripts_df, cfg)
+    os.remove(os.path.join(wh, "similar", "_bucket_spec.json"))
+    assert table_bucket_spec(os.path.join(wh, "similar")) is None
+
+    # catalog-changing delta → reuse declined → side tables rewritten
+    v2_rows = [
+        r for r in generate_transcripts(12) if r["conv_id"] != "conv-000003"
+    ]
+    v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+    incremental_update(spark, v2_df, wh, cfg=cfg)
+    spec = table_bucket_spec(os.path.join(wh, "similar"))
+    assert spec is not None and spec["key"] == "src"
+
+
 def test_lsh_delta_declines_exact_produced_store(
     spark, transcripts_df, tmp_path_factory, monkeypatch
 ):

@@ -147,6 +147,34 @@ def test_pagerank_grouped_equals_independent(spark):
             assert abs(got[(gname, node)] - rank) < 1e-9, (gname, node)
 
 
+def test_pagerank_nonconvergence_raises_and_ladder_falls_back(spark):
+    """nx.pagerank RAISES at max_iter without convergence; the
+    reference's get_central_entities catches that and ranks by
+    degree (kg_builder.py:316-333). max_iter=1 forces the failure."""
+    import pytest as _pytest
+
+    from graph_rag_agent_spark.operators.kg_builder import (
+        central_entities_ladder,
+        pagerank,
+    )
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    edf = spark.createDataFrame(edge_list, "src string, dst string")
+    with _pytest.raises(RuntimeError, match="failed to converge"):
+        pagerank(edf, max_iter=1, tol=1e-12)
+
+    top = central_entities_ladder(edf, limit=3, max_iter=1, tol=1e-12)
+    rows = top.collect()
+    assert all(r["method"] == "degree" for r in rows)
+    # degree = in+out: a:4 (b,c out; c,d in), b:2, c:3 → a, c, b
+    assert [r["node"] for r in rows] == ["a", "c", "b"]
+    assert [r["score"] for r in rows] == [4.0, 3.0, 2.0]
+
+    # converging parameters take the pagerank rung
+    ok = central_entities_ladder(edf, limit=2).collect()
+    assert all(r["method"] == "pagerank" for r in ok) and len(ok) == 2
+
+
 def test_pagerank_fixed_iterations_deterministic(spark):
     # tol=0 runs exactly max_iter sweeps — the replayable mode the
     # SQL oracle unrolls; two runs agree bit-for-bit

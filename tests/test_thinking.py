@@ -39,6 +39,27 @@ def test_parse_sub_queries_ladder():
     assert T.parse_sub_queries("no list at all", "orig") == ["orig"]
 
 
+def test_parse_sub_queries_hostile_literals():
+    # non-string elements pass through the core (reference returns
+    # eval's result verbatim)…
+    assert T.parse_sub_queries("[1, 2]", "orig") == [1, 2]
+    # …and adversarial literals that raise beyond ValueError/
+    # SyntaxError still take the reference's broad-except fallback
+    deep = "[" * 400 + "]" * 400
+    assert T.parse_sub_queries(deep, "orig") == ["orig"]
+
+
+def test_parse_hypotheses_non_dict_items_fall_back():
+    # a parsed list of strings (or key-less dicts) crashes the
+    # reference's formatting loop inside the same try → fallback
+    dflt = {
+        "hypothesis": "问题可能需要更多背景信息",
+        "reasoning": "初步思考中没有明确的答案方向",
+    }
+    assert T.parse_hypotheses('["hyp one", "hyp two"]') == [dflt]
+    assert T.parse_hypotheses('[{"hypothesis": "only-h"}]') == [dflt]
+
+
 def test_parse_followup_queries_dedup():
     assert T.parse_followup_queries("['a', 'b', 'a']") == ["a", "b"]
     assert T.parse_followup_queries("gibberish") == []
@@ -176,6 +197,14 @@ def test_branch_tree_semantics():
     # unknown base falls back to main
     bt.branch("b2", base_branch="ghost")
     assert bt.tree["b2"][0]["content"] == "s1"
+    # self-base branch: the reference empties the branch BEFORE
+    # copying, so only the creation step survives
+    bt2 = T.BranchTree()
+    bt2.add_step("gone")
+    bt2.branch("main", "main")
+    assert [s["content"] for s in bt2.tree["main"]] == [
+        "创建推理分支: main，基于: main"
+    ]
 
 
 def test_contradiction_text_and_branch_merge_assembly():
@@ -341,6 +370,15 @@ def test_sub_query_plans_match_core(spark):
         want = T.parse_sub_queries(r["raw"], r["query"])
         assert list(got[r["trace_id"]]["sub_queries"]) == want
         assert got[r["trace_id"]]["n_sub_queries"] == len(want)
+
+    # a trace emitting a NON-STRING list must not abort the job: the
+    # operator stringifies at the array<string> boundary
+    hostile = spark.createDataFrame(
+        [("h0", "拆分: [1, 2]", "root")],
+        "trace_id string, raw string, query string",
+    )
+    [row] = sub_query_plans(hostile).collect()
+    assert list(row["sub_queries"]) == ["1", "2"]
 
 
 def test_hypothesis_and_status_operators(spark):

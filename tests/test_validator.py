@@ -68,6 +68,8 @@ def test_operator_matches_core(spark):
          None, None),
         ("r3", None, "x" * 60, ["zzz"], ["solo"]),
         ("r4", "", "y" * 60, [], ["a", "b"]),
+        # unicode-whitespace-only queries are blank → complexity 0
+        ("r5", "\t　\n", "z" * 60, [], []),
     ]
     df = spark.createDataFrame(
         rows,
