@@ -31,6 +31,21 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # quiet-start gate (VERDICT r4 #4): previous rounds' committed
+    # artifacts were captured at loadavg ~5 and every regression
+    # adjudication had to route through BENCH/BASELINE.md's quiet-box
+    # reruns. Rather than merely annotating, WAIT (bounded) for the
+    # co-tenant load to drain so the committed artifact IS the quiet
+    # run whenever the box allows it; if the budget expires loaded,
+    # the loadavg_warning below still marks the artifact.
+    quiet_wait_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "600")
+    )
+    quiet_waited = 0.0
+    while os.getloadavg()[0] > 1.0 and quiet_waited < quiet_wait_budget:
+        time.sleep(10)
+        quiet_waited += 10
+
     import __spark_entry__ as entrymod
     from graph_rag_agent_spark.plans.inmem import build_kg_tables
     from graph_rag_agent_spark.session import get_spark
@@ -52,6 +67,7 @@ def main() -> None:
     extra: dict[str, float] = {}
     first_run: dict[str, float] = {}
     extra["loadavg_start"] = round(os.getloadavg()[0], 2)
+    extra["quiet_wait_s"] = round(quiet_waited, 1)
     # loadavg gate (VERDICT r3 #8): a loaded box turns single rows into
     # noise (r3's only "regression" tracked loadavg 5.16). Annotate the
     # artifact so a contended run is recognizable by construction.
@@ -285,6 +301,77 @@ def main() -> None:
             shutil.rmtree(wh, ignore_errors=True)
 
     extra["delta_cycle_changed_convs"] = delta_cycle()
+
+    # corpus-bound delta cycle (VERDICT r4 #5): with the free stub
+    # extractor, delta ≈ bootstrap at sandbox scale because both pay
+    # only the fixed orchestration floor — the extraction saving the
+    # delta path exists for costs milliseconds. This variant makes
+    # extraction COST-BEARING (a per-chunk sleep simulating the
+    # reference's LLM batch economics, build/build_graph.py:109 — real
+    # calls run seconds per 5-chunk batch) so the 1 %-delta claim
+    # becomes a wall-clock ratio instead of a lineage argument: the
+    # bootstrap pays the cost on every distinct chunk, the delta cycle
+    # only on the changed conversations' new tail chunks (everything
+    # else hits the extraction cache by content hash).
+    def delta_cycle_costed():
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from graph_rag_agent_spark.core.stub_extract import stub_extract
+        from graph_rag_agent_spark.plans.build import BuildConfig, build_all
+        from graph_rag_agent_spark.plans.incremental import incremental_update
+
+        cost_s = float(
+            os.environ.get("SPARK_GRAFT_BENCH_EXTRACT_COST_S", "5.0")
+        )
+        if cost_s <= 0:
+            return None  # opt-out knob
+
+        def costed_extract(text: str, _c=cost_s) -> str:
+            time.sleep(_c)
+            return stub_extract(text)
+
+        wh = tempfile.mkdtemp(prefix="bench_delta_costed_wh_")
+        try:
+            cfg = BuildConfig(
+                warehouse=wh,
+                resume=False,
+                bucket_convs=16,
+                extractor=costed_extract,
+            )
+            t0 = time.time()
+            build_all(spark, transcripts, cfg)
+            extra["delta_costed_bootstrap_s"] = round(time.time() - t0, 3)
+            extra["delta_costed_extract_cost_s"] = cost_s
+            sel = F.pmod(F.xxhash64("conv_id"), F.lit(100)) == 0
+            mx = transcripts.groupBy("conv_id").agg(
+                F.max("turn_idx").alias("__mx")
+            )
+            v2 = (
+                transcripts.join(mx, "conv_id")
+                .where(~(sel & (F.col("turn_idx") == F.col("__mx"))))
+                .drop("__mx")
+                .localCheckpoint()
+            )
+
+            def run_cycle():
+                incremental_update(spark, v2, wh, cfg=cfg)
+                return None
+
+            timed("delta_cycle_costed", run_cycle)
+            extra["delta_costed_ratio"] = round(
+                timings["delta_cycle_costed"]
+                / extra["delta_costed_bootstrap_s"],
+                4,
+            )
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+        return None
+
+    delta_cycle_costed()
+    extra["single_shot_rows"].append("delta_cycle_costed")
     extra["loadavg_end"] = round(os.getloadavg()[0], 2)
 
     import shutil

@@ -63,19 +63,20 @@ def lpa_once(
     return labels
 
 
-def detect_hierarchy(
+def detect_label_hierarchy(
     nodes: list[str],
     weighted_edges: list[tuple[str, str, float]],
     max_levels: int = MAX_LEVELS,
-) -> list[dict[str, int]]:
-    """Run leveled LPA; returns per-level {node → community_number}.
+) -> list[dict[str, str]]:
+    """Run leveled LPA; returns per-level {node → LABEL} (a node id).
 
-    Community numbers are dense ranks of labels in lexicographic order
-    per level (deterministic replacement for GDS's internal ids).
-    Level l+1 numbers are assigned over the contracted supergraph; each
-    original node inherits its supernode's community.
-    """
-    levels: list[dict[str, int]] = []
+    The raw labels are the delta-maintainable representation: they are
+    deterministic PER projection-component (LPA votes travel only
+    along edges), while the dense community numbers derive from them
+    by one global rank per level — so an incremental cycle can reuse
+    stored labels for untouched components and renumber globally
+    (operators/community.py assembly, plans/incremental.py)."""
+    levels: list[dict[str, str]] = []
     cur_nodes = sorted(set(nodes))
     cur_edges = weighted_edges
     # node → current supernode (label of previous level)
@@ -84,8 +85,7 @@ def detect_hierarchy(
     for _level in range(max_levels):
         labels = lpa_once(cur_nodes, cur_edges)
         ordered = sorted(set(labels.values()))
-        number = {lbl: i for i, lbl in enumerate(ordered)}
-        levels.append({n: number[labels[node_to_super[n]]] for n in node_to_super})
+        levels.append({n: labels[node_to_super[n]] for n in node_to_super})
 
         if len(ordered) == len(cur_nodes):  # nothing merged → stop
             break
@@ -104,6 +104,27 @@ def detect_hierarchy(
         if not cur_edges:
             break
     return levels
+
+
+def detect_hierarchy(
+    nodes: list[str],
+    weighted_edges: list[tuple[str, str, float]],
+    max_levels: int = MAX_LEVELS,
+) -> list[dict[str, int]]:
+    """Run leveled LPA; returns per-level {node → community_number}.
+
+    Community numbers are dense ranks of labels in lexicographic order
+    per level (deterministic replacement for GDS's internal ids).
+    Level l+1 numbers are assigned over the contracted supergraph; each
+    original node inherits its supernode's community. Thin numbering
+    shell over detect_label_hierarchy (one implementation of the
+    level loop)."""
+    out: list[dict[str, int]] = []
+    for lvl in detect_label_hierarchy(nodes, weighted_edges, max_levels):
+        ordered = sorted(set(lvl.values()))
+        number = {lbl: i for i, lbl in enumerate(ordered)}
+        out.append({n: number[lbl] for n, lbl in lvl.items()})
+    return out
 
 
 def communities_array(levels: list[dict[str, int]], node: str) -> list[int]:

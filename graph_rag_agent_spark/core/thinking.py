@@ -38,6 +38,32 @@ def extract_between(text: str, start_marker: str, end_marker: str) -> list[str]:
     return re.findall(pattern, text, flags=re.DOTALL)
 
 
+def extract_from_templates(
+    text: str, templates: list[str], regex: bool = False
+) -> list[str]:
+    """nlp.py:19-45: extract via `{}`-placeholder templates.
+
+    Reference quirk preserved VERBATIM: the non-regex branch replaces
+    `{}` with `(.*?)` BEFORE `re.escape`, then tries to un-escape the
+    placeholder with the literal `\\(\\*\\*\\?\\)` — but `re.escape`
+    actually produced `\\(\\.\\*\\?\\)` (a `\\.` for the dot, not a
+    second star), so the restore never fires and the compiled pattern
+    matches the literal text ``(.*?)``. A template like ``"answer:
+    {}"`` therefore matches nothing unless the input literally
+    contains ``answer: (.*?)``. The regex=True branch is the live
+    path in the reference; the dead placeholder branch is transcribed
+    bug-for-bug for parity, not fixed."""
+    results: list[str] = []
+    for template in templates:
+        if regex:
+            results.extend(re.findall(template, text, re.DOTALL))
+        else:
+            pattern = template.replace("{}", "(.*?)")
+            pattern = re.escape(pattern).replace("\\(\\*\\*\\?\\)", "(.*?)")
+            results.extend(re.findall(pattern, text, re.DOTALL))
+    return results
+
+
 def extract_sentences(text: str, max_sentences: int | None = None) -> list[str]:
     """nlp.py:48-69: split at terminator + capital-letter boundaries."""
     if not text:

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core.lpa import MAX_LEVELS, MAX_SWEEPS, communities_array, detect_hierarchy
+from ..core.lpa import MAX_LEVELS, MAX_SWEEPS
 from ..core.stub_summary import prepare_string, stub_summarize
 from .components import EDGE_DRIVER_THRESHOLD, dense_number_labels
 
@@ -111,99 +111,38 @@ def lpa_level(nodes: DataFrame, edges: DataFrame, max_sweeps: int = MAX_SWEEPS) 
     return labels.select("node", "label")
 
 
-def detect_communities(
-    entities: DataFrame,
-    triples: DataFrame,
-    max_levels: int = MAX_LEVELS,
-    driver_threshold: int = DRIVER_THRESHOLD,
-    edge_driver_threshold: int = EDGE_DRIVER_THRESHOLD,
-) -> tuple[DataFrame, DataFrame]:
-    """→ (membership(entity_id, community_id, level, number),
-         hierarchy(child_community, parent_community)).
+LABELS_SCHEMA = "entity_id string, level int, label string"
 
-    Isolated entities keep their own label → singleton communities,
-    matching a GDS projection over all __Entity__ nodes."""
-    spark = entities.sparkSession
-    nodes = entities.select(F.col("entity_id").alias("node")).distinct()
-    # checkpoint before the threshold counts: both the driver collect
-    # and the distributed loop re-read this (components.py rationale)
-    edges = projection_edges(triples).localCheckpoint()
 
-    if (
-        driver_threshold > 0
-        and nodes.count() <= driver_threshold
-        and edges.count() <= edge_driver_threshold
-    ):
-        node_list = [r["node"] for r in nodes.collect()]
-        edge_list = [(r["a"], r["b"], r["w"]) for r in edges.collect()]
-        levels = detect_hierarchy(node_list, edge_list, max_levels=max_levels)
-        m_rows, h_rows = [], set()
-        for n in node_list:
-            arr = communities_array(levels, n)
-            for level, num in enumerate(arr):
-                m_rows.append((n, f"{level}-{num}", level))
-            for level in range(1, len(arr)):
-                h_rows.add((f"{level - 1}-{arr[level - 1]}", f"{level}-{arr[level]}"))
-        membership = spark.createDataFrame(
-            m_rows, "entity_id string, community_id string, level int"
-        )
-        hierarchy = spark.createDataFrame(
-            sorted(h_rows) or [],
-            "child_community string, parent_community string",
-        )
-        return membership, hierarchy
-
+def _distributed_level_labels(
+    nodes: DataFrame, edges: DataFrame, max_levels: int
+) -> list[DataFrame]:
+    """The leveled LPA/contraction loop, emitting the per-level RAW
+    label assignment (entity_id, label) instead of interleaving the
+    dense numbering — labels are the delta-maintainable state (they
+    are per-projection-component deterministic; numbers are one
+    global rank away, applied by assemble_communities_from_labels).
+    Returns one checkpointed frame per EXECUTED level."""
     # node → supernode of current level (starts as itself)
     assignment = nodes.withColumn("super", F.col("node"))
-    membership_parts: list[DataFrame] = []
-    hierarchy_parts: list[DataFrame] = []
-    prev_numbering: DataFrame | None = None
-
+    parts: list[DataFrame] = []
     cur_nodes = nodes
     for level in range(max_levels):
         labels = lpa_level(cur_nodes, edges)
-        # two-phase range-partitioned numbering (components.
-        # dense_number_labels) — a bare Window.orderBy here would pull
-        # every distinct label of every level through one task
-        numbering = dense_number_labels(labels, "label", "number")
-        n_labels = numbering.count()
+        n_labels = labels.select("label").distinct().count()
         n_nodes = cur_nodes.count()
-
-        level_assign = (
+        parts.append(
             assignment.join(
                 labels.withColumnRenamed("node", "super2"),
                 F.col("super") == F.col("super2"),
             )
-            .select("node", "label")
-            .join(numbering, "label")
-        )
-        membership_parts.append(
-            level_assign.select(
+            .select(
                 F.col("node").alias("entity_id"),
-                F.concat_ws("-", F.lit(level), F.col("number")).alias("community_id"),
                 F.lit(level).alias("level"),
-                F.col("number"),
-            ).localCheckpoint()
-        )
-        if prev_numbering is not None:
-            # child community (level-1) → parent community (level)
-            hierarchy_parts.append(
-                membership_parts[-2]
-                .select(
-                    F.col("entity_id"),
-                    F.col("community_id").alias("child_community"),
-                )
-                .join(
-                    membership_parts[-1].select(
-                        "entity_id", F.col("community_id").alias("parent_community")
-                    ),
-                    "entity_id",
-                )
-                .select("child_community", "parent_community")
-                .distinct()
+                "label",
             )
-        prev_numbering = numbering
-
+            .localCheckpoint()
+        )
         if n_labels == n_nodes:
             break
 
@@ -234,14 +173,135 @@ def detect_communities(
         cur_nodes = labels.select(F.col("label").alias("node")).distinct()
         if edges.limit(1).count() == 0:
             break
+    return parts
 
-    membership = membership_parts[0].select(
-        "entity_id", "community_id", "level"
-    )
-    for part in membership_parts[1:]:
-        membership = membership.unionByName(
-            part.select("entity_id", "community_id", "level")
+
+def detect_level_labels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_levels: int = MAX_LEVELS,
+    driver_threshold: int = DRIVER_THRESHOLD,
+    edge_driver_threshold: int = EDGE_DRIVER_THRESHOLD,
+) -> DataFrame:
+    """(nodes(node), weighted edges(a, b, w)) → per-level raw LPA
+    labels (entity_id, level, label) for the EXECUTED levels — the
+    subgraph entry point the incremental localized detection uses
+    (labels restricted to a union of whole projection components equal
+    the full run's labels for those components: LPA votes travel only
+    along edges). Same driver/distributed routing as
+    detect_communities."""
+    spark = nodes.sparkSession
+    nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    edges = edges.select("a", "b", "w").localCheckpoint()
+    if (
+        driver_threshold > 0
+        and nodes.count() <= driver_threshold
+        and edges.count() <= edge_driver_threshold
+    ):
+        from ..core.lpa import detect_label_hierarchy
+
+        node_list = [r["node"] for r in nodes.collect()]
+        edge_list = [(r["a"], r["b"], r["w"]) for r in edges.collect()]
+        lbl_levels = detect_label_hierarchy(
+            node_list, edge_list, max_levels=max_levels
         )
+        rows = [
+            (n, level, lvl[n])
+            for level, lvl in enumerate(lbl_levels)
+            for n in node_list
+        ]
+        return spark.createDataFrame(rows or [], LABELS_SCHEMA)
+    parts = _distributed_level_labels(nodes, edges, max_levels)
+    labels = parts[0]
+    for part in parts[1:]:
+        labels = labels.unionByName(part)
+    return labels
+
+
+def extend_labels_to(labels: DataFrame, max_levels: int) -> DataFrame:
+    """Pad (entity_id, level, label) rows so every entity has a row at
+    every level 0..max_levels-1, carrying its deepest label forward.
+
+    Sound because the leveled loop is monotone per component: once a
+    component stops merging, its labels are constant at every deeper
+    level — so a stored/locally-computed prefix extends uniquely. The
+    incremental assembly pads reused and recomputed label sets to a
+    common depth, then truncates to the executed-level count a full
+    run would have chosen (merges-per-level rule)."""
+    last = labels.groupBy("entity_id").agg(F.max("level").alias("__ml"))
+    deepest = (
+        labels.join(last, "entity_id")
+        .where(F.col("level") == F.col("__ml"))
+        .select("entity_id", "label", "__ml")
+        .localCheckpoint()
+    )
+    parts = [labels]
+    for lvl in range(1, max_levels):
+        parts.append(
+            deepest.where(F.col("__ml") < lvl).select(
+                "entity_id", F.lit(lvl).alias("level"), "label"
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def assemble_communities_from_labels(
+    labels: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(entity_id, level, label) rows for levels 0..E-1 →
+    (membership(entity_id, community_id, level),
+     hierarchy(child_community, parent_community)).
+
+    The ONE numbering/assembly implementation shared by the full
+    detector and the incremental localized path: per level,
+    dense-number the distinct labels (range-partitioned two-phase —
+    no global-sort Window) and stamp "{level}-{number}" ids; the
+    hierarchy is the distinct (child, parent) co-membership of
+    adjacent levels. Deterministic in the label rows, so reused +
+    recomputed label sets assemble to exactly what a full recompute
+    would produce."""
+    spark = labels.sparkSession
+    level_vals = sorted(
+        r["level"] for r in labels.select("level").distinct().collect()
+    )
+    membership_parts: list[DataFrame] = []
+    hierarchy_parts: list[DataFrame] = []
+    for level in level_vals:
+        lvl = labels.where(F.col("level") == level).select("entity_id", "label")
+        numbering = dense_number_labels(lvl, "label", "number")
+        membership_parts.append(
+            lvl.join(numbering, "label")
+            .select(
+                "entity_id",
+                F.concat_ws("-", F.lit(level), F.col("number")).alias(
+                    "community_id"
+                ),
+                F.lit(level).alias("level"),
+            )
+            .localCheckpoint()
+        )
+        if len(membership_parts) > 1:
+            hierarchy_parts.append(
+                membership_parts[-2]
+                .select(
+                    "entity_id", F.col("community_id").alias("child_community")
+                )
+                .join(
+                    membership_parts[-1].select(
+                        "entity_id",
+                        F.col("community_id").alias("parent_community"),
+                    ),
+                    "entity_id",
+                )
+                .select("child_community", "parent_community")
+                .distinct()
+            )
+    membership = membership_parts[0]
+    for part in membership_parts[1:]:
+        membership = membership.unionByName(part)
     if hierarchy_parts:
         hierarchy = hierarchy_parts[0]
         for part in hierarchy_parts[1:]:
@@ -251,6 +311,75 @@ def detect_communities(
         hierarchy = spark.createDataFrame(
             [], "child_community string, parent_community string"
         )
+    return membership, hierarchy
+
+
+def detect_communities(
+    entities: DataFrame,
+    triples: DataFrame,
+    max_levels: int = MAX_LEVELS,
+    driver_threshold: int = DRIVER_THRESHOLD,
+    edge_driver_threshold: int = EDGE_DRIVER_THRESHOLD,
+    return_labels: bool = False,
+) -> tuple[DataFrame, ...]:
+    """→ (membership(entity_id, community_id, level),
+         hierarchy(child_community, parent_community))
+       [+ labels(entity_id, level, label) when return_labels].
+
+    Isolated entities keep their own label → singleton communities,
+    matching a GDS projection over all __Entity__ nodes. The raw
+    per-level labels are the incremental-maintenance state
+    (plans/incremental.py stores them as ``community_labels``)."""
+    spark = entities.sparkSession
+    nodes = entities.select(F.col("entity_id").alias("node")).distinct()
+    # checkpoint before the threshold counts: both the driver collect
+    # and the distributed loop re-read this (components.py rationale)
+    edges = projection_edges(triples).localCheckpoint()
+
+    if (
+        driver_threshold > 0
+        and nodes.count() <= driver_threshold
+        and edges.count() <= edge_driver_threshold
+    ):
+        from ..core.lpa import detect_label_hierarchy
+
+        node_list = [r["node"] for r in nodes.collect()]
+        edge_list = [(r["a"], r["b"], r["w"]) for r in edges.collect()]
+        lbl_levels = detect_label_hierarchy(
+            node_list, edge_list, max_levels=max_levels
+        )
+        m_rows, h_rows, l_rows = [], set(), []
+        numbers = [
+            {lbl: i for i, lbl in enumerate(sorted(set(lvl.values())))}
+            for lvl in lbl_levels
+        ]
+        for n in node_list:
+            arr = [num[lvl[n]] for lvl, num in zip(lbl_levels, numbers)]
+            for level, num in enumerate(arr):
+                m_rows.append((n, f"{level}-{num}", level))
+                l_rows.append((n, level, lbl_levels[level][n]))
+            for level in range(1, len(arr)):
+                h_rows.add((f"{level - 1}-{arr[level - 1]}", f"{level}-{arr[level]}"))
+        membership = spark.createDataFrame(
+            m_rows, "entity_id string, community_id string, level int"
+        )
+        hierarchy = spark.createDataFrame(
+            sorted(h_rows) or [],
+            "child_community string, parent_community string",
+        )
+        if return_labels:
+            return membership, hierarchy, spark.createDataFrame(
+                l_rows, LABELS_SCHEMA
+            )
+        return membership, hierarchy
+
+    parts = _distributed_level_labels(nodes, edges, max_levels)
+    labels = parts[0]
+    for part in parts[1:]:
+        labels = labels.unionByName(part)
+    membership, hierarchy = assemble_communities_from_labels(labels)
+    if return_labels:
+        return membership, hierarchy, labels
     return membership, hierarchy
 
 

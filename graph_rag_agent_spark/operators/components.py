@@ -235,6 +235,155 @@ def connected_components(
     return labels.withColumnRenamed("label", "component")
 
 
+def connected_components_delta(
+    edges: DataFrame,
+    nodes: DataFrame,
+    old_edges: DataFrame | None,
+    old_labels: DataFrame,
+    changed_src_hint: DataFrame | None = None,
+    changed_pairs: DataFrame | None = None,
+) -> dict:
+    """Delta-localized connected components: returns the SAME
+    (node, component=min node id) map as
+    ``connected_components(edges, nodes=nodes)`` while running the
+    iterative solver only on components actually touched by the edge /
+    node delta vs a stored prior state.
+
+    Inputs:
+      * ``edges`` / ``nodes``     — the NEW graph (``src``/``dst``
+        edge list — directed rows fine, the solver mirrors; one
+        id column of nodes).
+      * ``old_edges``             — the stored prior edge list.
+      * ``old_labels``            — the stored prior partition as
+        (node, label) with ANY per-component-stable label (the dense
+        ``wcc`` ids the warehouse stores qualify). MUST be exactly
+        ``connected_components(old_edges)``'s partition of the old
+        node set — the caller's provable-equality gate (link-params
+        sidecar = the four linking tables committed together) is what
+        establishes that.
+      * ``changed_src_hint``      — optional (one id column) SUPERSET
+        of the sources whose edge ROWS may differ between old and
+        new (the LSH delta maintenance computes exactly this set:
+        affected sources ∪ removed entities). With a hint the edge
+        diff reads only the hinted slice of both edge lists; without
+        one it diffs the full lists (one narrow shuffle per side).
+      * ``changed_pairs``         — optional precomputed (src, dst)
+        SUPERSET of the edge rows that differ between old and new
+        (e.g. the unordered pairs of added/removed triple keys when
+        the edge list is a triple projection). When given, the
+        internal edge diff is skipped entirely and ``old_edges`` may
+        be None.
+
+    Soundness of the localization: seed nodes = endpoints of changed
+    edges ∪ added ∪ removed nodes. A component of the old partition is
+    AFFECTED iff it contains a seed. Any new edge (u, v) with u in an
+    affected component has v in one too: if the edge is unchanged it
+    already connected u and v in the old graph (same old component —
+    affected together); if it changed, both endpoints are seeds. So
+    the affected region is edge-closed, the solver sees every edge
+    that can touch it, and unaffected components keep their exact old
+    member sets — their component label (min member id) is recomputed
+    with ONE map-side-combine min aggregation instead of the iterative
+    loop. Returns::
+
+        {"unchanged": bool,       # partition provably identical
+         "components": DataFrame, # full (node, component); None when
+                                  # unchanged (caller reuses stored)
+         "local": DataFrame,      # recomputed region only
+         "affected_nodes": DataFrame}  # old members of affected
+                                  # components ∪ added nodes — the
+                                  # scope a canonical-map reuse must
+                                  # exclude (includes removed nodes)
+
+    Replaces the full-catalog WCC recompute of every incremental
+    cycle (reference recomputes GDS WCC wholesale,
+    graph/processing/similar_entity.py:224-286); at a 10⁸-entity
+    catalog a 1 % delta pays the iterative joins only over the
+    touched components, plus two single-pass narrow shuffles
+    (node diff, unaffected-min aggregation).
+    """
+    node_col = nodes.columns[0]
+    new_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+    old_nodes = old_labels.select(F.col(old_labels.columns[0]).alias("node"))
+    lbl = old_labels.select(
+        F.col(old_labels.columns[0]).alias("node"),
+        F.col(old_labels.columns[1]).alias("label"),
+    )
+
+    added = new_nodes.join(old_nodes, "node", "left_anti").localCheckpoint()
+    removed = old_nodes.join(new_nodes, "node", "left_anti").localCheckpoint()
+
+    def pairs(df, restrict):
+        p = df.select("src", "dst")
+        if restrict is not None:
+            p = p.join(
+                restrict.select(F.col(restrict.columns[0]).alias("src")),
+                "src",
+                "left_semi",
+            )
+        return p
+
+    if changed_pairs is None:
+        changed_pairs = (
+            pairs(old_edges, changed_src_hint)
+            .exceptAll(pairs(edges, changed_src_hint))
+            .unionAll(
+                pairs(edges, changed_src_hint).exceptAll(
+                    pairs(old_edges, changed_src_hint)
+                )
+            )
+        )
+    else:
+        changed_pairs = changed_pairs.select("src", "dst")
+    seeds = (
+        changed_pairs.select(F.col("src").alias("node"))
+        .union(changed_pairs.select(F.col("dst").alias("node")))
+        .union(removed.select("node"))
+        .union(added.select("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if seeds.limit(1).count() == 0:
+        return {
+            "unchanged": True,
+            "components": None,
+            "local": None,
+            "affected_nodes": seeds,  # empty frame, schema (node)
+        }
+
+    affected_labels = (
+        lbl.join(seeds, "node", "left_semi").select("label").distinct()
+        .localCheckpoint()
+    )
+    r_old = lbl.join(affected_labels, "label", "left_semi").select("node")
+    r_new = (
+        r_old.join(new_nodes, "node", "left_semi")
+        .union(added.select("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # edge-closure (proof above) guarantees dst ∈ r_new for every kept
+    # edge — one semi-join on src suffices
+    local_edges = edges.select("src", "dst").join(
+        r_new.withColumnRenamed("node", "src"), "src", "left_semi"
+    )
+    local = connected_components(local_edges, nodes=r_new).localCheckpoint()
+
+    unaffected = lbl.join(affected_labels, "label", "left_anti")
+    comp_map = unaffected.groupBy("label").agg(
+        F.min("node").alias("component")
+    )
+    unaffected_full = unaffected.join(comp_map, "label").select(
+        "node", "component"
+    )
+    return {
+        "unchanged": False,
+        "components": unaffected_full.unionByName(local),
+        "local": local,
+        "affected_nodes": r_old.union(added.select("node")).distinct(),
+    }
+
+
 def dense_number_labels(
     labels: DataFrame, col: str, out: str = "number"
 ) -> DataFrame:

@@ -692,23 +692,33 @@ def build_all(
     )
     res.tables["entities"] = entities
 
-    def _membership_hierarchy():
-        membership, hierarchy = detect_communities(
-            entities, triples, max_levels=cfg.max_levels
-        )
-        return membership, hierarchy
-
     if cfg.resume and wh.exists("membership") and wh.exists("hierarchy"):
         membership, hierarchy = wh.read("membership"), wh.read("hierarchy")
         fresh_detection = False
     else:
+        from ..operators.community import projection_edges
+
         t0 = time.time()
         wh.invalidate_community_params()
-        membership, hierarchy = _membership_hierarchy()
-        membership, hierarchy = _run_parallel(
+        membership, hierarchy, comm_labels = detect_communities(
+            entities, triples, max_levels=cfg.max_levels, return_labels=True
+        )
+        # incremental-maintenance state (plans/incremental.py localized
+        # detection): the raw per-level LPA labels and the projection-
+        # graph components, committed inside the same sidecar bracket
+        # as the community tables so a torn write declines reuse
+        proj_wcc = connected_components(
+            projection_edges(triples),
+            nodes=entities.select("entity_id"),
+            src="a",
+            dst="b",
+        ).select(F.col("node").alias("entity_id"), F.col("component").alias("pwcc"))
+        membership, hierarchy, _, _ = _run_parallel(
             [
                 lambda: wh.write(membership, "membership"),
                 lambda: wh.write(hierarchy, "hierarchy"),
+                lambda: wh.write(comm_labels, "community_labels"),
+                lambda: wh.write(proj_wcc, "proj_wcc"),
             ]
         )
         wh.append_lineage("membership", -1, membership.count(), t0, defer=True)

@@ -456,3 +456,30 @@ def test_dual_path_operator_matches_core(spark):
         precise, kb = T.dual_path_queries(r["query"], r["kb_name"])
         assert r["precise_query"] == precise, r["query"]
         assert r["kb_query"] == kb, r["query"]
+
+
+def test_extract_from_templates_quirk_preserved():
+    """nlp.py:19-45 parity: the regex branch is live; the non-regex
+    placeholder branch is DEAD by a reference bug (re.escape emits
+    `\\(\\.\\*\\?\\)` but the un-escape looks for `\\(\\*\\*\\?\\)`),
+    so `{}` templates only match a literal `(.*?)` in the input —
+    transcribed bug-for-bug."""
+    from graph_rag_agent_spark.core.thinking import extract_from_templates
+
+    text = "answer: 42 units. question: why?"
+    # live path: template used directly as a regex
+    assert extract_from_templates(
+        text, [r"answer: (\d+)"], regex=True
+    ) == ["42"]
+    # dead path: the placeholder never becomes a capture group…
+    assert extract_from_templates(text, ["answer: {}"]) == []
+    # …because the pattern matches the LITERAL "(.*?)" text
+    assert extract_from_templates(
+        "oops answer: (.*?) here", ["answer: {}"]
+    ) == ["answer: (.*?)"]
+    # a template without a placeholder matches itself literally
+    assert extract_from_templates(text, ["question:"]) == ["question:"]
+    # multiple templates accumulate in order
+    assert extract_from_templates(
+        text, [r"answer: (\d+)", r"question: (\w+)"], regex=True
+    ) == ["42", "why"]
