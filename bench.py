@@ -366,6 +366,33 @@ def main() -> None:
                 / extra["delta_costed_bootstrap_s"],
                 4,
             )
+            # extraction-phase decomposition from the lineage log: the
+            # cost-bearing stage alone, separating the delta's fixed
+            # orchestration floor from the model-call economics the
+            # delta path exists to avoid
+            from pyspark.sql import functions as F2
+
+            lin = spark.read.parquet(f"{wh}/lineage")
+            span = F2.sum(
+                F2.col("finished_at").cast("double")
+                - F2.col("started_at").cast("double")
+            )
+            boot_ext = (
+                lin.where(F2.col("stage") == "extract").agg(span).first()[0]
+            )
+            delta_ext = (
+                lin.where(F2.col("stage") == "incr_extract")
+                .agg(span)
+                .first()[0]
+            )
+            extra["delta_costed_bootstrap_extract_s"] = round(
+                boot_ext or 0.0, 3
+            )
+            extra["delta_costed_delta_extract_s"] = round(delta_ext or 0.0, 3)
+            if boot_ext:
+                extra["delta_costed_extract_ratio"] = round(
+                    (delta_ext or 0.0) / boot_ext, 4
+                )
         finally:
             shutil.rmtree(wh, ignore_errors=True)
         return None

@@ -86,8 +86,18 @@ def extract_chunks(
                     results.extend(sections)
             yield pd.DataFrame({"chunk_id": pdf["chunk_id"], "result": results})
 
+    # ROUND-ROBIN repartition, deliberately not hash-by-chunk_id: the
+    # extractor is stateless per row, so no co-location is needed, and
+    # in Spark 4.1 AQE's byte-based coalescing collapses an explicit
+    # hash repartition(n, col) to ONE task when the shuffle is small —
+    # which would serialize this latency-bound model boundary (seconds
+    # per chunk against a real LLM, tiny bytes — exactly the shape
+    # byte-based sizing mis-plans; measured: 233 × 1 s calls ran 233 s
+    # instead of ~8 s). RoundRobinPartitioning with an explicit count
+    # is exempt from the coalesce, keeps the skew-proof even spread,
+    # and the result is re-joined by chunk_id downstream anyway.
     extracted = (
-        misses.repartition(partitions, "chunk_id")  # even spread, skew-proof
+        misses.repartition(partitions)
         .mapInPandas(run, schema=EXTRACT_SCHEMA)
     )
     results = extracted.unionByName(hits) if hits is not None else extracted

@@ -158,3 +158,40 @@ def test_entities_and_mentions_match_oracle(parsed_df, oracle_small):
     got_m = {(r["chunk_id"], r["entity_id"]) for r in mentions_raw(parsed_df).collect()}
     want_m = {(m["chunk_id"], m["entity_id"]) for m in oracle_small.mentions_raw}
     assert got_m == want_m
+
+
+def test_extraction_stays_parallel_on_tiny_batches(spark):
+    """The extraction boundary must be sized by ROWS, not bytes: AQE's
+    byte-based coalescing in Spark 4.1 collapses an explicit hash
+    repartition(n, col) to ONE task on a small batch, which would
+    serialize a seconds-per-chunk LLM extractor (the incremental
+    cycle's steady state). The round-robin spread must keep multiple
+    workers busy even when the batch is a few KB."""
+    import os
+    import time
+
+    from graph_rag_agent_spark.operators.chunking import chunk_conversations
+    from graph_rag_agent_spark.operators.extraction import extract_chunks
+    from graph_rag_agent_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    chunks = chunk_conversations(
+        synthesize_transcripts(spark, 40).localCheckpoint()
+    ).localCheckpoint()
+    n_chunks = chunks.select("chunk_id").distinct().count()
+    assert n_chunks >= 30
+
+    def pid_extract(text: str) -> str:
+        time.sleep(0.1)  # simulate a latency-bound model call
+        return f"pid={os.getpid()}"
+
+    t0 = time.time()
+    rows = extract_chunks(chunks, extractor=pid_extract).collect()
+    wall = time.time() - t0
+    pids = {r["result"] for r in rows}
+    # serialized execution would take n_chunks × 0.1 s on one worker
+    assert len(pids) > 1, "extraction ran on a single Python worker"
+    assert wall < n_chunks * 0.1 * 0.6, (
+        f"extraction looks serialized: {wall:.1f}s for {n_chunks} chunks"
+    )
