@@ -383,6 +383,71 @@ def detect_communities(
     return membership, hierarchy
 
 
+def projection_components(
+    entities: DataFrame, triples: DataFrame
+) -> DataFrame:
+    """(entity_id, pwcc): connected components of the undirected triple
+    projection graph — the stored state the incremental localized
+    detection's delta solver (components.connected_components_delta)
+    keys its affected-component computation off. ONE implementation so
+    every write site (build_all, both incremental paths) stores exactly
+    the labeling the solver's soundness precondition assumes."""
+    from .components import connected_components
+
+    return connected_components(
+        projection_edges(triples),
+        nodes=entities.select("entity_id"),
+        src="a",
+        dst="b",
+    ).select(
+        F.col("node").alias("entity_id"), F.col("component").alias("pwcc")
+    )
+
+
+def localized_community_catalog(
+    membership: DataFrame,
+    dirty_entities: DataFrame,
+    stored_communities: DataFrame,
+    entities: DataFrame,
+    triples: DataFrame,
+    mentions: DataFrame,
+    extra_changed_ids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Recompute catalog/summary rows ONLY for communities holding a
+    dirty entity (plus any explicitly named ids, e.g. renumbered
+    ones); stored rows stand in verbatim for the rest. Returns
+    (communities, changed_ids). Sound because community_catalog is
+    deterministic per community in (members, member entity rows,
+    intra-community triples, member mentions) — the caller's
+    dirty_entities must cover every entity whose contribution to any
+    of those changed; `summary_created_at` on kept rows keeps the
+    writing cycle's stamp (the one permitted divergence from a full
+    recompute). The frames returned are lazy; callers checkpoint."""
+    changed_ids = (
+        membership.join(dirty_entities, "entity_id", "left_semi")
+        .select("community_id")
+        .distinct()
+    )
+    if extra_changed_ids is not None:
+        changed_ids = changed_ids.union(extra_changed_ids).distinct()
+    changed_ids = changed_ids.localCheckpoint()
+    fresh = community_catalog(
+        membership.join(changed_ids, "community_id", "left_semi"),
+        entities,
+        triples,
+        mentions,
+    ).localCheckpoint()
+    keep_ids = (
+        membership.select("community_id")
+        .distinct()
+        .join(changed_ids, "community_id", "left_anti")
+    )
+    kept = stored_communities.join(
+        keep_ids, "community_id", "left_semi"
+    ).select(*fresh.columns)
+    return kept.unionByName(fresh), changed_ids
+
+
 def detect_communities_factory(
     entities: DataFrame,
     triples: DataFrame,

@@ -315,7 +315,7 @@ def similar_entities_lsh_delta(
     dim: int = DIM,
     broadcast_max_bytes: int = BROADCAST_SCORE_MAX_BYTES,
     with_affected: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Incremental KNN maintenance: returns EXACTLY
     ``similar_entities_lsh(embedded)`` while recomputing only the
     rows that can differ from ``old_similar``.

@@ -696,7 +696,7 @@ def build_all(
         membership, hierarchy = wh.read("membership"), wh.read("hierarchy")
         fresh_detection = False
     else:
-        from ..operators.community import projection_edges
+        from ..operators.community import projection_components
 
         t0 = time.time()
         wh.invalidate_community_params()
@@ -707,12 +707,7 @@ def build_all(
         # detection): the raw per-level LPA labels and the projection-
         # graph components, committed inside the same sidecar bracket
         # as the community tables so a torn write declines reuse
-        proj_wcc = connected_components(
-            projection_edges(triples),
-            nodes=entities.select("entity_id"),
-            src="a",
-            dst="b",
-        ).select(F.col("node").alias("entity_id"), F.col("component").alias("pwcc"))
+        proj_wcc = projection_components(entities, triples)
         membership, hierarchy, _, _ = _run_parallel(
             [
                 lambda: wh.write(membership, "membership"),

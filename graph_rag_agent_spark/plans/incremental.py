@@ -263,20 +263,9 @@ def incremental_update(
     membership = membership.localCheckpoint()
     hierarchy = hierarchy.localCheckpoint()
     comm_labels = comm_labels.localCheckpoint()
-    from ..operators.community import projection_edges
+    from ..operators.community import projection_components
 
-    proj_wcc = (
-        connected_components(
-            projection_edges(triples),
-            nodes=entities.select("entity_id"),
-            src="a",
-            dst="b",
-        )
-        .select(
-            F.col("node").alias("entity_id"), F.col("component").alias("pwcc")
-        )
-        .localCheckpoint()
-    )
+    proj_wcc = projection_components(entities, triples).localCheckpoint()
     communities = community_catalog(
         membership, entities, triples, mentions
     ).localCheckpoint()
@@ -1492,36 +1481,23 @@ def _incremental_update_delta(
             )
         ) and wh.exists("communities")
         if scope_ready:
+            from ..operators.community import localized_community_catalog
+
             dirty_entities = ck(
                 delta_scope["changed_entity_rows"]
                 .union(delta_scope["mention_entities"])
                 .union(delta_scope["triples_scope_entities"])
                 .distinct()
             )
-            changed_ids = ck(
-                membership.join(dirty_entities, "entity_id", "left_semi")
-                .select("community_id")
-                .distinct()
+            communities, _ = localized_community_catalog(
+                membership,
+                dirty_entities,
+                ck(wh.read("communities")),
+                entities_tbl,
+                triples_tbl,
+                mentions_tbl,
             )
-            fresh = ck(
-                community_catalog(
-                    membership.join(changed_ids, "community_id", "left_semi"),
-                    entities_tbl,
-                    triples_tbl,
-                    mentions_tbl,
-                )
-            )
-            keep_ids = (
-                membership.select("community_id")
-                .distinct()
-                .join(changed_ids, "community_id", "left_anti")
-            )
-            kept = (
-                ck(wh.read("communities"))
-                .join(keep_ids, "community_id", "left_semi")
-                .select(*fresh.columns)
-            )
-            communities = ck(kept.unionByName(fresh))
+            communities = ck(communities)
         else:
             communities = ck(
                 community_catalog(
@@ -1538,7 +1514,7 @@ def _incremental_update_delta(
             "incr_detection_reused", -1, 1, _time.time(), defer=True
         )
     else:
-        from ..operators.community import projection_edges
+        from ..operators.community import projection_components
 
         entities_tbl = wh.read("entities")
         triples_tbl = wh.read("triples")
@@ -1554,17 +1530,7 @@ def _incremental_update_delta(
         # localized-detection state for the NEXT cycle (build_all
         # writes the same pair): raw labels + projection components,
         # committed inside the sidecar bracket
-        proj_wcc_tbl = ck(
-            connected_components(
-                projection_edges(triples_tbl),
-                nodes=entities_tbl.select("entity_id"),
-                src="a",
-                dst="b",
-            ).select(
-                F.col("node").alias("entity_id"),
-                F.col("component").alias("pwcc"),
-            )
-        )
+        proj_wcc_tbl = ck(projection_components(entities_tbl, triples_tbl))
         mentions_tbl = wh.read("mentions")
         communities = ck(
             community_catalog(
@@ -1672,9 +1638,9 @@ def _localized_communities(spark, wh, cfg, delta_scope):
 
     from ..operators.community import (
         assemble_communities_from_labels,
-        community_catalog,
         detect_level_labels,
         extend_labels_to,
+        localized_community_catalog,
         projection_edges,
     )
     from ..operators.components import connected_components_delta
@@ -1728,6 +1694,10 @@ def _localized_communities(spark, wh, cfg, delta_scope):
         .collect()
     }
     prev = padded.where(F.col("level") == 0).count()  # = entity count
+    if prev == 0:
+        # the delta removed every entity — no labels to assemble; the
+        # full detect_communities path handles the empty catalog
+        return None
     e_new = 1
     for lvl in range(cfg.max_levels):
         c = counts.get(lvl, prev)
@@ -1759,11 +1729,6 @@ def _localized_communities(spark, wh, cfg, delta_scope):
         .union(delta_scope["triples_scope_entities"])
         .distinct()
     )
-    dirty_ids = (
-        membership.join(dirty_entities, "entity_id", "left_semi")
-        .select("community_id")
-        .distinct()
-    )
     old_map = (
         stored_labels.join(old_membership, ["entity_id", "level"])
         .select("level", "label", F.col("community_id").alias("__old_id"))
@@ -1782,29 +1747,19 @@ def _localized_communities(spark, wh, cfg, delta_scope):
         )
         .select("community_id")
     )
-    changed_ids = ck(dirty_ids.union(renumbered).distinct())
-    fresh = ck(
-        community_catalog(
-            membership.join(changed_ids, "community_id", "left_semi"),
-            entities_tbl,
-            triples_tbl,
-            mentions_tbl,
-        )
-    )
-    keep_ids = (
-        membership.select("community_id")
-        .distinct()
-        .join(changed_ids, "community_id", "left_anti")
-    )
-    kept = (
-        ck(wh.read("communities"))
-        .join(keep_ids, "community_id", "left_semi")
-        .select(*fresh.columns)
+    communities, changed_ids = localized_community_catalog(
+        membership,
+        dirty_entities,
+        ck(wh.read("communities")),
+        entities_tbl,
+        triples_tbl,
+        mentions_tbl,
+        extra_changed_ids=renumbered,
     )
     return {
         "membership": membership,
         "hierarchy": hierarchy,
-        "communities": ck(kept.unionByName(fresh)),
+        "communities": ck(communities),
         "community_labels": final_labels,
         "proj_wcc": pwcc_new,
         "n_changed": changed_ids.count(),
