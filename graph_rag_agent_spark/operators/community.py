@@ -32,6 +32,17 @@ from .components import EDGE_DRIVER_THRESHOLD, dense_number_labels
 # components.EDGE_DRIVER_THRESHOLD exactly like connected_components.
 DRIVER_THRESHOLD = 100_000
 
+# Crossover for the incremental LOCALIZED detection (plans/
+# incremental._localized_communities): below this entity count the
+# full detector's driver fast path (collect + pure-Python LPA) beats
+# the localized path's ~15 fixed-latency assembly jobs, so warehouses
+# skip both the localization AND the maintenance of its stored state
+# (community_labels / proj_wcc — ~2 s/cycle of writes + one
+# projection-CC run that would buy nothing). One patchable symbol
+# read at call time by every write/use site, so tests force the path
+# on sandbox-sized fixtures with a single monkeypatch.
+LOCALIZE_MIN_ENTITIES = DRIVER_THRESHOLD
+
 
 def projection_edges(triples: DataFrame) -> DataFrame:
     """Canonical triples → undirected weighted edges: weight = COUNT of

@@ -696,6 +696,7 @@ def build_all(
         membership, hierarchy = wh.read("membership"), wh.read("hierarchy")
         fresh_detection = False
     else:
+        from ..operators import community as community_mod
         from ..operators.community import projection_components
 
         t0 = time.time()
@@ -703,19 +704,24 @@ def build_all(
         membership, hierarchy, comm_labels = detect_communities(
             entities, triples, max_levels=cfg.max_levels, return_labels=True
         )
+        writes = [
+            lambda: wh.write(membership, "membership"),
+            lambda: wh.write(hierarchy, "hierarchy"),
+        ]
         # incremental-maintenance state (plans/incremental.py localized
         # detection): the raw per-level LPA labels and the projection-
         # graph components, committed inside the same sidecar bracket
-        # as the community tables so a torn write declines reuse
-        proj_wcc = projection_components(entities, triples)
-        membership, hierarchy, _, _ = _run_parallel(
-            [
-                lambda: wh.write(membership, "membership"),
-                lambda: wh.write(hierarchy, "hierarchy"),
+        # as the community tables so a torn write declines reuse. Only
+        # maintained above the localization crossover — see
+        # community.LOCALIZE_MIN_ENTITIES (read at call time; tests
+        # patch it to force the path on small fixtures).
+        if entities.count() > community_mod.LOCALIZE_MIN_ENTITIES:
+            proj_wcc = projection_components(entities, triples)
+            writes += [
                 lambda: wh.write(comm_labels, "community_labels"),
                 lambda: wh.write(proj_wcc, "proj_wcc"),
             ]
-        )
+        membership, hierarchy = _run_parallel(writes)[:2]
         wh.append_lineage("membership", -1, membership.count(), t0, defer=True)
         fresh_detection = True
     res.tables.update(membership=membership, hierarchy=hierarchy)

@@ -32,6 +32,20 @@ from pyspark.sql import functions as F
 
 from ..sources.transcripts import conversation_registry
 
+# Fixed-latency guard for the round-5 CC+resolve delta. Below this
+# catalog size the FULL recompute takes the solver's driver fast path
+# (collect + pure-Python union-find — a handful of jobs), which is
+# CHEAPER than the delta machinery's extra diff/assembly jobs
+# (~8-10 fixed-latency barriers). Above it the full path is the
+# iterative distributed loop the delta exists to avoid, so the
+# solver's own driver threshold is exactly the crossover. Tests lower
+# it to force the path on sandbox-sized fixtures. (The community
+# localization's analogous guard is community.LOCALIZE_MIN_ENTITIES,
+# shared with the aux-table write sites.)
+from ..operators.components import DRIVER_THRESHOLD as _CC_DRIVER_THRESHOLD
+
+CC_DELTA_MIN_ENTITIES = _CC_DRIVER_THRESHOLD
+
 
 def detect_changes(
     new_registry: DataFrame, old_registry: DataFrame
@@ -262,10 +276,19 @@ def incremental_update(
     )
     membership = membership.localCheckpoint()
     hierarchy = hierarchy.localCheckpoint()
-    comm_labels = comm_labels.localCheckpoint()
+    from ..operators import community as community_mod
     from ..operators.community import projection_components
 
-    proj_wcc = projection_components(entities, triples).localCheckpoint()
+    # localized-detection state: maintained only above the crossover
+    # (community.LOCALIZE_MIN_ENTITIES, read at call time)
+    aux_tables = {}
+    if entities.count() > community_mod.LOCALIZE_MIN_ENTITIES:
+        aux_tables = {
+            "community_labels": comm_labels.localCheckpoint(),
+            "proj_wcc": projection_components(
+                entities, triples
+            ).localCheckpoint(),
+        }
     communities = community_catalog(
         membership, entities, triples, mentions
     ).localCheckpoint()
@@ -316,8 +339,7 @@ def incremental_update(
         "entities": entities,
         "membership": membership,
         "hierarchy": hierarchy,
-        "community_labels": comm_labels,
-        "proj_wcc": proj_wcc,
+        **aux_tables,
         "communities": communities,
         "chunk_embeddings": chunk_embeddings,
     }
@@ -932,8 +954,16 @@ def _incremental_update_delta(
         # without it (exact/auto routing) the diff is one narrow
         # full-list pass, still far cheaper than the iterative loop.
         cc_delta = None
-        if wh.stored_link_params() == wh.link_params and all(
-            wh.exists(n) for n in ("similar", "wcc", "canonical_map")
+        if (
+            wh.stored_link_params() == wh.link_params
+            and all(
+                wh.exists(n) for n in ("similar", "wcc", "canonical_map")
+            )
+            # fixed-latency guard (module constant above): below the
+            # solver's own driver threshold the full CC+resolve is a
+            # driver-side union-find — cheaper than the delta's extra
+            # diff/assembly jobs
+            and embedded.count() > CC_DELTA_MIN_ENTITIES
         ):
             t0 = _time.time()
             cc_delta = connected_components_delta(
@@ -1514,6 +1544,7 @@ def _incremental_update_delta(
             "incr_detection_reused", -1, 1, _time.time(), defer=True
         )
     else:
+        from ..operators import community as community_mod
         from ..operators.community import projection_components
 
         entities_tbl = wh.read("entities")
@@ -1526,27 +1557,32 @@ def _incremental_update_delta(
         )
         membership = ck(membership)
         hierarchy = ck(hierarchy)
-        comm_labels = ck(comm_labels)
-        # localized-detection state for the NEXT cycle (build_all
-        # writes the same pair): raw labels + projection components,
-        # committed inside the sidecar bracket
-        proj_wcc_tbl = ck(projection_components(entities_tbl, triples_tbl))
         mentions_tbl = wh.read("mentions")
         communities = ck(
             community_catalog(
                 membership, entities_tbl, triples_tbl, mentions_tbl
             )
         )
-        wh.invalidate_community_params()
-        _run_parallel(
-            [
-                lambda: wh.write(membership, "membership"),
-                lambda: wh.write(hierarchy, "hierarchy"),
-                lambda: wh.write(communities, "communities"),
+        writes = [
+            lambda: wh.write(membership, "membership"),
+            lambda: wh.write(hierarchy, "hierarchy"),
+            lambda: wh.write(communities, "communities"),
+        ]
+        # localized-detection state for the NEXT cycle (build_all
+        # writes the same pair inside the same sidecar bracket);
+        # maintained only above the localization crossover
+        # (community.LOCALIZE_MIN_ENTITIES, read at call time)
+        if entities_tbl.count() > community_mod.LOCALIZE_MIN_ENTITIES:
+            comm_labels = ck(comm_labels)
+            proj_wcc_tbl = ck(
+                projection_components(entities_tbl, triples_tbl)
+            )
+            writes += [
                 lambda: wh.write(comm_labels, "community_labels"),
                 lambda: wh.write(proj_wcc_tbl, "proj_wcc"),
             ]
-        )
+        wh.invalidate_community_params()
+        _run_parallel(writes)
         wh.commit_community_params(community_fingerprint(cfg))
 
     _mark("communities")
@@ -1651,6 +1687,13 @@ def _localized_communities(spark, wh, cfg, delta_scope):
     entities_tbl = wh.read("entities")
     triples_tbl = wh.read("triples")
     mentions_tbl = wh.read("mentions")
+    # fixed-latency guard: below the crossover the full detection is
+    # a collect + pure-Python LPA — cheaper than this path's ~15
+    # assembly jobs (same call-time symbol gates the aux writes)
+    from ..operators import community as community_mod
+
+    if entities_tbl.count() <= community_mod.LOCALIZE_MIN_ENTITIES:
+        return None
     proj = ck(projection_edges(triples_tbl))
     pairs = delta_scope["changed_key_pairs"].select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")

@@ -418,12 +418,18 @@ def test_gated_stream_build_only_closed_conversations(
 
 
 def test_delta_incremental_matches_rebuild_and_is_delta_proportional(
-    spark, transcripts_df, tmp_path_factory
+    spark, transcripts_df, tmp_path_factory, monkeypatch
 ):
     """The bucketed (delta-capable) warehouse path: incremental result
     equals a from-scratch rebuild, AND the lineage proves the triple/
     mention rewrites touched a delta-proportional slice, not the
     corpus (VERDICT r2 item #1)."""
+    import graph_rag_agent_spark.operators.community as community_mod
+
+    # force the localized community recompute on this sandbox-sized
+    # catalog (in production it engages above the driver threshold);
+    # the same symbol makes build_all store the aux state
+    monkeypatch.setattr(community_mod, "LOCALIZE_MIN_ENTITIES", 0)
     wh = str(tmp_path_factory.mktemp("wh_delta"))
     cfg = BuildConfig(
         warehouse=wh,
@@ -605,6 +611,10 @@ def test_delta_incremental_lsh_linking_delta_path(
     # is small but BUILT via the forced LSH chain, so lower the floor
     monkeypatch.setattr(linking_mod, "EXACT_THRESHOLD", 0)
     monkeypatch.setattr(linking_mod, "LINK_DRIVER_THRESHOLD", 0)
+    import graph_rag_agent_spark.plans.incremental as incr_mod
+
+    # force the CC+resolve delta below its fixed-latency guard too
+    monkeypatch.setattr(incr_mod, "CC_DELTA_MIN_ENTITIES", 0)
     wh = str(tmp_path_factory.mktemp("wh_lshdelta"))
     cfg = BuildConfig(
         warehouse=wh,
@@ -738,7 +748,7 @@ def test_lsh_delta_declines_exact_produced_store(
 
 
 def test_detection_reuse_on_membership_preserving_delta(
-    spark, transcripts_df, tmp_path_factory
+    spark, transcripts_df, tmp_path_factory, monkeypatch
 ):
     """A delta that changes conversations WITHOUT moving community
     detection's inputs (entity id set + triple key set) must reuse the
@@ -748,6 +758,10 @@ def test_detection_reuse_on_membership_preserving_delta(
     way."""
     import datetime
 
+    import graph_rag_agent_spark.operators.community as community_mod
+
+    # force the localized path on the sandbox-sized catalog (v3 phase)
+    monkeypatch.setattr(community_mod, "LOCALIZE_MIN_ENTITIES", 0)
     wh = str(tmp_path_factory.mktemp("wh_det_reuse"))
     cfg = BuildConfig(
         warehouse=wh,
