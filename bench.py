@@ -39,7 +39,7 @@ def main() -> None:
     # run whenever the box allows it; if the budget expires loaded,
     # the loadavg_warning below still marks the artifact.
     quiet_wait_budget = float(
-        os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "600")
+        os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "300")
     )
     quiet_waited = 0.0
     while os.getloadavg()[0] > 1.0 and quiet_waited < quiet_wait_budget:

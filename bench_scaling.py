@@ -430,9 +430,12 @@ def main() -> None:
         "",
         "Skew note: conversation 0 holds ~10% of all turns; chunking is",
         "two-phase (JVM conversation assembly + per-segment parallel",
-        "windows) and extraction repartitions by chunk hash",
-        "(operators/extraction.py), so the mega-conversation does not",
-        "serialize any stage; AQE skew-join is enabled globally.",
+        "windows) and extraction spreads chunks round-robin",
+        "(operators/extraction.py — round 5 switched it from hash-by-id",
+        "after finding AQE's byte-based coalescing collapses an explicit",
+        "hash repartition to one task on small batches, serializing the",
+        "latency-bound model boundary), so the mega-conversation does",
+        "not serialize any stage; AQE skew-join is enabled globally.",
     ]
     best_window = max(summary, key=lambda k: summary[k]["raw"])
     print(
