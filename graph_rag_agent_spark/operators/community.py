@@ -44,6 +44,24 @@ DRIVER_THRESHOLD = 100_000
 LOCALIZE_MIN_ENTITIES = DRIVER_THRESHOLD
 
 
+def localization_crossover(n_entities: int, n_edges_upper: int) -> bool:
+    """True when a full detection at this size takes the DISTRIBUTED
+    leveled loop — i.e. when the localized path and its stored aux
+    state pay off. Mirrors detect_communities' driver gate exactly:
+    the driver fast path needs BOTH node count ≤ the driver threshold
+    AND edge count ≤ EDGE_DRIVER_THRESHOLD, so a dense small-node
+    graph (the cliquey case the edge guard exists for) correctly
+    crosses over too. ``n_edges_upper`` may be any cheap UPPER bound
+    on the projection edge count (triple row count qualifies:
+    projection pairs ≤ triple rows) — an over-estimate can only
+    enable the localization early, never skip it where the full path
+    is distributed."""
+    return (
+        n_entities > LOCALIZE_MIN_ENTITIES
+        or n_edges_upper > EDGE_DRIVER_THRESHOLD
+    )
+
+
 def projection_edges(triples: DataFrame) -> DataFrame:
     """Canonical triples → undirected weighted edges: weight = COUNT of
     relationships per unordered pair (reference projection config

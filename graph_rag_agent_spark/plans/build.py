@@ -696,9 +696,6 @@ def build_all(
         membership, hierarchy = wh.read("membership"), wh.read("hierarchy")
         fresh_detection = False
     else:
-        from ..operators import community as community_mod
-        from ..operators.community import projection_components
-
         t0 = time.time()
         wh.invalidate_community_params()
         membership, hierarchy, comm_labels = detect_communities(
@@ -709,18 +706,17 @@ def build_all(
             lambda: wh.write(hierarchy, "hierarchy"),
         ]
         # incremental-maintenance state (plans/incremental.py localized
-        # detection): the raw per-level LPA labels and the projection-
-        # graph components, committed inside the same sidecar bracket
-        # as the community tables so a torn write declines reuse. Only
-        # maintained above the localization crossover — see
-        # community.LOCALIZE_MIN_ENTITIES (read at call time; tests
-        # patch it to force the path on small fixtures).
-        if entities.count() > community_mod.LOCALIZE_MIN_ENTITIES:
-            proj_wcc = projection_components(entities, triples)
-            writes += [
-                lambda: wh.write(comm_labels, "community_labels"),
-                lambda: wh.write(proj_wcc, "proj_wcc"),
-            ]
+        # detection): raw per-level LPA labels + projection components,
+        # committed inside the same sidecar bracket as the community
+        # tables; written above the localization crossover, any STALE
+        # copy deleted below it (maintain_localized_state — one owner
+        # for the gate, the writes and the cleanup)
+        from .incremental import maintain_localized_state
+
+        aux = maintain_localized_state(wh, entities, triples, comm_labels)
+        writes += [
+            (lambda n=n, d=d: wh.write(d, n)) for n, d in aux.items()
+        ]
         membership, hierarchy = _run_parallel(writes)[:2]
         wh.append_lineage("membership", -1, membership.count(), t0, defer=True)
         fresh_detection = True

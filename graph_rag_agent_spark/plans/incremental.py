@@ -43,8 +43,16 @@ from ..sources.transcripts import conversation_registry
 # localization's analogous guard is community.LOCALIZE_MIN_ENTITIES,
 # shared with the aux-table write sites.)
 from ..operators.components import DRIVER_THRESHOLD as _CC_DRIVER_THRESHOLD
+from ..operators.components import (
+    EDGE_DRIVER_THRESHOLD as _CC_EDGE_DRIVER_THRESHOLD,
+)
 
 CC_DELTA_MIN_ENTITIES = _CC_DRIVER_THRESHOLD
+# the full solver's driver path also needs the EDGE list small — a
+# dense small-node similarity graph forces the distributed loop, so
+# the delta must engage there too (mirrors connected_components'
+# two-condition gate)
+CC_DELTA_MIN_EDGES = _CC_EDGE_DRIVER_THRESHOLD
 
 
 def detect_changes(
@@ -276,19 +284,9 @@ def incremental_update(
     )
     membership = membership.localCheckpoint()
     hierarchy = hierarchy.localCheckpoint()
-    from ..operators import community as community_mod
-    from ..operators.community import projection_components
-
-    # localized-detection state: maintained only above the crossover
-    # (community.LOCALIZE_MIN_ENTITIES, read at call time)
-    aux_tables = {}
-    if entities.count() > community_mod.LOCALIZE_MIN_ENTITIES:
-        aux_tables = {
-            "community_labels": comm_labels.localCheckpoint(),
-            "proj_wcc": projection_components(
-                entities, triples
-            ).localCheckpoint(),
-        }
+    # localized-detection state: written above the crossover, stale
+    # state deleted below it (maintain_localized_state). The deletion
+    # happens inside the sidecar bracket opened below.
     communities = community_catalog(
         membership, entities, triples, mentions
     ).localCheckpoint()
@@ -339,7 +337,6 @@ def incremental_update(
         "entities": entities,
         "membership": membership,
         "hierarchy": hierarchy,
-        **aux_tables,
         "communities": communities,
         "chunk_embeddings": chunk_embeddings,
     }
@@ -351,6 +348,9 @@ def incremental_update(
     from .build import community_fingerprint
 
     wh.invalidate_community_params()
+    tables.update(
+        maintain_localized_state(wh, entities, triples, comm_labels)
+    )
     out = {
         name: (
             merged_writes[name]
@@ -959,11 +959,17 @@ def _incremental_update_delta(
             and all(
                 wh.exists(n) for n in ("similar", "wcc", "canonical_map")
             )
-            # fixed-latency guard (module constant above): below the
-            # solver's own driver threshold the full CC+resolve is a
-            # driver-side union-find — cheaper than the delta's extra
-            # diff/assembly jobs
-            and embedded.count() > CC_DELTA_MIN_ENTITIES
+            # fixed-latency guard (module constants above): when the
+            # full CC+resolve would be a driver-side union-find (small
+            # node AND edge counts — both conditions of the solver's
+            # driver gate), it is cheaper than the delta's extra
+            # diff/assembly jobs; either count crossing over means the
+            # full path runs the distributed iterative loop the delta
+            # exists to avoid
+            and (
+                embedded.count() > CC_DELTA_MIN_ENTITIES
+                or similar.count() > CC_DELTA_MIN_EDGES
+            )
         ):
             t0 = _time.time()
             cc_delta = connected_components_delta(
@@ -1544,9 +1550,6 @@ def _incremental_update_delta(
             "incr_detection_reused", -1, 1, _time.time(), defer=True
         )
     else:
-        from ..operators import community as community_mod
-        from ..operators.community import projection_components
-
         entities_tbl = wh.read("entities")
         triples_tbl = wh.read("triples")
         membership, hierarchy, comm_labels = detect_communities(
@@ -1568,20 +1571,17 @@ def _incremental_update_delta(
             lambda: wh.write(hierarchy, "hierarchy"),
             lambda: wh.write(communities, "communities"),
         ]
-        # localized-detection state for the NEXT cycle (build_all
-        # writes the same pair inside the same sidecar bracket);
-        # maintained only above the localization crossover
-        # (community.LOCALIZE_MIN_ENTITIES, read at call time)
-        if entities_tbl.count() > community_mod.LOCALIZE_MIN_ENTITIES:
-            comm_labels = ck(comm_labels)
-            proj_wcc_tbl = ck(
-                projection_components(entities_tbl, triples_tbl)
-            )
-            writes += [
-                lambda: wh.write(comm_labels, "community_labels"),
-                lambda: wh.write(proj_wcc_tbl, "proj_wcc"),
-            ]
+        # localized-detection state for the NEXT cycle: written above
+        # the crossover, DELETED below it (maintain_localized_state —
+        # stale aux under a fresh sidecar would poison a later
+        # localized cycle). Both inside the sidecar bracket.
         wh.invalidate_community_params()
+        aux = maintain_localized_state(
+            wh, entities_tbl, triples_tbl, comm_labels
+        )
+        writes += [
+            (lambda n=n, d=d: wh.write(d, n)) for n, d in aux.items()
+        ]
         _run_parallel(writes)
         wh.commit_community_params(community_fingerprint(cfg))
 
@@ -1637,6 +1637,39 @@ def _read_out_tables(wh) -> dict[str, DataFrame]:
     )
 
 
+def maintain_localized_state(wh, entities_tbl, triples_tbl, comm_labels):
+    """The ONE owner of the localized-detection aux state
+    (community_labels + proj_wcc) for every full-detection write site
+    (build_all, the legacy incremental path, the delta path's full
+    branch). Above the localization crossover
+    (community.localization_crossover — node AND edge conditions,
+    mirroring the detector's driver gate) returns the aux tables to
+    commit inside the caller's sidecar bracket; below it returns {}
+    AND DELETES any stale aux tables first. The deletion is a
+    correctness requirement, not hygiene: a catalog that dips under
+    the crossover and climbs back would otherwise leave aux tables
+    from an OLDER detection on disk under a freshly committed sidecar,
+    and the next localized cycle would patch its labels against a base
+    that no longer corresponds to the stored membership."""
+    from ..operators import community as community_mod
+    from ..operators.community import projection_components
+
+    if community_mod.localization_crossover(
+        entities_tbl.count(), triples_tbl.count()
+    ):
+        return {
+            "community_labels": comm_labels.localCheckpoint(),
+            "proj_wcc": projection_components(
+                entities_tbl, triples_tbl
+            ).localCheckpoint(),
+        }
+    from . import fsio
+
+    for name in ("community_labels", "proj_wcc"):
+        fsio.rmtree(wh.path(name))
+    return {}
+
+
 def _localized_communities(spark, wh, cfg, delta_scope):
     """Component-scoped community recompute (VERDICT r4 #3): the
     leveled-LPA loop — the expensive multi-round shuffle stage — runs
@@ -1689,10 +1722,15 @@ def _localized_communities(spark, wh, cfg, delta_scope):
     mentions_tbl = wh.read("mentions")
     # fixed-latency guard: below the crossover the full detection is
     # a collect + pure-Python LPA — cheaper than this path's ~15
-    # assembly jobs (same call-time symbol gates the aux writes)
+    # assembly jobs. Node AND edge conditions (a dense small-node
+    # projection also forces the distributed loop); triple row count
+    # is a sound upper bound on projection edges and is a parquet
+    # metadata read. Same call-time predicate gates the aux writes.
     from ..operators import community as community_mod
 
-    if entities_tbl.count() <= community_mod.LOCALIZE_MIN_ENTITIES:
+    if not community_mod.localization_crossover(
+        entities_tbl.count(), triples_tbl.count()
+    ):
         return None
     proj = ck(projection_edges(triples_tbl))
     pairs = delta_scope["changed_key_pairs"].select(

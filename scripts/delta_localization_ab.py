@@ -139,6 +139,9 @@ def main() -> None:
     print(json.dumps(out))
     for d in (a["wh"], b["wh"], base_wh):
         shutil.rmtree(d, ignore_errors=True)
+    # the speedup artifact is only evidence if the equality HELD —
+    # fail loudly (nonzero exit) on any divergence
+    assert all(eq.values()), f"localized != full recompute: {eq}"
 
 
 if __name__ == "__main__":

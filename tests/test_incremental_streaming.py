@@ -1699,3 +1699,88 @@ def test_no_change_cycle_skips_journal_writes_and_reuses_communities(
     # ... and the refreshed sidecar re-enables the shortcut next cycle
     incremental_update(spark, transcripts_df, wh, cfg=cfg2)
     assert detections == [1]
+
+
+def test_localized_state_invalidated_below_crossover(
+    spark, transcripts_df, tmp_path_factory, monkeypatch
+):
+    """A catalog that dips UNDER the localization crossover must
+    DELETE the stored community_labels/proj_wcc, not leave them on
+    disk under a freshly committed sidecar — a later above-crossover
+    cycle would otherwise patch its labels against aux state from an
+    OLDER detection. The climb back up self-heals: full detection
+    rewrites the aux state, and the following key-moving cycle
+    localizes again with results equal to a fresh rebuild."""
+    import os
+
+    import graph_rag_agent_spark.operators.community as community_mod
+
+    wh = str(tmp_path_factory.mktemp("wh_aux_dip"))
+    cfg = BuildConfig(
+        warehouse=wh,
+        similarity_method="exact",
+        extraction_buckets=2,
+        bucket_convs=8,
+    )
+    # phase 1: above the (patched) crossover — aux state stored
+    monkeypatch.setattr(community_mod, "LOCALIZE_MIN_ENTITIES", 0)
+    build_all(spark, transcripts_df, cfg)
+    assert os.path.isdir(f"{wh}/community_labels")
+    assert os.path.isdir(f"{wh}/proj_wcc")
+
+    # phase 2: "dip" below the crossover + a key-moving delta → full
+    # detection runs and must REMOVE the now-unmaintained aux state
+    monkeypatch.setattr(community_mod, "LOCALIZE_MIN_ENTITIES", 10**12)
+    v2_rows = [
+        r for r in generate_transcripts(12) if r["conv_id"] != "conv-000003"
+    ]
+    v2_df = spark.createDataFrame(v2_rows, schema=schemas.TRANSCRIPTS)
+    incremental_update(spark, v2_df, wh, cfg=cfg)
+    assert not os.path.isdir(f"{wh}/community_labels")
+    assert not os.path.isdir(f"{wh}/proj_wcc")
+
+    # phase 3: climb back above — this cycle's localized gate declines
+    # (aux missing), full detection rewrites the aux state…
+    monkeypatch.setattr(community_mod, "LOCALIZE_MIN_ENTITIES", 0)
+    v3_rows = [r for r in v2_rows if r["conv_id"] != "conv-000007"]
+    v3_df = spark.createDataFrame(v3_rows, schema=schemas.TRANSCRIPTS)
+    incremental_update(spark, v3_df, wh, cfg=cfg)
+    assert os.path.isdir(f"{wh}/community_labels")
+    lineage = spark.read.parquet(f"{wh}/lineage")
+    assert (
+        lineage.where(
+            F.col("stage") == "incr_communities_localized"
+        ).count()
+        == 0
+    )
+
+    # …and the NEXT key-moving cycle localizes against the fresh base,
+    # equal to a from-scratch rebuild
+    v4_rows = [r for r in v3_rows if r["conv_id"] != "conv-000009"]
+    v4_df = spark.createDataFrame(v4_rows, schema=schemas.TRANSCRIPTS)
+    tables = incremental_update(spark, v4_df, wh, cfg=cfg)
+    lineage = spark.read.parquet(f"{wh}/lineage")
+    assert (
+        lineage.where(
+            F.col("stage") == "incr_communities_localized"
+        ).count()
+        == 1
+    )
+    wh2 = str(tmp_path_factory.mktemp("wh_aux_dip_ref"))
+    rebuilt = build_all(
+        spark,
+        v4_df,
+        BuildConfig(
+            warehouse=wh2,
+            similarity_method="exact",
+            extraction_buckets=2,
+            bucket_convs=8,
+        ),
+    )
+    for name in ["membership", "hierarchy", "communities"]:
+        cols = sorted(
+            c for c in tables[name].columns if c != "summary_created_at"
+        )
+        a = {tuple(r) for r in tables[name].select(*cols).collect()}
+        b = {tuple(r) for r in rebuilt.tables[name].select(*cols).collect()}
+        assert a == b, name
